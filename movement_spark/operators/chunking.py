@@ -1,0 +1,71 @@
+"""Work distribution: Movement's WorkChunkDriver as explicit repartitioning.
+
+The reference feeds N parallel pipelines from a shared synchronized work
+queue (WorkChunkDriver.getNext, SURVEY.md §2.2) — dynamic load balancing by
+pull. Spark's task scheduler already does that for free; what we add is the
+piece streaming Spark does NOT rebalance automatically: the *key* layout
+feeding stateful stages. A few hot doc_ids (power-law shard counts) would
+pin whole state-store partitions to one task, so we salt.
+
+``salted_repartition`` splits each key across SALT buckets; downstream
+per-doc stages group by (doc_id) again AFTER the heavy per-shard work ran
+on the salted layout. For pure aggregations use ``two_phase_agg`` which
+does partial-agg on the salted key then final-agg on the real key —
+Movement's map-side combine analog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Column, functions as F
+
+
+def salt_column(key: Column, buckets: int) -> Column:
+    """Deterministic salt derived from xxhash64 of the key — stable across
+    runs/retries (required for exactly-once replay idempotency)."""
+    return F.pmod(F.xxhash64(key), F.lit(buckets)).cast("int")
+
+
+def salted_repartition(df: DataFrame, key: str, partitions: int,
+                       salt_buckets: int = 8,
+                       salt_col: str = "_salt") -> DataFrame:
+    """WorkChunkDriver analog: spread each key over ``salt_buckets``
+    sub-queues, then hash-partition on (key, salt). A hot key now occupies
+    up to salt_buckets tasks instead of one."""
+    return (
+        df.withColumn(salt_col, salt_column(F.col(key), salt_buckets))
+          .repartition(partitions, F.col(key), F.col(salt_col))
+    )
+
+
+def two_phase_agg(df: DataFrame, key: str, aggs: dict[str, Column],
+                  salt_buckets: int = 8) -> DataFrame:
+    """Skew-safe aggregation: partial agg on (key, salt), final on key.
+
+    ``aggs`` maps output column -> *re-aggregation* is assumed additive
+    (sum/count shapes). For avg, pass sum+count and divide after.
+    """
+    salted = df.withColumn("_salt", salt_column(F.col(key), salt_buckets))
+    partial = salted.groupBy(key, "_salt").agg(
+        *[c.alias(name) for name, c in aggs.items()])
+    return partial.groupBy(key).agg(
+        *[F.sum(name).alias(name) for name in aggs])
+
+
+def chunk_stats(df: DataFrame, key: str, buckets: int = 16) -> DataFrame:
+    """Observability for the work-queue layout: per-bucket row/doc counts —
+    the WORK_CHUNKS counter analog (WorkChunkDriver.java:37)."""
+    return (
+        df.withColumn("bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(buckets)).cast("int"))
+          .groupBy("bucket")
+          .agg(F.count("*").alias("n_rows"),
+               F.countDistinct(key).alias("n_keys"))
+    )
+
+
+def partition_skew_report(df: DataFrame) -> DataFrame:
+    """Rows per physical partition — measures how well the salting spread
+    the load. spark_partition_id is the lineage hook (SURVEY.md §2.8)."""
+    return (
+        df.withColumn("pid", F.spark_partition_id())
+          .groupBy("pid").count()
+    )

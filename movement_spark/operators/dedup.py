@@ -1,0 +1,162 @@
+"""Deduplication operators for training-data pipelines.
+
+All hash arithmetic is plain integer math (a*x + b mod p), NOT engine
+hash builtins, so the DuckDB oracle can recompute bit-identical values.
+Every stage is relational (explode → groupBy → join): at 100 TB each is a
+shuffle whose key is chosen to avoid skew (token values, band buckets),
+and the candidate-pair space is bounded by LSH banding instead of O(n²).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# MinHash parameters — keep in sync with oracle SQL in queries.py.
+MINHASH_K = 16          # signature length
+MINHASH_BANDS = 4       # bands of 4 rows each
+MINHASH_P = 1_000_003   # prime modulus
+A_MULT, A_OFF = 4097, 31
+B_MULT, B_OFF = 7919, 101
+SHINGLE_MOD = 1024      # coarse shingle universe so near-dups exist
+BAND_COMBINE = 1 << 20  # positional combine base for band bucket ids
+
+SIMHASH_MULT = 2654435761
+SIMHASH_BITS = 32
+
+
+def exact_dedup_stats(documents: DataFrame) -> DataFrame:
+    """Exact dedup via content digest: md5(text) groups. One row out."""
+    return documents.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_distinct"),
+        (F.count("*") - F.countDistinct(F.md5("text"))).alias("n_dupes"),
+    )
+
+
+def doc_shingles(tokens: DataFrame) -> DataFrame:
+    """Doc → distinct coarse shingles (token % SHINGLE_MOD).
+
+    explode is vectorized JVM-side; distinct() is a map-side-combined
+    aggregate keyed (doc_id, shingle) — no skew (shingles are uniform).
+    """
+    return (
+        tokens
+        .select("doc_id", F.explode("tokens").alias("t"))
+        .select("doc_id", (F.col("t") % SHINGLE_MOD).alias("sh"))
+        .distinct()
+    )
+
+
+def minhash_signatures(tokens: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """MinHash signature per doc: sig[j] = min over shingles of
+    (a_j*sh + b_j) mod p, computed relationally (doc × j grid, min-agg)."""
+    sh = doc_shingles(tokens)
+    hashes = sh.select(
+        "doc_id", "sh",
+        F.explode(F.expr(f"sequence(0, {k - 1})")).alias("j"),
+    ).select(
+        "doc_id", "j",
+        (((F.lit(A_MULT) * F.col("j") + A_OFF) * F.col("sh")
+          + (F.lit(B_MULT) * F.col("j") + B_OFF)) % MINHASH_P).alias("hv"),
+    )
+    return hashes.groupBy("doc_id", "j").agg(F.min("hv").alias("sig"))
+
+
+def minhash_band_buckets(tokens: DataFrame) -> DataFrame:
+    """Band each signature: bucket id = positional combine of the band's
+    rows. Docs sharing a (band, bucket) are near-dup candidates."""
+    rows_per_band = MINHASH_K // MINHASH_BANDS
+    sig = minhash_signatures(tokens)
+    return (
+        sig
+        .withColumn("band", (F.col("j") / rows_per_band).cast("int"))
+        .withColumn("pos", F.col("j") % rows_per_band)
+        .groupBy("doc_id", "band")
+        .agg(F.sum(F.col("sig") * F.pow(F.lit(31.0), F.col("pos")).cast("bigint"))
+             .cast("bigint").alias("bucket"))
+    )
+
+
+def minhash_lsh_stats(tokens: DataFrame) -> DataFrame:
+    """Scale-bounded LSH output: per band, how many buckets collide and the
+    implied candidate-pair count sum C(n,2). Avoids materializing O(n²)
+    pairs — the property that keeps this runnable at 10^12 docs."""
+    buckets = minhash_band_buckets(tokens)
+    per_bucket = buckets.groupBy("band", "bucket").agg(F.count("*").alias("n"))
+    return (
+        per_bucket.where(F.col("n") > 1)
+        .groupBy("band")
+        .agg(F.count("*").alias("n_colliding_buckets"),
+             F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("bigint")
+             .alias("n_candidate_pairs"))
+    )
+
+
+JACCARD_MOD = 64  # coarse enough that docs genuinely overlap
+
+
+def ngram_jaccard_pairs(tokens: DataFrame, sample_mod: int = 25,
+                        n: int = 2) -> DataFrame:
+    """N-gram Jaccard similarity over a deterministic doc sample.
+
+    Shingle = coarse 2-gram: consecutive (token % JACCARD_MOD) pairs packed
+    into one bigint — coarse enough that near-dup docs overlap. The sample
+    (did % sample_mod == 0) bounds the pair space; in production the input
+    would be LSH candidates instead of a sample — same code path.
+    """
+    base = tokens.where(F.col("did") % sample_mod == 0)
+    gram_expr = (
+        f"if(n_tok >= {n}, "
+        f"transform(sequence(0, n_tok - {n}), "
+        f"i -> cast(tokens[i] % {JACCARD_MOD} as bigint) * {JACCARD_MOD} "
+        f"   + cast(tokens[i+1] % {JACCARD_MOD} as bigint)), "
+        f"array())"
+    )
+    grams = (
+        base.select("doc_id", F.explode(F.expr(gram_expr)).alias("g"))
+        .distinct()
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b", "n_inter",
+            (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).alias("n_union"))
+        .where(F.col("n_inter") * 100 >= F.col("n_union"))  # jaccard >= 0.01
+    )
+
+
+def simhash_docs(tokens: DataFrame, sample_mod: int = 50) -> DataFrame:
+    """32-bit SimHash per sampled doc, from coarse shingles.
+
+    bit b of h(sh) with h = (sh * SIMHASH_MULT) mod 2^32; simhash bit b set
+    iff sum over shingles of (2*bit-1) > 0. Pure integer/bit arithmetic.
+    """
+    sh = doc_shingles(tokens.where(F.col("did") % sample_mod == 0))
+    bits = sh.select(
+        "doc_id",
+        F.explode(F.expr(f"sequence(0, {SIMHASH_BITS - 1})")).alias("b"),
+        (F.col("sh") * SIMHASH_MULT % F.lit(1 << 32)).alias("hv"),
+    ).select(
+        "doc_id", "b",
+        (F.expr("shiftright(hv, b)") % 2 * 2 - 1).alias("vote"),
+    )
+    return (
+        bits.groupBy("doc_id", "b").agg(F.sum("vote").alias("s"))
+        .withColumn("bitval",
+                    F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), b)"))
+                     .otherwise(F.lit(0).cast("bigint")))
+        .groupBy("doc_id")
+        .agg(F.sum("bitval").cast("bigint").alias("simhash"))
+    )

@@ -1,0 +1,157 @@
+"""Per-doc ordering: the analog of Movement's PHASE ONE→TWO barrier.
+
+The reference never processes an edge before all vertices are durably
+written (Task.java:54-63 sequential phases; RunningPhase.get() blocks;
+dangling edges are fatal-or-dropped, TinkerPopGraphEncoder.java:103-110).
+Our payload is shard rows of a document; the preserved semantic is:
+*a document's merged output is only emitted once its shards are assembled
+in ``seq`` order* — never interleaved, never partially ordered.
+
+Two implementations of the same contract:
+
+- ``merge_doc_shards`` (batch): pure DataFrame ops — sort_array over
+  struct(seq, tokens) then flatten. Stays JVM-side, shuffles once on
+  doc_id. Used for the correctness oracle.
+- ``OrderedDocAssembler`` (streaming): applyInPandasWithState keeping
+  per-doc state {next expected seq, buffered out-of-order shards}; emits
+  the merged doc when all shards 0..n-1 have arrived, times out on the
+  event-time watermark (late shards are dropped-and-counted, the
+  dangling-edge policy). State stays O(open docs), not O(all docs).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType, IntegerType, LongType, StringType, StructField, StructType,
+    TimestampType,
+)
+
+# ---------------------------------------------------------------- batch ----
+
+def merge_doc_shards(tokens: DataFrame) -> DataFrame:
+    """Assemble each doc's shards in seq order into one merged token array.
+
+    sort_array on struct(seq, ...) sorts lexicographically by the first
+    field, giving deterministic shard order without a per-group sort —
+    one shuffle on doc_id, all JVM-side.
+    """
+    return (
+        tokens
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("seq", "tokens"))).alias("shards"),
+             F.count("*").alias("n_shard"),
+             F.sum("n_tok").cast("bigint").alias("total_tok"))
+        .select("doc_id", "n_shard", "total_tok",
+                F.flatten("shards.tokens").alias("merged"))
+    )
+
+
+def merged_doc_check(tokens: DataFrame) -> DataFrame:
+    """Order-sensitive scalar digest of the merged arrays.
+
+    poly = sum_i merged[i] * (i+1)  — flips if any two tokens swap, so it
+    certifies shard ORDER, not just content. This is the per-row
+    "token-array equality" invariant of BASELINE.json reduced to a
+    SQL-comparable scalar.
+    """
+    merged = merge_doc_shards(tokens)
+    return merged.select(
+        "doc_id", "n_shard", "total_tok",
+        F.expr("aggregate(merged, 0L, (acc, x) -> acc + cast(x as bigint)) ")
+        .alias("tok_sum"),
+        F.expr(
+            "aggregate(transform(merged, (x, i) -> cast(x as bigint) * (i + 1)),"
+            " 0L, (acc, x) -> acc + x)"
+        ).alias("poly_hash"),
+    )
+
+
+# ------------------------------------------------------------ streaming ----
+
+MERGED_SCHEMA = StructType([
+    StructField("doc_id", StringType()),
+    StructField("n_shard", IntegerType()),
+    StructField("total_tok", LongType()),
+    StructField("merged", ArrayType(IntegerType())),
+])
+
+# state: shards seen so far (seq ids + token arrays) and expected count
+STATE_SCHEMA = StructType([
+    StructField("seqs", ArrayType(IntegerType())),
+    StructField("toks", ArrayType(ArrayType(IntegerType()))),
+    StructField("expected", IntegerType()),
+])
+
+
+def _assemble(key, pdfs: Iterable[pd.DataFrame], state):
+    """applyInPandasWithState function: buffer shards per doc, emit when
+    the doc is complete (all seqs 0..expected-1 present), drop on timeout.
+
+    Expected shard count travels with the data (column ``n_shards``); a doc
+    whose shards never complete is evicted by the event-time timeout once
+    the watermark passes, so state is bounded by open docs only.
+    """
+    (doc_id,) = key
+    if state.hasTimedOut:
+        # Watermark passed with the doc incomplete: drop-and-count policy
+        # (the streaming analog of dropDanglingEdges). Emit nothing.
+        state.remove()
+        return
+    if state.exists:
+        seqs, toks, expected = state.get
+        seqs, toks = list(seqs), list(toks)
+    else:
+        seqs, toks, expected = [], [], -1
+    max_ts = None
+    for pdf in pdfs:
+        for row in pdf.itertuples(index=False):
+            if row.seq not in seqs:
+                seqs.append(int(row.seq))
+                toks.append([int(t) for t in row.tokens])
+            expected = int(row.n_shards)
+            ts = row.ts
+            if max_ts is None or ts > max_ts:
+                max_ts = ts
+    if expected > 0 and len(seqs) >= expected and set(seqs) >= set(range(expected)):
+        order = sorted(range(len(seqs)), key=lambda k: seqs[k])
+        merged = [t for k in order for t in toks[k]]
+        state.remove()
+        yield pd.DataFrame({
+            "doc_id": [doc_id],
+            "n_shard": [len(seqs)],
+            "total_tok": [len(merged)],
+            "merged": [merged],
+        })
+    else:
+        state.update((seqs, toks, expected))
+        # keep the doc around until the watermark passes its last shard
+        if max_ts is not None:
+            state.setTimeoutTimestamp(int(max_ts.timestamp() * 1000) + 60_000)
+
+
+def ordered_doc_assembler(shards: DataFrame, watermark: str = "2 minutes") -> DataFrame:
+    """Streaming per-doc ordering stage (PHASE barrier analog).
+
+    ``shards`` must be a streaming DataFrame with columns
+    (doc_id, seq, tokens, n_shards, ts). Requires update/append output via
+    foreachBatch downstream.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        shards
+        .withWatermark("ts", watermark)
+        .groupBy("doc_id")
+        .applyInPandasWithState(
+            _assemble,
+            outputStructType=MERGED_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

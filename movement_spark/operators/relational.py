@@ -1,0 +1,90 @@
+"""Relational operators over the star schema (SURVEY.md §2.8 gap-fill).
+
+The reference has no joins/aggregations/window functions; the north rule
+and a complete engine require them. These are thin, idiomatic DataFrame
+compositions — Catalyst supplies pushdown, broadcast selection, AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-01") -> DataFrame:
+    """TPC-H Q1 shape: scan + filter (pushed to parquet) + hash agg."""
+    return (
+        lineitem.where(F.col("l_shipdate") < F.lit(cutoff).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def order_rank_per_customer(orders: DataFrame, k: int = 3) -> DataFrame:
+    """Window function: top-k orders per customer by totalprice.
+
+    Partition key = custkey (high cardinality → even shuffle); ties broken
+    by orderkey for determinism.
+    """
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_top"),
+             F.round(F.sum("o_totalprice"), 2).alias("top_revenue"),
+             F.max("o_orderkey").alias("max_orderkey"))
+    )
+
+
+def event_type_daily_matrix(events: DataFrame) -> DataFrame:
+    """Pivot-shaped conditional aggregation: events per day × type.
+
+    Written as sum(case when ...) (not DataFrame.pivot) so the plan is a
+    single hash aggregate — same shape both engines.
+    """
+    day = F.date_trunc("day", F.col("ts"))
+    base = events.select(F.unix_timestamp(day).alias("day_epoch"), "event_type")
+    types = ["click", "view", "purchase", "signup", "error"]
+    aggs = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+        .cast("bigint").alias(f"n_{t}")
+        for t in types
+    ]
+    return base.groupBy("day_epoch").agg(*aggs)
+
+
+def supplier_part_join(part: DataFrame, supplier: DataFrame,
+                       lineitem: DataFrame) -> DataFrame:
+    """3-way join: fact × two dims (both broadcast), agg by brand/supplier."""
+    return (
+        lineitem
+        .join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .groupBy("p_brand", "s_name")
+        .agg(F.count("*").alias("n_items"),
+             F.round(F.sum("l_extendedprice"), 2).alias("volume"))
+    )
+
+
+def set_ops_demo(orders: DataFrame) -> DataFrame:
+    """Set operations (the reference only has iterator concat,
+    IteratorUtils.java:417): urgent ∪ high minus cancelled, distinct count
+    per priority."""
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
+    high = orders.where(F.col("o_orderpriority") == "2-HIGH")
+    cancelled = orders.where(F.col("o_orderstatus") == "F")
+    u = urgent.unionByName(high).exceptAll(
+        cancelled.where(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")))
+    return (
+        u.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"),
+             F.countDistinct("o_custkey").alias("n_cust"))
+    )

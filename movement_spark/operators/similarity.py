@@ -1,0 +1,123 @@
+"""Similarity search over embedding columns (array<float>).
+
+Distances are computed on QUANTIZED integer vectors (round(x*1000)) so
+results are bit-exact and oracle-checkable — float dot products differ
+across engines in the low bits. The float cosine path exists too
+(``cosine_topk_float``) for production use where an oracle isn't hashed.
+
+Scale path: ``lsh_bucketed_neighbors`` buckets vectors by sign-random
+projections so the candidate set per query is a bucket, not the corpus.
+At 100 TB the brute-force variant is only for re-ranking candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+QUANT = 1000  # fixed-point scale for oracle-exact arithmetic
+
+
+def quantized(embeddings: DataFrame) -> DataFrame:
+    """array<float> → array<bigint> fixed-point. transform() is JVM-side."""
+    return embeddings.select(
+        "vec_id", "label",
+        F.expr(f"transform(embedding, x -> cast(round(cast(x as double) * {QUANT}, 0) as bigint))")
+        .alias("q"),
+    )
+
+
+def _dot(a: str, b: str) -> F.Column:
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+
+
+def brute_force_topk(embeddings: DataFrame, n_queries: int = 10,
+                     k: int = 5) -> DataFrame:
+    """Exact top-k by integer dot product for the first ``n_queries``
+    vectors. Query side is broadcast (tiny); corpus side streams through —
+    no shuffle of the corpus, one narrow pass + per-query top-k.
+    """
+    q = quantized(embeddings)
+    queries = q.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qv"))
+    scored = (
+        q.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", _dot("q", "qv").alias("dot"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "dot", "rank")
+    )
+
+
+def cosine_topk_float(embeddings: DataFrame, n_queries: int = 10,
+                      k: int = 5) -> DataFrame:
+    """Production float cosine top-k (not oracle-hashed; rank ties broken
+    by vec_id so output is still deterministic)."""
+    e = embeddings.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"))
+    e = e.withColumn(
+        "norm", F.sqrt(F.expr(
+            "aggregate(v, cast(0 as double), (acc, x) -> acc + x * x)")))
+    queries = e.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"))
+    scored = (
+        e.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id",
+            (F.expr("aggregate(zip_with(v, qv, (x, y) -> x * y), cast(0 as double), (acc, d) -> acc + d)")
+             / (F.col("norm") * F.col("qnorm"))).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
+# Sign-projection LSH: hyperplane h_j has pseudo-random ±1 components
+# derived from (j, dim) by integer arithmetic — oracle-reproducible.
+LSH_PLANES = 8
+
+
+def lsh_bucket_expr(vec_col: str, planes: int = LSH_PLANES) -> F.Column:
+    """Bucket = bits of sign(v · h_j), h_j[i] = +1 if (j*131 + i*31) % 7 < 4
+    else -1. All integer/deterministic."""
+    bit = (
+        f"(CASE WHEN aggregate(transform({vec_col}, (x, i) -> "
+        f"x * (CASE WHEN (jj*131 + i*31) % 7 < 4 THEN 1 ELSE -1 END)), "
+        f"0L, (acc, v) -> acc + v) > 0 THEN 1 ELSE 0 END)"
+    )
+    terms = " + ".join(
+        f"(({bit.replace('jj', str(j))}) * {1 << j})" for j in range(planes))
+    return F.expr(f"cast({terms} as int)")
+
+
+def lsh_bucketed_neighbors(embeddings: DataFrame, n_queries: int = 10,
+                           k: int = 5) -> DataFrame:
+    """ANN: join query and corpus on LSH bucket, exact top-k inside the
+    bucket. The corpus-side shuffle key is the bucket (256 buckets of
+    roughly equal size under random vectors)."""
+    q = quantized(embeddings).withColumn("bucket", lsh_bucket_expr("q"))
+    queries = q.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qv"),
+        F.col("bucket"))
+    cand = (
+        q.join(F.broadcast(queries), "bucket")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", _dot("q", "qv").alias("dot"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "dot", "rank")
+    )

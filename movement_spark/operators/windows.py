@@ -1,0 +1,97 @@
+"""Windowed aggregation operators: tumbling / sliding / session.
+
+The reference has no windowing (SURVEY.md §2.8) — these come from the north
+rule. Everything is a Spark built-in (`window`, `session_window`) so Catalyst
+plans a partial+final hash aggregate with map-side combine; no Python runs.
+
+Window starts are emitted as epoch seconds (bigint) so results hash
+identically against the DuckDB oracle regardless of timestamp rendering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def tumbling_token_throughput(tokens: DataFrame, width: str = "5 minutes") -> DataFrame:
+    """Per-source token throughput per tumbling window.
+
+    The flagship aggregate of the engine (north rule: "per-source
+    token-throughput aggregates"). Map-side partial aggregation applies;
+    the shuffle key is (window, source) — low cardinality, no skew.
+    """
+    return (
+        tokens
+        .groupBy(F.window("ts", width).alias("w"), "source")
+        .agg(F.count("*").alias("n_seq"),
+             F.sum("n_tok").cast("bigint").alias("sum_tok"),
+             F.countDistinct("doc_id").alias("n_doc"))
+        .select(F.unix_timestamp("w.start").alias("ws"),
+                "source", "n_seq", "sum_tok", "n_doc")
+    )
+
+
+def sliding_token_throughput(tokens: DataFrame, width: str = "10 minutes",
+                             slide: str = "5 minutes") -> DataFrame:
+    """Sliding-window variant; each row lands in width/slide windows."""
+    return (
+        tokens
+        .groupBy(F.window("ts", width, slide).alias("w"), "source")
+        .agg(F.count("*").alias("n_seq"),
+             F.sum("n_tok").cast("bigint").alias("sum_tok"))
+        .select(F.unix_timestamp("w.start").alias("ws"),
+                "source", "n_seq", "sum_tok")
+    )
+
+
+def session_token_windows(tokens: DataFrame, gap: str = "90 seconds") -> DataFrame:
+    """Per-doc session windows: shards separated by more than ``gap`` start a
+    new session. Spark's session end = last event + gap; the oracle mirrors
+    that with a gaps-and-islands rewrite."""
+    return (
+        tokens
+        .groupBy(F.session_window("ts", gap).alias("w"), "doc_id")
+        .agg(F.count("*").alias("n_shard"),
+             F.sum("n_tok").cast("bigint").alias("sum_tok"))
+        .select("doc_id",
+                F.unix_timestamp("w.start").alias("session_start"),
+                F.unix_timestamp("w.end").alias("session_end"),
+                "n_shard", "sum_tok")
+    )
+
+
+def sessionize_events(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Sessionization of the generic event stream per user."""
+    sess = (
+        events
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"),
+             F.max("n_events").alias("max_session_events"),
+             F.sum("n_events").alias("total_events"))
+    )
+
+
+def would_be_late_audit(tokens: DataFrame, delay_sec: int = 1800) -> DataFrame:
+    """Batch audit of the late-data policy: rows older than
+    max(event_time) - delay would be dropped by a watermark of ``delay``.
+    Mirrors the reference's dangling-edge drop-and-count policy
+    (TinkerPopGraphEncoder.java:103-110) as drop-late-and-count.
+
+    The global max is a 1-row aggregate broadcast back — NOT an
+    unpartitioned window function, which would funnel all rows through a
+    single task at 100 TB.
+    """
+    max_ts = tokens.agg(F.max("ts").alias("max_ts"))
+    return (
+        tokens.crossJoin(F.broadcast(max_ts))
+        .withColumn("is_late",
+                    (F.col("ts") < F.col("max_ts") - F.expr(f"INTERVAL {delay_sec} SECONDS")).cast("int"))
+        .groupBy("source")
+        .agg(F.sum("is_late").cast("bigint").alias("n_late"),
+             F.count("*").alias("n_total"))
+    )

@@ -1,0 +1,616 @@
+"""Paired query registry: every operator as (Spark impl, DuckDB oracle).
+
+This is the correctness backbone: for each named query we keep the Spark
+DataFrame implementation and an ANSI-SQL oracle that DuckDB evaluates over
+the same parquet tables. The driver (and tests/test_oracle_parity.py)
+compares row counts + order-insensitive value hashes.
+
+Hash-parity rules applied throughout (see SURVEY.md §5):
+- window/timestamp outputs as epoch seconds (bigint), session tz = UTC;
+- money sums through DECIMAL(18,4) then round(2) then DOUBLE (exact);
+- integer division via explicit floor() (Spark cast truncates, DuckDB
+  cast ROUNDS — never rely on cast);
+- Spark lambda index i is 0-based, DuckDB's is 1-based;
+- no engine hash builtins in checked values — only a*x+b mod p arithmetic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from movement_spark.operators import (
+    dedup, joins, multimodal, relational, similarity, text, windows,
+)
+from movement_spark.operators.ordering import merged_doc_check
+from movement_spark.session import tune_session
+from movement_spark.sources.tables import load_table
+from movement_spark.sources.tokens import (
+    token_sequences, with_token_cte,
+    TOK_MULT, SEQ_MULT, POS_MULT, TOK_MOD, LEN_MOD, TS_MOD, EPOCH_2026,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def register(name: str, sql: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            tune_session(spark)
+            return fn(spark, sf_dir)
+        _REGISTRY[name] = (wrapped, sql)
+        return wrapped
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
+
+
+# =====================================================================
+# Token pipeline (north-rule core)
+# =====================================================================
+
+@register("tumbling_token_throughput", with_token_cte("""
+SELECT CAST(epoch(time_bucket(INTERVAL 5 MINUTES, ts)) AS BIGINT) AS ws,
+       source,
+       COUNT(*) AS n_seq,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+       COUNT(DISTINCT doc_id) AS n_doc
+FROM token_sequences
+GROUP BY 1, 2
+"""))
+def q_tumbling(spark, sf_dir):
+    return windows.tumbling_token_throughput(token_sequences(spark, sf_dir))
+
+
+@register("sliding_token_throughput", with_token_cte("""
+, offs AS (SELECT unnest([0, 1]) AS o)
+SELECT CAST(epoch(time_bucket(INTERVAL 5 MINUTES, ts)) AS BIGINT) - o * 300 AS ws,
+       source,
+       COUNT(*) AS n_seq,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tok
+FROM token_sequences CROSS JOIN offs
+GROUP BY 1, 2
+"""))
+def q_sliding(spark, sf_dir):
+    return windows.sliding_token_throughput(token_sequences(spark, sf_dir))
+
+
+@register("session_token_windows", with_token_cte("""
+, ordered AS (
+  SELECT doc_id, ts, n_tok,
+         lag(ts) OVER (PARTITION BY doc_id ORDER BY ts) AS pts
+  FROM token_sequences),
+marked AS (
+  SELECT *, CASE WHEN pts IS NULL OR ts - pts >= INTERVAL 90 SECONDS
+                 THEN 1 ELSE 0 END AS new_s
+  FROM ordered),
+islands AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY doc_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked)
+SELECT doc_id,
+       CAST(epoch(MIN(ts)) AS BIGINT) AS session_start,
+       CAST(epoch(MAX(ts)) AS BIGINT) + 90 AS session_end,
+       COUNT(*) AS n_shard,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tok
+FROM islands GROUP BY doc_id, sid
+"""))
+def q_session(spark, sf_dir):
+    return windows.session_token_windows(token_sequences(spark, sf_dir))
+
+
+@register("merged_doc_check", with_token_cte("""
+, merged AS (
+  SELECT doc_id,
+         COUNT(*) AS n_shard,
+         CAST(SUM(n_tok) AS BIGINT) AS total_tok,
+         flatten(list(tokens ORDER BY seq)) AS m
+  FROM token_sequences GROUP BY doc_id)
+SELECT doc_id, CAST(n_shard AS INT) AS n_shard, total_tok,
+       CAST(list_sum(list_transform(m, x -> CAST(x AS BIGINT))) AS BIGINT) AS tok_sum,
+       CAST(list_sum(list_transform(m, (x, i) -> CAST(x AS BIGINT) * i)) AS BIGINT) AS poly_hash
+FROM merged
+"""))
+def q_merged(spark, sf_dir):
+    df = merged_doc_check(token_sequences(spark, sf_dir))
+    return df.withColumn("n_shard", F.col("n_shard").cast("int"))
+
+
+@register("shard_pair_join", with_token_cte("""
+, even AS (SELECT doc_id, ts AS ts_a, n_tok AS n_tok_a FROM token_sequences WHERE seq % 2 = 0),
+odd  AS (SELECT doc_id, ts AS ts_b, n_tok AS n_tok_b FROM token_sequences WHERE seq % 2 = 1)
+SELECT e.doc_id AS doc_id, COUNT(*) AS n_pairs,
+       CAST(SUM(e.n_tok_a + o.n_tok_b) AS BIGINT) AS pair_tok
+FROM even e JOIN odd o ON e.doc_id = o.doc_id
+WHERE abs(epoch(e.ts_a) - epoch(o.ts_b)) <= 60
+GROUP BY e.doc_id
+"""))
+def q_shard_join(spark, sf_dir):
+    return joins.shard_pair_join(token_sequences(spark, sf_dir))
+
+
+@register("work_chunk_stats", with_token_cte("""
+SELECT CAST(did % 16 AS INT) AS bucket,
+       COUNT(*) AS n_rows,
+       COUNT(DISTINCT doc_id) AS n_keys,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tok
+FROM token_sequences GROUP BY 1
+"""))
+def q_chunks(spark, sf_dir):
+    """WorkChunkDriver observability (WORK_CHUNKS counter analog,
+    WorkChunkDriver.java:37): rows/keys/tokens per work bucket."""
+    t = token_sequences(spark, sf_dir, keep_did=True)
+    return (
+        t.withColumn("bucket", F.pmod(F.col("did"), F.lit(16)).cast("int"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_rows"),
+             F.countDistinct("doc_id").alias("n_keys"),
+             F.sum("n_tok").cast("bigint").alias("sum_tok"))
+    )
+
+
+@register("late_data_audit", with_token_cte("""
+, mx AS (SELECT MAX(ts) AS max_ts FROM token_sequences)
+SELECT source,
+       CAST(SUM(CASE WHEN ts < max_ts - INTERVAL 1800 SECONDS THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       COUNT(*) AS n_total
+FROM token_sequences CROSS JOIN mx
+GROUP BY source
+"""))
+def q_late(spark, sf_dir):
+    return windows.would_be_late_audit(token_sequences(spark, sf_dir))
+
+
+# =====================================================================
+# Relational coverage (SURVEY.md §2.8 — Catalyst built-ins)
+# =====================================================================
+
+@register("pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                      (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+""")
+def q_pricing(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") < F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,4)")), 2)
+            .cast("double").alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")), 2)
+            .cast("double").alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")
+                          * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)"))), 2)
+            .cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register("top_customers_by_revenue", """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY o_custkey)
+SELECT c_custkey, c_name, c_mktsegment, revenue, n_orders
+FROM customer JOIN rev ON c_custkey = o_custkey
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 10
+""")
+def q_topcust(spark, sf_dir):
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    rev = (
+        orders.groupBy("o_custkey")
+        .agg(F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+             .cast("double").alias("revenue"),
+             F.count("*").alias("n_orders"))
+    )
+    return (
+        customer.join(rev, customer.c_custkey == rev.o_custkey)
+        .select("c_custkey", "c_name", "c_mktsegment", "revenue", "n_orders")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+@register("region_rollup", """
+SELECT r_name, n_name,
+       COUNT(*) AS n_cust,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""")
+def q_rollup(spark, sf_dir):
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = (
+        customer
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n_cust"),
+             F.round(F.sum(F.col("c_acctbal").cast("decimal(18,4)")), 2)
+             .cast("double").alias("sum_bal"))
+    )
+
+
+@register("order_rank_per_customer", """
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders)
+SELECT o_custkey, COUNT(*) AS n_top,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS top_revenue,
+       MAX(o_orderkey) AS max_orderkey
+FROM ranked WHERE rk <= 3 GROUP BY o_custkey
+""")
+def q_orderrank(spark, sf_dir):
+    from pyspark.sql.window import Window
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_top"),
+             F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+             .cast("double").alias("top_revenue"),
+             F.max("o_orderkey").alias("max_orderkey"))
+    )
+
+
+@register("supplier_part_volume", """
+SELECT p_brand, s_name, COUNT(*) AS n_items,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS volume
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY p_brand, s_name
+""")
+def q_supppart(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .groupBy("p_brand", "s_name")
+        .agg(F.count("*").alias("n_items"),
+             F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")), 2)
+             .cast("double").alias("volume"))
+    )
+
+
+@register("priority_set_ops", """
+WITH unioned AS (
+  SELECT * FROM orders WHERE o_orderpriority = '1-URGENT'
+  UNION ALL
+  SELECT * FROM orders WHERE o_orderpriority = '2-HIGH'
+),
+cancelled AS (
+  SELECT * FROM orders
+  WHERE o_orderstatus = 'F' AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+),
+kept AS (SELECT * FROM unioned EXCEPT ALL SELECT * FROM cancelled)
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       COUNT(DISTINCT o_custkey) AS n_cust
+FROM kept GROUP BY o_orderpriority
+""")
+def q_setops(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
+    high = orders.where(F.col("o_orderpriority") == "2-HIGH")
+    cancelled = orders.where(
+        (F.col("o_orderstatus") == "F")
+        & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+    kept = urgent.unionByName(high).exceptAll(cancelled)
+    return (
+        kept.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"),
+             F.countDistinct("o_custkey").alias("n_cust"))
+    )
+
+
+@register("event_type_daily_matrix", """
+SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+FROM events GROUP BY 1
+""")
+def q_eventmatrix(spark, sf_dir):
+    return relational.event_type_daily_matrix(load_table(spark, sf_dir, "events"))
+
+
+@register("events_tumbling_stats", """
+SELECT CAST(epoch(time_bucket(INTERVAL 1 DAY, ts)) AS BIGINT) AS ws,
+       event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       ROUND(MIN(value), 6) AS min_v,
+       ROUND(MAX(value), 6) AS max_v
+FROM events GROUP BY 1, 2
+""")
+def q_eventstats(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.countDistinct("user_id").alias("n_users"),
+             F.round(F.min("value"), 6).alias("min_v"),
+             F.round(F.max("value"), 6).alias("max_v"))
+        .select(F.unix_timestamp("w.start").alias("ws"), "event_type",
+                "n_events", "n_users", "min_v", "max_v")
+    )
+
+
+@register("events_sessionization", """
+WITH ordered AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+  FROM events),
+marked AS (
+  SELECT *, CASE WHEN pts IS NULL OR ts - pts >= INTERVAL 30 MINUTES
+                 THEN 1 ELSE 0 END AS new_s
+  FROM ordered),
+islands AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked),
+sess AS (SELECT user_id, sid, COUNT(*) AS n_events FROM islands GROUP BY 1, 2)
+SELECT user_id, COUNT(*) AS n_sessions, MAX(n_events) AS max_session_events,
+       CAST(SUM(n_events) AS BIGINT) AS total_events
+FROM sess GROUP BY user_id
+""")
+def q_sessionize(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    sess = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"),
+             F.max("n_events").alias("max_session_events"),
+             F.sum("n_events").cast("bigint").alias("total_events"))
+    )
+
+
+# =====================================================================
+# Dedup / similarity / text (training-data toolbox)
+# =====================================================================
+
+@register("dedup_exact_stats", """
+SELECT COUNT(*) AS n_docs,
+       COUNT(DISTINCT md5(text)) AS n_distinct,
+       COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dupes
+FROM documents
+""")
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup_stats(load_table(spark, sf_dir, "documents"))
+
+
+_MINHASH_SQL = with_token_cte(f"""
+, shingles AS (
+  SELECT DISTINCT doc_id, unnest(tokens) % {dedup.SHINGLE_MOD} AS sh
+  FROM token_sequences),
+grid AS (
+  SELECT doc_id, sh, unnest(range(0, {dedup.MINHASH_K})) AS j FROM shingles),
+hashes AS (
+  SELECT doc_id, j,
+         (({dedup.A_MULT} * j + {dedup.A_OFF}) * sh
+          + ({dedup.B_MULT} * j + {dedup.B_OFF})) % {dedup.MINHASH_P} AS hv
+  FROM grid),
+sigs AS (SELECT doc_id, j, MIN(hv) AS sig FROM hashes GROUP BY 1, 2),
+bands AS (
+  SELECT doc_id, CAST(j // 4 AS INT) AS band,
+         CAST(SUM(sig * CAST(31 ** (j % 4) AS BIGINT)) AS BIGINT) AS bucket
+  FROM sigs GROUP BY 1, 2),
+per_bucket AS (
+  SELECT band, bucket, COUNT(*) AS n FROM bands GROUP BY 1, 2)
+SELECT band, COUNT(*) AS n_colliding_buckets,
+       CAST(SUM(n * (n - 1) / 2) AS BIGINT) AS n_candidate_pairs
+FROM per_bucket WHERE n > 1 GROUP BY band
+""")
+
+
+@register("minhash_lsh_stats", _MINHASH_SQL)
+def q_minhash(spark, sf_dir):
+    return dedup.minhash_lsh_stats(token_sequences(spark, sf_dir))
+
+
+_JACCARD_SQL = with_token_cte(f"""
+, sample_docs AS (SELECT * FROM token_sequences WHERE did % 25 = 0),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(CASE WHEN n_tok >= 2 THEN
+           list_transform(range(0, n_tok - 1), i ->
+             CAST(tokens[i + 1] % {dedup.JACCARD_MOD} AS BIGINT) * {dedup.JACCARD_MOD}
+             + CAST(tokens[i + 2] % {dedup.JACCARD_MOD} AS BIGINT))
+           ELSE CAST([] AS BIGINT[]) END) AS g
+  FROM sample_docs),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, n_inter,
+       sa.sz + sb.sz - n_inter AS n_union
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_inter * 100 >= sa.sz + sb.sz - n_inter
+""")
+
+
+@register("ngram_jaccard_pairs", _JACCARD_SQL)
+def q_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(token_sequences(spark, sf_dir, keep_did=True))
+
+
+_SIMHASH_SQL = with_token_cte(f"""
+, shingles AS (
+  SELECT DISTINCT doc_id, unnest(tokens) % {dedup.SHINGLE_MOD} AS sh
+  FROM token_sequences WHERE did % 50 = 0),
+bits AS (
+  SELECT doc_id, unnest(range(0, {dedup.SIMHASH_BITS})) AS b,
+         (sh * {dedup.SIMHASH_MULT}) % {1 << 32} AS hv
+  FROM shingles),
+votes AS (
+  SELECT doc_id, b, SUM(((hv >> CAST(b AS INT)) % 2) * 2 - 1) AS s
+  FROM bits GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << CAST(b AS INT)
+                     ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+""")
+
+
+@register("simhash_docs", _SIMHASH_SQL)
+def q_simhash(spark, sf_dir):
+    return dedup.simhash_docs(token_sequences(spark, sf_dir, keep_did=True))
+
+
+_TOPK_SQL = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x ->
+           CAST(round(CAST(x AS DOUBLE) * {similarity.QUANT}, 0) AS BIGINT)) AS qv
+  FROM embeddings),
+queries AS (SELECT vec_id AS query_id, qv AS query_v FROM q WHERE vec_id < 10),
+scored AS (
+  SELECT query_id, q.vec_id,
+         CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+              i -> q.qv[i] * queries.query_v[i])) AS BIGINT) AS dot
+  FROM q CROSS JOIN queries WHERE q.vec_id <> queries.query_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY dot DESC, vec_id ASC) AS rank
+  FROM scored)
+SELECT query_id, vec_id, dot, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+@register("ann_brute_force_topk", _TOPK_SQL)
+def q_ann_bf(spark, sf_dir):
+    df = similarity.brute_force_topk(load_table(spark, sf_dir, "embeddings"))
+    return df.withColumn("rank", F.col("rank").cast("int"))
+
+
+@register("text_tokenize_stats", """
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_words,
+       CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+       CAST(MAX(len(string_split(text, ' '))) AS INT) AS max_words
+FROM documents GROUP BY source
+""")
+def q_tokstats(spark, sf_dir):
+    df = text.tokenize_stats(load_table(spark, sf_dir, "documents"))
+    return df.withColumn("max_words", F.col("max_words").cast("int"))
+
+
+_QUALITY_SQL = """
+WITH feats AS (
+  SELECT source,
+         len(string_split(text, ' ')) AS n_words,
+         length(text) AS len,
+         (len(string_split(text, ' the ')) - 1)
+         + (len(string_split(text, ' a ')) - 1)
+         + (len(string_split(text, ' of ')) - 1)
+         + (len(string_split(text, ' and ')) - 1)
+         + (len(string_split(text, ' to ')) - 1) AS stop_hits
+  FROM documents),
+scored AS (
+  SELECT source, stop_hits,
+         CAST(floor((len - n_words + 1) * 1000.0 / n_words) AS BIGINT) AS mwl,
+         CAST(least(floor(n_words / 20.0), 4) AS INT) AS quality_bucket
+  FROM feats)
+SELECT source, quality_bucket, COUNT(*) AS n_docs,
+       CAST(SUM(stop_hits) AS BIGINT) AS sum_stop_hits,
+       CAST(SUM(mwl) AS BIGINT) AS sum_mwl
+FROM scored GROUP BY 1, 2
+"""
+
+
+@register("text_quality_scores", _QUALITY_SQL)
+def q_quality(spark, sf_dir):
+    return text.quality_scores(load_table(spark, sf_dir, "documents"))
+
+
+@register("text_langid_heuristic", """
+WITH scored AS (
+  SELECT lang,
+         len(string_split(text, ' the ')) - 1 AS en_hits,
+         len(string_split(text, ' data ')) - 1 AS tech_hits,
+         length(text) AS len
+  FROM documents)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(en_hits) AS BIGINT) AS sum_en_hits,
+       CAST(SUM(tech_hits) AS BIGINT) AS sum_tech_hits,
+       CAST(SUM(CAST(floor(en_hits * 1000.0 / greatest(len, 1)) AS BIGINT)) AS BIGINT) AS sum_en_density
+FROM scored GROUP BY lang
+""")
+def q_langid(spark, sf_dir):
+    return text.langid_heuristic(load_table(spark, sf_dir, "documents"))
+
+
+_FP_SQL = f"""
+SELECT doc_id, lang, source,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(range(1, least(n_chars, {text.FP_LEN}) + 1),
+                          i -> CAST(ascii(substring(text, CAST(i AS INT), 1)) AS BIGINT))),
+         (acc, c) -> (acc * 31 + c) % {text.FP_MOD}) AS fingerprint,
+       CAST(least(n_chars, {text.FP_LEN}) AS INT) AS fp_len
+FROM documents WHERE doc_id % 25 = 0
+"""
+
+
+@register("doc_fingerprints", _FP_SQL)
+def q_fingerprint(spark, sf_dir):
+    return text.doc_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+@register("multimodal_feature_stats", """
+WITH feats AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS n_bytes,
+         ascii(substring(text, 1, 1)) AS first_byte,
+         CAST(list_sum(list_transform(range(1, length(text) + 1),
+              i -> ascii(substring(text, CAST(i AS INT), 1)))) AS BIGINT) AS byte_sum
+  FROM documents)
+SELECT first_byte, COUNT(*) AS n_docs,
+       CAST(SUM(n_bytes) AS BIGINT) AS sum_bytes,
+       CAST(SUM(byte_sum) AS BIGINT) AS sum_byte_sum
+FROM feats GROUP BY first_byte
+""")
+def q_multimodal(spark, sf_dir):
+    return multimodal.media_feature_stats(load_table(spark, sf_dir, "documents"))

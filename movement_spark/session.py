@@ -1,0 +1,92 @@
+"""SparkSession construction with engine defaults.
+
+The reference sizes its runtime from ``runtime.threads`` (default = #cores,
+LocalParallelStreamRuntime.java:85-90). We size shuffle parallelism the same
+way and lean on AQE for runtime re-planning. Everything here is plain public
+Spark configuration.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for the sandbox (local[N], single JVM). On a real cluster
+# the same code runs unchanged; shuffle partitions should be ~2-3x total
+# cores and maxPartitionBytes left at 128m.
+ENGINE_CONF: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    "spark.sql.streaming.stateStore.stateSchemaCheck": "true",
+    "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+}
+
+
+def get_spark(app_name: str = "movement_spark", master: str | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or local[*]).
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    b = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(ENGINE_CONF)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        b = b.config(k, v)
+    return b.getOrCreate()
+
+
+def ensure_shipped(spark: SparkSession) -> None:
+    """Ship the movement_spark package to executor Python workers.
+
+    Python UDF stages (mapInPandas / applyInPandasWithState) are pickled
+    by reference to this module; workers spawned outside the repo cwd
+    would fail to import it. This is the programmatic equivalent of
+    ``spark-submit --py-files movement_spark.zip`` (north rule) and makes
+    the engine work no matter where the driving process started.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_movement_spark_shipped", False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(tempfile.gettempdir(), "movement_spark_pkg.zip")
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    zf.write(full, rel)
+    sc.addPyFile(zip_path)
+    sc._movement_spark_shipped = True
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine conf to an externally provided session.
+
+    The correctness driver hands us its own SparkSession; timezone must be
+    UTC so timestamp-derived values match the DuckDB oracle exactly.
+    """
+    for k in ("spark.sql.session.timeZone",
+              "spark.sql.adaptive.enabled",
+              "spark.sql.execution.arrow.pyspark.enabled"):
+        try:
+            spark.conf.set(k, ENGINE_CONF[k])
+        except Exception:
+            pass  # immutable in some contexts; UTC is the only hard need
+    ensure_shipped(spark)
+    return spark

@@ -1,0 +1,106 @@
+"""The engine's primary input: pre-tokenized training sequences.
+
+Input shape per BASELINE.json ``input_hint``:
+``(doc_id: string, tokens: array<int32>, n_tok: int32, source: string)``
+plus ``ts`` (event time for watermarks/windows) and ``seq`` (shard index
+within a doc — drives the per-doc ordering stage, the analog of the
+reference's PHASE ONE/TWO vertex-before-edge barrier, Task.java:54-63).
+
+The table is DERIVED deterministically from the driver-provided
+``documents`` parquet so that the exact same rows are computable by:
+  1. Spark (this module, pure built-in functions — JVM-side, codegen'd),
+  2. the DuckDB oracle (TOKEN_SEQ_DUCKDB_CTE below),
+  3. numpy (movement_spark.sources.synth, for the streaming generator).
+
+Derivation (all integer arithmetic, no floats, no RNG):
+  did       = documents.doc_id                       (int64)
+  n_shards  = 1 + did % 4                            (1..4 shards per doc)
+  seq       = 0 .. n_shards-1
+  n_tok     = 1 + (did*7 + seq*13) % 120             (1..120 tokens)
+  tokens[i] = (did*2654435761 + seq*1000003 + i*97) % 50261, cast to int32
+  ts        = epoch 1767225600 (+2026-01-01T00:00:00Z)
+              + (did*37 + seq*11) % 3600 seconds     (one hour of event time)
+  doc_id    = 'd' || did
+  source    = documents.source
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EPOCH_2026 = 1767225600  # 2026-01-01T00:00:00Z
+
+# Derivation constants — keep in sync with the SQL CTE and synth.py.
+TOK_MULT = 2654435761  # Knuth multiplicative constant
+SEQ_MULT = 1000003
+POS_MULT = 97
+TOK_MOD = 50261
+LEN_MOD = 120
+TS_MOD = 3600
+
+_TOKENS_EXPR = (
+    "transform(sequence(0, cast((did*7 + seq*13) % 120 as int)), "
+    f"i -> cast((did*{TOK_MULT} + seq*{SEQ_MULT} + i*{POS_MULT}) % {TOK_MOD} as int))"
+)
+
+
+def token_sequences(spark: SparkSession, sf_dir: str,
+                    keep_did: bool = False) -> DataFrame:
+    """Derive the token-sequence table from ``documents`` — fully JVM-side.
+
+    Every expression is a Spark built-in (sequence/transform/explode), so
+    the whole derivation stays inside WholeStageCodegen with zero Python.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select(F.col("doc_id").alias("did"), "source")
+    out = (
+        docs
+        .select("did", "source",
+                F.explode(F.expr("sequence(0, cast(did % 4 as int))")).alias("seq"))
+        .select(
+            F.concat(F.lit("d"), F.col("did").cast("string")).alias("doc_id"),
+            F.col("did"),
+            F.col("seq").cast("int").alias("seq"),
+            F.expr(_TOKENS_EXPR).alias("tokens"),
+            (1 + (F.col("did") * 7 + F.col("seq") * 13) % LEN_MOD)
+            .cast("int").alias("n_tok"),
+            F.col("source"),
+            F.timestamp_seconds(
+                F.lit(EPOCH_2026) + (F.col("did") * 37 + F.col("seq") * 11) % TS_MOD
+            ).alias("ts"),
+        )
+    )
+    if not keep_did:
+        out = out.drop("did")
+    return out
+
+
+# DuckDB mirror of token_sequences(); prepend to every oracle query that
+# consumes the token table. unnest(range(0, n)) fans each doc out to its
+# n shards (range is exclusive-upper = Spark sequence(0, n-1)).
+TOKEN_SEQ_DUCKDB_CTE = f"""
+token_shards AS (
+  SELECT d.doc_id AS did, d.source AS source,
+         unnest(range(0, 1 + d.doc_id % 4)) AS seq
+  FROM documents d
+),
+token_sequences AS (
+  SELECT 'd' || CAST(s.did AS VARCHAR)                       AS doc_id,
+         s.did                                               AS did,
+         CAST(s.seq AS INT)                                  AS seq,
+         list_transform(
+           range(0, CAST(1 + (s.did*7 + s.seq*13) % {LEN_MOD} AS BIGINT)),
+           i -> CAST((s.did*{TOK_MULT} + s.seq*{SEQ_MULT} + i*{POS_MULT}) % {TOK_MOD} AS INTEGER)
+         )                                                   AS tokens,
+         CAST(1 + (s.did*7 + s.seq*13) % {LEN_MOD} AS INT)   AS n_tok,
+         s.source                                            AS source,
+         make_timestamp(({EPOCH_2026} + (s.did*37 + s.seq*11) % {TS_MOD}) * 1000000) AS ts
+  FROM token_shards s
+)
+"""
+
+
+def with_token_cte(sql: str) -> str:
+    """Wrap an oracle query body with the token_sequences CTE."""
+    return f"WITH {TOKEN_SEQ_DUCKDB_CTE} {sql}"
