@@ -19,10 +19,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Column, functions as F
 
 
-def salt_column(key: Column, buckets: int) -> Column:
-    """Deterministic salt derived from xxhash64 of the key — stable across
-    runs/retries (required for exactly-once replay idempotency)."""
-    return F.pmod(F.xxhash64(key), F.lit(buckets)).cast("int")
+def salt_column(df: DataFrame, buckets: int) -> Column:
+    """Deterministic per-ROW salt: xxhash64 over every column.
+
+    Salting by the key alone would map a hot key to ONE salt value and
+    split nothing; salting randomly would break exactly-once replay.
+    Hashing the full row is both spreading and replay-stable.
+    """
+    return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]),
+                  F.lit(buckets)).cast("int")
 
 
 def salted_repartition(df: DataFrame, key: str, partitions: int,
@@ -32,7 +37,7 @@ def salted_repartition(df: DataFrame, key: str, partitions: int,
     sub-queues, then hash-partition on (key, salt). A hot key now occupies
     up to salt_buckets tasks instead of one."""
     return (
-        df.withColumn(salt_col, salt_column(F.col(key), salt_buckets))
+        df.withColumn(salt_col, salt_column(df, salt_buckets))
           .repartition(partitions, F.col(key), F.col(salt_col))
     )
 
@@ -44,7 +49,7 @@ def two_phase_agg(df: DataFrame, key: str, aggs: dict[str, Column],
     ``aggs`` maps output column -> *re-aggregation* is assumed additive
     (sum/count shapes). For avg, pass sum+count and divide after.
     """
-    salted = df.withColumn("_salt", salt_column(F.col(key), salt_buckets))
+    salted = df.withColumn("_salt", salt_column(df, salt_buckets))
     partial = salted.groupBy(key, "_salt").agg(
         *[c.alias(name) for name, c in aggs.items()])
     return partial.groupBy(key).agg(

@@ -88,7 +88,8 @@ STATE_SCHEMA = StructType([
 ])
 
 
-def _assemble(key, pdfs: Iterable[pd.DataFrame], state):
+def _assemble(key, pdfs: Iterable[pd.DataFrame], state,
+              timeout_margin_ms: int = 60_000):
     """applyInPandasWithState function: buffer shards per doc, emit when
     the doc is complete (all seqs 0..expected-1 present), drop on timeout.
 
@@ -130,25 +131,33 @@ def _assemble(key, pdfs: Iterable[pd.DataFrame], state):
     else:
         state.update((seqs, toks, expected))
         # keep the doc around until the watermark passes its last shard
+        # by the configured margin
         if max_ts is not None:
-            state.setTimeoutTimestamp(int(max_ts.timestamp() * 1000) + 60_000)
+            state.setTimeoutTimestamp(
+                int(max_ts.timestamp() * 1000) + timeout_margin_ms)
 
 
-def ordered_doc_assembler(shards: DataFrame, watermark: str = "2 minutes") -> DataFrame:
+def ordered_doc_assembler(shards: DataFrame, watermark: str = "2 minutes",
+                          timeout_ms: int = 60_000) -> DataFrame:
     """Streaming per-doc ordering stage (PHASE barrier analog).
 
     ``shards`` must be a streaming DataFrame with columns
-    (doc_id, seq, tokens, n_shards, ts). Requires update/append output via
-    foreachBatch downstream.
+    (doc_id, seq, tokens, n_shards, ts). ``timeout_ms`` is the grace
+    period after a doc's last-seen shard before the incomplete doc is
+    evicted (drop-and-count) — size it to the max expected event-time
+    span of one doc. Requires append output via foreachBatch downstream.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def assemble_with_margin(key, pdfs, state):
+        yield from _assemble(key, pdfs, state, timeout_margin_ms=timeout_ms)
 
     return (
         shards
         .withWatermark("ts", watermark)
         .groupBy("doc_id")
         .applyInPandasWithState(
-            _assemble,
+            assemble_with_margin,
             outputStructType=MERGED_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",

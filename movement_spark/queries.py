@@ -599,6 +599,57 @@ def q_fingerprint(spark, sf_dir):
     return text.doc_fingerprints(load_table(spark, sf_dir, "documents"))
 
 
+# =====================================================================
+# Streaming pipelines — the engine itself, oracle-gated.
+# Each runs a real Structured Streaming query (file-stream source,
+# watermark, stateful stage, exactly-once keyed sink, availableNow) and
+# returns the FINAL sink contents, which must equal the batch oracle.
+# =====================================================================
+
+@register("streaming_tumbling_pipeline", with_token_cte("""
+SELECT CAST(epoch(time_bucket(INTERVAL 5 MINUTES, ts)) AS BIGINT) AS ws,
+       source,
+       COUNT(*) AS n_seq,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tok
+FROM token_sequences
+GROUP BY 1, 2
+"""))
+def q_streaming_tumbling(spark, sf_dir):
+    from movement_spark.streaming.pipeline import run_streaming_tumbling
+    return run_streaming_tumbling(spark, sf_dir)
+
+
+@register("streaming_ordered_merge", with_token_cte("""
+, merged AS (
+  SELECT doc_id,
+         COUNT(*) AS n_shard,
+         CAST(SUM(n_tok) AS BIGINT) AS total_tok,
+         flatten(list(tokens ORDER BY seq)) AS m
+  FROM token_sequences GROUP BY doc_id)
+SELECT doc_id, CAST(n_shard AS INT) AS n_shard, total_tok,
+       CAST(list_sum(list_transform(m, x -> CAST(x AS BIGINT))) AS BIGINT) AS tok_sum,
+       CAST(list_sum(list_transform(m, (x, i) -> CAST(x AS BIGINT) * i)) AS BIGINT) AS poly_hash
+FROM merged
+"""))
+def q_streaming_merge(spark, sf_dir):
+    from movement_spark.streaming.pipeline import run_streaming_ordered_merge
+    return run_streaming_ordered_merge(spark, sf_dir)
+
+
+@register("streaming_shard_join", with_token_cte("""
+, even AS (SELECT doc_id, ts AS ts_a, n_tok AS n_tok_a FROM token_sequences WHERE seq % 2 = 0),
+odd  AS (SELECT doc_id, ts AS ts_b, n_tok AS n_tok_b FROM token_sequences WHERE seq % 2 = 1)
+SELECT e.doc_id AS doc_id, COUNT(*) AS n_pairs,
+       CAST(SUM(e.n_tok_a + o.n_tok_b) AS BIGINT) AS pair_tok
+FROM even e JOIN odd o ON e.doc_id = o.doc_id
+WHERE abs(epoch(e.ts_a) - epoch(o.ts_b)) <= 60
+GROUP BY e.doc_id
+"""))
+def q_streaming_join(spark, sf_dir):
+    from movement_spark.streaming.pipeline import run_streaming_shard_join
+    return run_streaming_shard_join(spark, sf_dir)
+
+
 @register("multimodal_feature_stats", """
 WITH feats AS (
   SELECT doc_id,

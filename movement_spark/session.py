@@ -47,7 +47,9 @@ def get_spark(app_name: str = "movement_spark", master: str | None = None,
         conf.update(extra_conf)
     for k, v in conf.items():
         b = b.config(k, v)
-    return b.getOrCreate()
+    spark = b.getOrCreate()
+    ensure_shipped(spark)
+    return spark
 
 
 def ensure_shipped(spark: SparkSession) -> None:

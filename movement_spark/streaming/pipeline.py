@@ -1,0 +1,271 @@
+"""End-to-end streaming pipelines (the Movement runtime re-expressed).
+
+Each pipeline is the full dataflow the reference runs as
+Emitter → Emitable → Encoder → Output (README.md:25-36), as a Structured
+Streaming DAG:
+
+  file-stream source (WorkChunk = one staged parquet file, picked up in
+  mtime order exactly like RecursiveDirectoryTraversalDriver hands out
+  files) → watermark → vectorized transforms → stateful stage →
+  idempotent keyed sink (foreachBatch).
+
+The pipelines run with Trigger.AvailableNow against a staged drop of the
+deterministic token table, so their FINAL sink contents are comparable to
+the batch oracle — the streaming engine itself is correctness-gated, not
+just its batch shadow.
+
+Watermark-flush sentinel: availableNow stops when input is exhausted, and
+append-mode results only emit once the watermark passes the window. The
+stager therefore appends one sentinel row with ts far beyond the real
+data; it advances the watermark through the EventTimeWatermark node and
+is filtered out before any aggregation, so every real window flushes and
+the sentinel never appears in output. (Spark runs a final no-data batch
+to emit — spark.sql.streaming.noDataMicroBatches must stay enabled.)
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    ArrayType, IntegerType, StringType, StructField, StructType,
+    TimestampType,
+)
+
+from movement_spark.operators.ordering import ordered_doc_assembler
+from movement_spark.sinks.idempotent import IdempotentKeyedSink
+from movement_spark.sources.tokens import token_sequences, EPOCH_2026, TS_MOD
+from movement_spark.streaming.metrics import RuntimeMetricsListener, observed
+
+STREAM_SCHEMA = StructType([
+    StructField("doc_id", StringType()),
+    StructField("seq", IntegerType()),
+    StructField("tokens", ArrayType(IntegerType())),
+    StructField("n_tok", IntegerType()),
+    StructField("source", StringType()),
+    StructField("ts", TimestampType()),
+    StructField("n_shards", IntegerType()),
+])
+
+SENTINEL = "__flush__"
+
+_ARROW_SCHEMA = pa.schema([
+    ("doc_id", pa.string()),
+    ("seq", pa.int32()),
+    ("tokens", pa.list_(pa.int32())),
+    ("n_tok", pa.int32()),
+    ("source", pa.string()),
+    ("ts", pa.timestamp("us")),
+    ("n_shards", pa.int32()),
+])
+
+
+def stage_token_stream(spark: SparkSession, sf_dir: str, stage_dir: str,
+                       n_chunks: int = 6, sentinel: bool = True) -> int:
+    """Stage the deterministic token table as ordered chunk files.
+
+    One file per event-time slice, mtimes increasing, so the file source
+    delivers them as consecutive micro-batches with a monotonically
+    advancing watermark — the WorkChunkDriver sequence made of files.
+    Returns the number of real (non-sentinel) rows staged.
+    """
+    os.makedirs(stage_dir, exist_ok=True)
+    pdf = (
+        token_sequences(spark, sf_dir, keep_did=True)
+        .withColumn("n_shards", (1 + F.col("did") % 4).cast("int"))
+        .drop("did")
+        .orderBy("ts", "doc_id", "seq")
+        .toPandas()
+    )
+    n_rows = len(pdf)
+    slice_sec = TS_MOD // n_chunks
+    epochs = pdf["ts"].astype("datetime64[s]").astype("int64") - EPOCH_2026
+    chunk_of = np.minimum(epochs // slice_sec, n_chunks - 1).astype(int)
+    base = time.time() - n_chunks - 10
+    for i in range(n_chunks):
+        part = pdf[chunk_of == i]
+        if part.empty:
+            continue
+        path = os.path.join(stage_dir, f"chunk_{i:04d}.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(part, schema=_ARROW_SCHEMA,
+                                 preserve_index=False), path)
+        os.utime(path, (base + i, base + i))
+    if sentinel:
+        # TWO sentinel files: the watermark only advances at the START of
+        # the batch AFTER the one that saw the max event time, and
+        # availableNow does not run a trailing no-data batch. Sentinel #1
+        # raises the max event time; the batch processing sentinel #2 then
+        # carries a watermark beyond every real window and flushes them.
+        for k in range(2):
+            flush_ts = pd.Timestamp(
+                (EPOCH_2026 + TS_MOD + 7200 + 60 * k) * 1_000_000_000)
+            part = pd.DataFrame({
+                "doc_id": [SENTINEL], "seq": [0], "tokens": [[]],
+                "n_tok": [0], "source": [SENTINEL], "ts": [flush_ts],
+                "n_shards": [1],
+            })
+            path = os.path.join(stage_dir, f"chunk_{n_chunks + k:04d}.parquet")
+            pq.write_table(
+                pa.Table.from_pandas(part, schema=_ARROW_SCHEMA,
+                                     preserve_index=False), path)
+            os.utime(path, (base + n_chunks + k, base + n_chunks + k))
+    return n_rows
+
+
+def read_token_stream(spark: SparkSession, stage_dir: str,
+                      files_per_trigger: int = 1) -> DataFrame:
+    return (
+        spark.readStream.schema(STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(stage_dir)
+    )
+
+
+def _run_to_sink(result: DataFrame, sink: IdempotentKeyedSink,
+                 checkpoint_dir: str, listener=None):
+    spark = result.sparkSession
+    if listener is not None:
+        spark.streams.addListener(listener)
+    q = (
+        result.writeStream
+        .outputMode("append")
+        .foreachBatch(sink.foreach_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if listener is not None:
+        spark.streams.removeListener(listener)
+
+
+def _tmp(prefix: str) -> str:
+    return tempfile.mkdtemp(prefix=prefix)
+
+
+def run_streaming_tumbling(spark: SparkSession, sf_dir: str,
+                           width: str = "5 minutes",
+                           watermark: str = "10 minutes",
+                           stage_dir: str | None = None,
+                           sink_dir: str | None = None,
+                           checkpoint_dir: str | None = None,
+                           listener=None) -> DataFrame:
+    """Streaming flagship: watermarked tumbling per-source token
+    throughput through the exactly-once sink; returns final sink table
+    (same shape/oracle as the batch tumbling query)."""
+    stage = stage_dir or _tmp("ms_stage_")
+    if not (os.path.isdir(stage) and os.listdir(stage)):
+        stage_token_stream(spark, sf_dir, stage)
+    src = read_token_stream(spark, stage)
+    # NOTE: the sentinel must be dropped by a predicate on the WINDOW
+    # column. A filter on any other column (e.g. source) is pushed by the
+    # optimizer through the aggregate AND the EventTimeWatermark node down
+    # to the scan, so the sentinel would never advance the watermark. The
+    # window predicate rewrites to window(ts) — it references the
+    # event-time column, which blocks pushdown below the watermark.
+    flush_cut = F.timestamp_seconds(F.lit(EPOCH_2026 + TS_MOD + 3600))
+    agg = (
+        observed(src)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "source")
+        .agg(F.count("*").alias("n_seq"),
+             F.sum("n_tok").cast("bigint").alias("sum_tok"))
+        .where(F.col("w.start") < flush_cut)
+        .select(F.unix_timestamp("w.start").alias("ws"), "source",
+                "n_seq", "sum_tok")
+    )
+    sink = IdempotentKeyedSink(sink_dir or _tmp("ms_sink_"), ["ws", "source"])
+    _run_to_sink(agg, sink, checkpoint_dir or _tmp("ms_ck_"), listener)
+    return sink.read(spark)
+
+
+def run_streaming_ordered_merge(spark: SparkSession, sf_dir: str,
+                                watermark: str = "10 minutes",
+                                stage_dir: str | None = None,
+                                sink_dir: str | None = None,
+                                checkpoint_dir: str | None = None,
+                                listener=None) -> DataFrame:
+    """Streaming per-doc ordering stage (PHASE ONE→TWO barrier analog):
+    applyInPandasWithState assembles each doc's shards in seq order; the
+    sink is keyed by doc_id; the returned frame carries the same
+    order-sensitive digest as the batch merged_doc_check oracle."""
+    stage = stage_dir or _tmp("mso_stage_")
+    stage_token_stream(spark, sf_dir, stage)
+    src = read_token_stream(spark, stage)
+    # Sentinel rows flow through the stateful stage (their doc completes
+    # immediately) and are dropped after it — filtering earlier would be
+    # pushed below the watermark node and stall the flush.
+    shards = src.select("doc_id", "seq", "tokens", "n_shards", "ts")
+    # timeout must cover a doc's max event-time span: shard timestamps
+    # within one doc can wrap the full TS_MOD hour, so the grace period is
+    # TS_MOD + slack — state still stays O(open docs).
+    merged = (
+        ordered_doc_assembler(shards, watermark=watermark,
+                              timeout_ms=(TS_MOD + 120) * 1000)
+        .where(F.col("doc_id") != SENTINEL)
+    )
+    sink = IdempotentKeyedSink(sink_dir or _tmp("mso_sink_"), ["doc_id"])
+    _run_to_sink(merged, sink, checkpoint_dir or _tmp("mso_ck_"), listener)
+    out = sink.read(spark)
+    return out.select(
+        "doc_id", F.col("n_shard").cast("int").alias("n_shard"),
+        "total_tok",
+        F.expr("aggregate(merged, 0L, (acc, x) -> acc + cast(x as bigint))")
+        .alias("tok_sum"),
+        F.expr("aggregate(transform(merged, (x, i) -> cast(x as bigint) * (i + 1)),"
+               " 0L, (acc, x) -> acc + x)").alias("poly_hash"),
+    )
+
+
+def run_streaming_shard_join(spark: SparkSession, sf_dir: str,
+                             watermark: str = "10 minutes",
+                             max_gap_sec: int = 60,
+                             stage_dir: str | None = None,
+                             sink_dir: str | None = None,
+                             checkpoint_dir: str | None = None,
+                             listener=None) -> DataFrame:
+    """Watermarked stream-stream join correlating shard streams on doc_id
+    (PinionSystem/SlipWheel keyed analog); per-doc aggregate of the joined
+    pairs matches the batch shard_pair_join oracle."""
+    stage = stage_dir or _tmp("msj_stage_")
+    stage_token_stream(spark, sf_dir, stage)
+    src = read_token_stream(spark, stage).where(F.col("source") != SENTINEL)
+    even = (
+        src.select("doc_id", F.col("seq").alias("seq_a"),
+                   F.col("n_tok").alias("n_tok_a"), F.col("ts").alias("ts_a"))
+        .where(F.col("seq_a") % 2 == 0)
+        .withWatermark("ts_a", watermark)
+    )
+    odd = (
+        src.select(F.col("doc_id").alias("doc_id_b"),
+                   F.col("seq").alias("seq_b"),
+                   F.col("n_tok").alias("n_tok_b"), F.col("ts").alias("ts_b"))
+        .where(F.col("seq_b") % 2 == 1)
+        .withWatermark("ts_b", watermark)
+    )
+    pairs = even.join(
+        odd,
+        (even.doc_id == odd.doc_id_b)
+        & (odd.ts_b >= even.ts_a - F.expr(f"INTERVAL {max_gap_sec} SECONDS"))
+        & (odd.ts_b <= even.ts_a + F.expr(f"INTERVAL {max_gap_sec} SECONDS")),
+        "inner",
+    ).select("doc_id", "seq_a", "seq_b", "n_tok_a", "n_tok_b")
+    sink = IdempotentKeyedSink(sink_dir or _tmp("msj_sink_"),
+                               ["doc_id", "seq_a", "seq_b"])
+    _run_to_sink(pairs, sink, checkpoint_dir or _tmp("msj_ck_"), listener)
+    out = sink.read(spark)
+    return (
+        out.groupBy("doc_id")
+        .agg(F.count("*").alias("n_pairs"),
+             F.sum(F.col("n_tok_a") + F.col("n_tok_b")).cast("bigint")
+             .alias("pair_tok"))
+    )

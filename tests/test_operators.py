@@ -1,0 +1,59 @@
+"""Operator unit tests: ordering, chunking, two-phase agg, joins."""
+
+from pyspark.sql import functions as F
+
+from movement_spark.operators.chunking import (
+    salted_repartition, two_phase_agg, partition_skew_report,
+)
+from movement_spark.operators.ordering import merge_doc_shards
+from movement_spark.sources.tokens import token_sequences
+
+
+def test_merge_order_independent_of_input_order(spark, sf_dir):
+    """The PHASE-barrier semantic: merged output depends only on seq
+    order, never on arrival order (mirrors the reference's ordered
+    two-phase guarantee, Task.java:54-63)."""
+    t = token_sequences(spark, sf_dir)
+    a = merge_doc_shards(t)
+    # scramble arrival order: reverse-sort then repartition arbitrarily
+    scrambled = t.orderBy(F.desc("seq"), F.desc("ts")).repartition(13)
+    b = merge_doc_shards(scrambled)
+    diff = a.join(b, "doc_id") \
+        .where(a["merged"] != b["merged"]).count()
+    assert diff == 0
+
+
+def test_merged_concatenation_correct(spark, sf_dir):
+    t = token_sequences(spark, sf_dir)
+    m = merge_doc_shards(t).where(F.col("doc_id") == "d7").collect()[0]
+    shards = sorted(
+        t.where(F.col("doc_id") == "d7").select("seq", "tokens").collect())
+    expected = [tok for _, toks in shards for tok in toks]
+    assert m.merged == expected
+    assert m.total_tok == len(expected)
+
+
+def test_salted_repartition_spreads_hot_key(spark):
+    # one hot key owning 90% of rows (FIXTURES.md skew rule)
+    hot = spark.range(9000).select(F.lit("hot").alias("k"), F.col("id"))
+    cold = spark.range(1000).select(
+        F.concat(F.lit("c"), F.col("id")).alias("k"), F.col("id"))
+    df = hot.unionByName(cold)
+    plain = df.repartition(8, F.col("k"))
+    plain_max = max(r["count"] for r in partition_skew_report(plain).collect())
+    salted = salted_repartition(df, "k", 8, salt_buckets=8)
+    salted_max = max(r["count"] for r in partition_skew_report(salted).collect())
+    # salting must spread the hot key across multiple partitions
+    assert salted_max < plain_max
+    assert salted_max <= 9000 * 0.5
+
+
+def test_two_phase_agg_equals_plain_agg(spark, sf_dir):
+    t = token_sequences(spark, sf_dir)
+    plain = t.groupBy("doc_id").agg(
+        F.sum("n_tok").alias("s"), F.count("*").alias("c"))
+    salted = two_phase_agg(
+        t, "doc_id",
+        {"s": F.sum("n_tok"), "c": F.count("*")}, salt_buckets=4)
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
