@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line (driver contract).
+
+Output: {"metric": ..., "value": total_sec, "unit": "sec",
+         "queries": {name: sec, ...}, "sf": ...,
+         "streaming": {seq_per_sec, tok_per_sec, ...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from movement_spark import queries as Q                     # noqa: E402
+from movement_spark.benchmarks import (                     # noqa: E402
+    HEADLINE, streaming_throughput, time_query,
+)
+from movement_spark.session import get_spark                # noqa: E402
+from movement_spark.sources.synth import stage_synth_stream  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    spark = get_spark(
+        app_name="movement_spark_bench",
+        master=f"local[{cpus}]",
+        extra_conf={
+            "spark.sql.shuffle.partitions": str(2 * cpus),
+            "spark.ui.showConsoleProgress": "false",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = Q.queries()
+    # warm-up: JIT + parquet footer caches (excluded from timings)
+    qs["tumbling_token_throughput"](spark, sf_dir).write \
+        .format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        timings[name] = round(time_query(qs[name], spark, sf_dir), 3)
+
+    # streaming throughput: synthetic stream sized by sf (~10x lineitem
+    # row count in shard rows at sf0.1)
+    n_docs = max(int(800_000 * sf), 20_000)
+    work = tempfile.mkdtemp(prefix="ms_bench_")
+    stage = os.path.join(work, "stage")
+    n_rows = stage_synth_stream(spark, n_docs, stage, n_files=64)
+    stream = streaming_throughput(
+        spark, stage, n_rows,
+        sink_dir=os.path.join(work, "sink"),
+        checkpoint_dir=os.path.join(work, "ck"),
+        files_per_trigger=8,
+    )
+    shutil.rmtree(work, ignore_errors=True)
+
+    result = {
+        "metric": "headline_suite_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "streaming": stream,
+    }
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

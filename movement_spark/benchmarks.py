@@ -1,0 +1,117 @@
+"""Benchmark runners: headline batch queries + streaming throughput.
+
+The authoritative metric (BASELINE.md): sustained sequences/sec and
+tokens/sec through the windowed stateful pipeline, plus scaling
+efficiency >= 0.8 from N to 4N parallelism (evidenced as local[N] vs
+local[4N] — see bench/scaling.py).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import SparkSession, functions as F
+
+from movement_spark.sinks.idempotent import IdempotentKeyedSink
+from movement_spark.sources.tokens import EPOCH_2026, TS_MOD
+from movement_spark.streaming.metrics import RuntimeMetricsListener
+from movement_spark.streaming.pipeline import STREAM_SCHEMA
+
+# Headline queries for bench.py — a representative slice of the engine:
+# the north-rule token pipeline, a stateful ordering check, joins/aggs
+# over the biggest fact table, dedup + ANN from the toolbox.
+HEADLINE = (
+    "tumbling_token_throughput",
+    "sliding_token_throughput",
+    "session_token_windows",
+    "merged_doc_check",
+    "shard_pair_join",
+    "minhash_lsh_stats",
+    "ann_brute_force_topk",
+    "pricing_summary",
+    "supplier_part_volume",
+    "events_sessionization",
+)
+
+
+def time_query(fn, spark: SparkSession, sf_dir: str, runs: int = 2) -> float:
+    """Wall time of full materialization (noop sink — no collect cost,
+    no disk cost, full plan executes)."""
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def streaming_throughput(spark: SparkSession, stage_dir: str, n_rows: int,
+                         sink_dir: str, checkpoint_dir: str,
+                         files_per_trigger: int = 8,
+                         watermark: str = "10 minutes",
+                         width: str = "5 minutes",
+                         sig_probes: int = 16,
+                         state_partitions: int | None = None) -> dict:
+    """One full windowed-stateful streaming run over a staged stream;
+    returns sequences/sec + tokens/sec (sustained, whole-run).
+
+    The pipeline is the engine's flagship ingest pass: per-shard k-probe
+    content signature (k = sig_probes = MINHASH_K-style LSH fingerprint,
+    native xxhash64 — allocation-free, whole-stage-codegen) combined per
+    window, plus the per-source token-throughput aggregate, through the
+    exactly-once keyed sink.
+
+    ``state_partitions`` pins the stateful shuffle layout. Like Kafka
+    topic partitions, state layout is a deployment constant sized once —
+    NOT something that grows with executor count — so scaling runs keep
+    it fixed while scan/map parallelism scales with cores.
+    """
+    listener = RuntimeMetricsListener()
+    spark.streams.addListener(listener)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    src = (
+        spark.readStream.schema(STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(stage_dir)
+    )
+    flush_cut = F.timestamp_seconds(F.lit(EPOCH_2026 + TS_MOD + 3600))
+    sig = " ^ ".join(f"xxhash64({j}, tokens)" for j in range(sig_probes))
+    agg = (
+        src.selectExpr("ts", "source", "n_tok", f"({sig}) as sig")
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "source")
+        .agg(F.count("*").alias("n_seq"),
+             F.sum("n_tok").cast("bigint").alias("sum_tok"),
+             F.expr("bit_xor(sig)").alias("sig_xor"))
+        .where(F.col("w.start") < flush_cut)
+        .select(F.unix_timestamp("w.start").alias("ws"), "source",
+                "n_seq", "sum_tok", "sig_xor")
+    )
+    sink = IdempotentKeyedSink(sink_dir, ["ws", "source"])
+    t0 = time.perf_counter()
+    q = (
+        agg.writeStream.outputMode("append")
+        .foreachBatch(sink.foreach_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    elapsed = time.perf_counter() - t0
+    spark.streams.removeListener(listener)
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    out = sink.read(spark)
+    emitted = out.count()
+    total_tok = out.agg(F.sum("sum_tok")).collect()[0][0]
+    return {
+        "elapsed_sec": round(elapsed, 3),
+        "rows_in": n_rows,
+        "seq_per_sec": round(n_rows / elapsed, 1),
+        "tok_per_sec": round((total_tok or 0) / elapsed, 1),
+        "windows_emitted": emitted,
+        "batches": len(listener.records),
+        "sum_tok": int(total_tok or 0),
+    }

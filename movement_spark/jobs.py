@@ -1,0 +1,105 @@
+"""Named jobs: the Load / Export / Migrate task surface re-expressed.
+
+The reference registers tasks by name and runs them through
+Plugin.runTask (Task.java:31; Load.java:23, Export.java:29,
+Migrate.java:28). Here a job is a named function over (spark, config);
+the CLI (movement_spark.cli) and the Python API both dispatch through
+JOBS — the same layered-config + name-dispatch contract, minus
+reflection.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import SparkSession
+
+from movement_spark.session import get_spark
+
+
+@dataclass
+class JobResult:
+    """Task.getResults analog (Task.java:77-103): status + metrics +
+    start/end timestamps."""
+    name: str
+    status: str
+    started_at: float
+    ended_at: float
+    metrics: dict[str, Any] = field(default_factory=dict)
+
+    @property
+    def elapsed_sec(self) -> float:
+        return self.ended_at - self.started_at
+
+
+def _job_load(spark: SparkSession, conf: dict) -> dict:
+    """Load: token stream → ordered assembly → keyed table (the CSV-dir →
+    graph ingest of the reference, re-typed)."""
+    from movement_spark.streaming.pipeline import run_streaming_ordered_merge
+    out = conf.get("output.dir") or tempfile.mkdtemp(prefix="ms_load_")
+    df = run_streaming_ordered_merge(
+        spark, conf.get("input.sf_dir", "/root/testdata/sf0.001"),
+        sink_dir=os.path.join(out, "sink"),
+        checkpoint_dir=os.path.join(out, "ck"))
+    n = df.count()
+    return {"rows": n, "output": out}
+
+
+def _job_export(spark: SparkSession, conf: dict) -> dict:
+    """Export: engine table → partitioned parquet directory layout
+    (DirectoryOutput's <type>/<label>/ layout analog via partitionBy)."""
+    from movement_spark.sources.tokens import token_sequences
+    out = conf.get("output.dir") or tempfile.mkdtemp(prefix="ms_export_")
+    df = token_sequences(spark, conf.get("input.sf_dir", "/root/testdata/sf0.001"))
+    df.write.mode("overwrite").partitionBy("source").parquet(out)
+    return {"rows": df.count(), "output": out}
+
+
+def _job_migrate(spark: SparkSession, conf: dict) -> dict:
+    """Migrate: table → table streaming copy with exactly-once sink."""
+    from movement_spark.streaming.pipeline import run_streaming_tumbling
+    out = conf.get("output.dir") or tempfile.mkdtemp(prefix="ms_migrate_")
+    df = run_streaming_tumbling(
+        spark, conf.get("input.sf_dir", "/root/testdata/sf0.001"),
+        sink_dir=os.path.join(out, "sink"),
+        checkpoint_dir=os.path.join(out, "ck"))
+    return {"rows": df.count(), "output": out}
+
+
+def _job_bench(spark: SparkSession, conf: dict) -> dict:
+    from movement_spark.benchmarks import streaming_throughput
+    from movement_spark.sources.synth import stage_synth_stream
+    work = tempfile.mkdtemp(prefix="ms_benchjob_")
+    n_docs = int(conf.get("bench.docs", "100000"))
+    stage = os.path.join(work, "stage")
+    rows = stage_synth_stream(spark, n_docs, stage, n_files=64)
+    return streaming_throughput(
+        spark, stage, rows, os.path.join(work, "sink"),
+        os.path.join(work, "ck"), files_per_trigger=16)
+
+
+JOBS: dict[str, Callable[[SparkSession, dict], dict]] = {
+    "Load": _job_load,
+    "Export": _job_export,
+    "Migrate": _job_migrate,
+    "Bench": _job_bench,
+}
+
+
+def run_job(name: str, spark: SparkSession | None = None,
+            **conf: Any) -> JobResult:
+    """Programmatic entry point (the g.call('Migrate').with(...) analog,
+    SURVEY.md §3.2)."""
+    if name not in JOBS:
+        raise KeyError(f"unknown job {name!r}; known: {sorted(JOBS)}")
+    spark = spark or get_spark(app_name=f"movement_spark_{name}")
+    t0 = time.time()
+    try:
+        metrics = JOBS[name](spark, dict(conf))
+        return JobResult(name, "SUCCEEDED", t0, time.time(), metrics)
+    except Exception as e:  # noqa: BLE001 — fail-fast policy, report status
+        return JobResult(name, f"FAILED: {e}", t0, time.time())
