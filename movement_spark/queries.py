@@ -599,6 +599,139 @@ def q_fingerprint(spark, sf_dir):
     return text.doc_fingerprints(load_table(spark, sf_dir, "documents"))
 
 
+@register("emitable_tree_expansion", with_token_cte("""
+, exploded AS (
+  SELECT source, doc_id, seq, unnest(tokens) AS t FROM token_sequences)
+SELECT source,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(DISTINCT doc_id || '#' || CAST(seq AS VARCHAR)) AS n_shards,
+       COUNT(*) AS n_tokens
+FROM exploded GROUP BY source
+"""))
+def q_tree(spark, sf_dir):
+    """Emitable 1→N tree walk (Emitable.java:33, walk at
+    ParallelStreamProcessor.java:149-161): doc → shard → token expansion
+    as chained explode, counted per level."""
+    t = token_sequences(spark, sf_dir)
+    exploded = t.select("source", "doc_id", "seq", F.explode("tokens").alias("t"))
+    return (
+        exploded.groupBy("source")
+        .agg(F.countDistinct("doc_id").alias("n_docs"),
+             F.countDistinct(F.concat("doc_id", F.lit("#"),
+                                      F.col("seq").cast("string"))).alias("n_shards"),
+             F.count("*").alias("n_tokens"))
+    )
+
+
+@register("token_topk", with_token_cte("""
+, exploded AS (SELECT unnest(tokens) AS t FROM token_sequences)
+SELECT t, COUNT(*) AS cnt FROM exploded
+GROUP BY t ORDER BY cnt DESC, t ASC LIMIT 20
+"""))
+def q_token_topk(spark, sf_dir):
+    """Heavy explode → count → top-k (the token-frequency primitive of
+    corpus analysis). Map-side partial agg keeps the shuffle at
+    |vocab| rows, and the limit plans as TakeOrderedAndProject."""
+    t = token_sequences(spark, sf_dir)
+    return (
+        t.select(F.explode("tokens").alias("t"))
+        .groupBy("t").agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("t"))
+        .limit(20)
+    )
+
+
+@register("asof_purchase_gap", """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         MAX(CASE WHEN event_type = 'purchase' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase
+  FROM events)
+SELECT user_id,
+       COUNT(*) AS n_clicks,
+       CAST(SUM(CASE WHEN last_purchase IS NOT NULL
+                     THEN CAST(floor(epoch(ts)) AS BIGINT)
+                          - CAST(floor(epoch(last_purchase)) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS sum_gap_sec,
+       CAST(SUM(CASE WHEN last_purchase IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_prior
+FROM ordered WHERE event_type = 'click'
+GROUP BY user_id
+""")
+def q_asof(spark, sf_dir):
+    """As-of join (point-in-time correlate): for each click, the most
+    recent preceding purchase of the same user — the window-function
+    form that avoids a range-join explosion at scale."""
+    from pyspark.sql.window import Window
+    ev = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    lp = F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).over(w)
+    clicks = (
+        ev.withColumn("last_purchase", lp)
+        .where(F.col("event_type") == "click")
+    )
+    gap = F.when(
+        F.col("last_purchase").isNotNull(),
+        F.unix_timestamp("ts") - F.unix_timestamp("last_purchase"),
+    ).otherwise(F.lit(0))
+    return (
+        clicks.groupBy("user_id")
+        .agg(F.count("*").alias("n_clicks"),
+             F.sum(gap).cast("bigint").alias("sum_gap_sec"),
+             F.sum(F.col("last_purchase").isNotNull().cast("int"))
+             .cast("bigint").alias("n_with_prior"))
+    )
+
+
+@register("orders_cube", """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""")
+def q_cube(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"),
+             F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+             .cast("double").alias("revenue"))
+    )
+
+
+@register("output_id_allocation", with_token_cte("""
+, ids AS (
+  SELECT row_number() OVER (ORDER BY doc_id, seq) AS out_id,
+         n_tok
+  FROM token_sequences)
+SELECT CAST(out_id % 10 AS INT) AS bucket,
+       COUNT(*) AS n,
+       MIN(out_id) AS min_id,
+       MAX(out_id) AS max_id,
+       COUNT(DISTINCT out_id) AS n_distinct
+FROM ids GROUP BY 1
+"""))
+def q_output_ids(spark, sf_dir):
+    """OutputIdDriver analog (RangedOutputIdDriver.java:57-62):
+    deterministic, gap-free, unique output id allocation — as
+    row_number over a total order instead of a shared atomic counter
+    (which would serialize a cluster). Bucketed stats prove coverage
+    and uniqueness as scalars."""
+    from pyspark.sql.window import Window
+    t = token_sequences(spark, sf_dir)
+    ids = t.withColumn(
+        "out_id", F.row_number().over(Window.orderBy("doc_id", "seq")))
+    return (
+        ids.withColumn("bucket", (F.col("out_id") % 10).cast("int"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"),
+             F.min("out_id").alias("min_id"),
+             F.max("out_id").alias("max_id"),
+             F.countDistinct("out_id").alias("n_distinct"))
+    )
+
+
 # =====================================================================
 # Streaming pipelines — the engine itself, oracle-gated.
 # Each runs a real Structured Streaming query (file-stream source,
@@ -634,6 +767,23 @@ FROM merged
 def q_streaming_merge(spark, sf_dir):
     from movement_spark.streaming.pipeline import run_streaming_ordered_merge
     return run_streaming_ordered_merge(spark, sf_dir)
+
+
+@register("streaming_dedup", with_token_cte("""
+SELECT CAST(epoch(time_bucket(INTERVAL 5 MINUTES, ts)) AS BIGINT) AS ws,
+       source,
+       COUNT(*) AS n_seq,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tok
+FROM token_sequences
+GROUP BY 1, 2
+"""))
+def q_streaming_dedup(spark, sf_dir):
+    """Exactly-once restoration under at-least-once delivery: every
+    input chunk arrives TWICE; dropDuplicatesWithinWatermark on the
+    natural key must make the duplicated stream hash-equal to the
+    batch oracle over the clean table."""
+    from movement_spark.streaming.pipeline import run_streaming_dedup
+    return run_streaming_dedup(spark, sf_dir)
 
 
 @register("streaming_shard_join", with_token_cte("""

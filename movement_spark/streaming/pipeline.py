@@ -69,7 +69,8 @@ _ARROW_SCHEMA = pa.schema([
 
 
 def stage_token_stream(spark: SparkSession, sf_dir: str, stage_dir: str,
-                       n_chunks: int = 6, sentinel: bool = True) -> int:
+                       n_chunks: int = 6, sentinel: bool = True,
+                       duplicate_factor: int = 1) -> int:
     """Stage the deterministic token table as ordered chunk files.
 
     One file per event-time slice, mtimes increasing, so the file source
@@ -94,11 +95,14 @@ def stage_token_stream(spark: SparkSession, sf_dir: str, stage_dir: str,
         part = pdf[chunk_of == i]
         if part.empty:
             continue
-        path = os.path.join(stage_dir, f"chunk_{i:04d}.parquet")
-        pq.write_table(
-            pa.Table.from_pandas(part, schema=_ARROW_SCHEMA,
-                                 preserve_index=False), path)
-        os.utime(path, (base + i, base + i))
+        # duplicate_factor > 1 stages each chunk k times (at-least-once
+        # delivery simulation for the streaming dedup stage)
+        for d in range(duplicate_factor):
+            path = os.path.join(stage_dir, f"chunk_{i:04d}_{d}.parquet")
+            pq.write_table(
+                pa.Table.from_pandas(part, schema=_ARROW_SCHEMA,
+                                     preserve_index=False), path)
+            os.utime(path, (base + i, base + i))
     if sentinel:
         # TWO sentinel files: the watermark only advances at the START of
         # the batch AFTER the one that saw the max event time, and
@@ -185,6 +189,40 @@ def run_streaming_tumbling(spark: SparkSession, sf_dir: str,
     )
     sink = IdempotentKeyedSink(sink_dir or _tmp("ms_sink_"), ["ws", "source"])
     _run_to_sink(agg, sink, checkpoint_dir or _tmp("ms_ck_"), listener)
+    return sink.read(spark)
+
+
+def run_streaming_dedup(spark: SparkSession, sf_dir: str,
+                        width: str = "5 minutes",
+                        watermark: str = "10 minutes",
+                        stage_dir: str | None = None,
+                        sink_dir: str | None = None,
+                        checkpoint_dir: str | None = None,
+                        listener=None) -> DataFrame:
+    """Streaming exact dedup under at-least-once delivery.
+
+    The stage drop carries every chunk TWICE (duplicate_factor=2);
+    dropDuplicatesWithinWatermark on the natural key (doc_id, seq)
+    restores exactly-once row semantics before the windowed aggregate,
+    so the final sink equals the batch oracle over the UN-duplicated
+    table. State for seen keys is evicted as the watermark passes.
+    """
+    stage = stage_dir or _tmp("msd_stage_")
+    stage_token_stream(spark, sf_dir, stage, duplicate_factor=2)
+    src = read_token_stream(spark, stage)
+    flush_cut = F.timestamp_seconds(F.lit(EPOCH_2026 + TS_MOD + 3600))
+    agg = (
+        src.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["doc_id", "seq"])
+        .groupBy(F.window("ts", width).alias("w"), "source")
+        .agg(F.count("*").alias("n_seq"),
+             F.sum("n_tok").cast("bigint").alias("sum_tok"))
+        .where(F.col("w.start") < flush_cut)
+        .select(F.unix_timestamp("w.start").alias("ws"), "source",
+                "n_seq", "sum_tok")
+    )
+    sink = IdempotentKeyedSink(sink_dir or _tmp("msd_sink_"), ["ws", "source"])
+    _run_to_sink(agg, sink, checkpoint_dir or _tmp("msd_ck_"), listener)
     return sink.read(spark)
 
 
