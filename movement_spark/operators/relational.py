@@ -74,6 +74,82 @@ def supplier_part_join(part: DataFrame, supplier: DataFrame,
     )
 
 
+def dangling_edge_audit(orders: DataFrame, customer: DataFrame,
+                        drop_mod: int = 3) -> DataFrame:
+    """Referential-integrity check, the reference's edge-encode semantic
+    (TinkerPopGraphEncoder.java:87-117: an edge whose endpoint vertex is
+    missing is fatal unless dropDanglingEdges; TestDirectoryLoader.java:
+    137,158-159 expects 5/5 when one vertex is absent and the flag is on).
+
+    Vertices = customers whose key survives ``% drop_mod != 0`` (the
+    missing-vertex fixture analog); edges = orders referencing them. A
+    LEFT join + null test classifies each edge as kept vs dangling —
+    at scale this is one shuffle on the key (or a broadcast when the
+    vertex set is dimension-sized); never a driver-side lookup.
+    """
+    vertices = (
+        customer.where(F.pmod(F.col("c_custkey"), F.lit(drop_mod)) != 0)
+        .select("c_custkey")
+    )
+    return (
+        orders.join(vertices, orders.o_custkey == vertices.c_custkey, "left")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_edges"),
+             F.sum(F.col("c_custkey").isNull().cast("int"))
+             .cast("bigint").alias("n_dangling"),
+             F.sum(F.col("c_custkey").isNotNull().cast("int"))
+             .cast("bigint").alias("n_kept"))
+    )
+
+
+def order_priority_semijoin(orders: DataFrame, lineitem: DataFrame,
+                            start: str = "1995-01-01",
+                            end: str = "1995-10-01") -> DataFrame:
+    """TPC-H Q4 shape: EXISTS as a left-semi join — orders that have at
+    least one returned lineitem, counted per priority. The semi join
+    keeps the probe side's row count bounded by orders (no fanout), and
+    the returnflag predicate is pushed to the parquet scan."""
+    late = (
+        lineitem.where(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders
+        .where((F.col("o_orderdate") >= F.lit(start).cast("timestamp"))
+               & (F.col("o_orderdate") < F.lit(end).cast("timestamp")))
+        .join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def idle_rich_customers(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """TPC-H Q22 shape: scalar aggregate subquery + anti join — customers
+    with above-average balance and NO orders, per market segment.
+
+    The above-average test is kept EXACT (oracle-hashable) by avoiding
+    the division: ``bal * n > sum`` over decimals instead of
+    ``bal > avg``, so no float rounding can flip a boundary row. The
+    global aggregate is one row, crossJoin-broadcast to every partition;
+    the NOT EXISTS is a left-anti shuffle join on the customer key.
+    """
+    bal = F.col("c_acctbal").cast("decimal(18,4)")
+    positive = customer.where(bal > 0)
+    totals = positive.agg(F.sum(bal).alias("tot_bal"),
+                          F.count("*").alias("n_pos"))
+    rich = (
+        positive.crossJoin(F.broadcast(totals))
+        .where(bal * F.col("n_pos") > F.col("tot_bal"))
+    )
+    return (
+        rich.join(orders.select("o_custkey"),
+                  rich.c_custkey == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_idle"),
+             F.round(F.sum(bal), 2).cast("double").alias("idle_bal"))
+    )
+
+
 def set_ops_demo(orders: DataFrame) -> DataFrame:
     """Set operations (the reference only has iterator concat,
     IteratorUtils.java:417): urgent ∪ high minus cancelled, distinct count

@@ -101,6 +101,18 @@ def lsh_bucket_expr(vec_col: str, planes: int = LSH_PLANES) -> F.Column:
     return F.expr(f"cast({terms} as int)")
 
 
+def lsh_bucket_sql(vec_col: str, planes: int = LSH_PLANES) -> str:
+    """DuckDB mirror of :func:`lsh_bucket_expr` for oracle SQL. DuckDB's
+    lambda index is 1-based where Spark's is 0-based, hence ``(i-1)``."""
+    terms = []
+    for j in range(planes):
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform({vec_col}, (x, i) -> "
+            f"x * (CASE WHEN ({j}*131 + (i-1)*31) % 7 < 4 THEN 1 ELSE -1 END)"
+            f")) > 0 THEN {1 << j} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS INT)"
+
+
 def lsh_bucketed_neighbors(embeddings: DataFrame, n_queries: int = 10,
                            k: int = 5) -> DataFrame:
     """ANN: join query and corpus on LSH bucket, exact top-k inside the
@@ -121,3 +133,38 @@ def lsh_bucketed_neighbors(embeddings: DataFrame, n_queries: int = 10,
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "dot", "rank")
     )
+
+
+NEARDUP_PLANES = 4
+
+
+def cosine_neardup_pairs(embeddings: DataFrame,
+                         planes: int = NEARDUP_PLANES) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, the scale-sane way: LSH
+    buckets prune the candidate space (shuffle key = bucket, never an
+    all-pairs cross join), then an EXACT integer test keeps pairs with
+    cosine >= 0.2 — ``25*dot^2 >= |a|^2*|b|^2`` over the quantized
+    vectors, computed in decimal so the comparison is bit-exact for the
+    oracle. At 100 TB the bucket join is the only shuffle; each bucket's
+    pair expansion is local to its partition.
+    """
+    q = (
+        quantized(embeddings)
+        .select("vec_id", "q",
+                lsh_bucket_expr("q", planes).alias("bucket"),
+                _dot("q", "q").alias("n2"))
+    )
+    a = q.select(F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"),
+                 "bucket", F.col("n2").alias("norm_a"))
+    b = q.select(F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"),
+                 "bucket", F.col("n2").alias("norm_b"))
+    pairs = (
+        a.join(b, "bucket")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", _dot("qa", "qb").alias("dot"),
+                "norm_a", "norm_b")
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    return pairs.where(
+        (F.col("dot") > 0)
+        & (dec("dot") * dec("dot") * 25 >= dec("norm_a") * dec("norm_b")))

@@ -525,6 +525,180 @@ def q_ann_bf(spark, sf_dir):
     return df.withColumn("rank", F.col("rank").cast("int"))
 
 
+_LSH_TOPK_SQL = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x ->
+           CAST(round(CAST(x AS DOUBLE) * {similarity.QUANT}, 0) AS BIGINT)) AS qv
+  FROM embeddings),
+b AS (SELECT vec_id, qv,
+             {similarity.lsh_bucket_sql('qv', similarity.LSH_PLANES)} AS bucket
+      FROM q),
+queries AS (SELECT vec_id AS query_id, qv AS query_v, bucket
+            FROM b WHERE vec_id < 10),
+cand AS (
+  SELECT query_id, b.vec_id,
+         CAST(list_sum(list_transform(range(1, len(b.qv) + 1),
+              i -> b.qv[i] * queries.query_v[i])) AS BIGINT) AS dot
+  FROM b JOIN queries USING (bucket) WHERE b.vec_id <> queries.query_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY dot DESC, vec_id ASC) AS rank
+  FROM cand)
+SELECT query_id, vec_id, dot, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+@register("ann_lsh_topk", _LSH_TOPK_SQL)
+def q_ann_lsh(spark, sf_dir):
+    """ANN scale path: sign-projection LSH buckets prune the corpus to
+    one bucket per query before the exact top-k — the 100 TB variant of
+    ann_brute_force_topk (shuffle key = bucket, not a cross join)."""
+    df = similarity.lsh_bucketed_neighbors(load_table(spark, sf_dir, "embeddings"))
+    return df.withColumn("rank", F.col("rank").cast("int"))
+
+
+_NEARDUP_SQL = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x ->
+           CAST(round(CAST(x AS DOUBLE) * {similarity.QUANT}, 0) AS BIGINT)) AS qv
+  FROM embeddings),
+b AS (SELECT vec_id, qv,
+             {similarity.lsh_bucket_sql('qv', similarity.NEARDUP_PLANES)} AS bucket,
+             CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2
+      FROM q),
+pairs AS (
+  SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+         CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+              i -> a.qv[i] * c.qv[i])) AS BIGINT) AS dot,
+         a.n2 AS norm_a, c.n2 AS norm_b
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+SELECT vec_a, vec_b, dot, norm_a, norm_b
+FROM pairs
+WHERE dot > 0 AND CAST(dot AS HUGEINT) * dot * 25 >= CAST(norm_a AS HUGEINT) * norm_b
+"""
+
+
+@register("embedding_cosine_neardup", _NEARDUP_SQL)
+def q_neardup(spark, sf_dir):
+    return similarity.cosine_neardup_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("dangling_edge_audit", """
+WITH vertices AS (
+  SELECT c_custkey FROM customer WHERE c_custkey % 3 <> 0)
+SELECT o_orderstatus,
+       COUNT(*) AS n_edges,
+       CAST(SUM(CASE WHEN v.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dangling,
+       CAST(SUM(CASE WHEN v.c_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM orders LEFT JOIN vertices v ON o_custkey = v.c_custkey
+GROUP BY o_orderstatus
+""")
+def q_dangling(spark, sf_dir):
+    return relational.dangling_edge_audit(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"))
+
+
+@register("order_priority_semijoin", """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate < TIMESTAMP '1995-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+""")
+def q_semijoin(spark, sf_dir):
+    return relational.order_priority_semijoin(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"))
+
+
+@register("idle_rich_customers", """
+WITH pos AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(c_acctbal AS DECIMAL(18,4)) AS bal
+  FROM customer WHERE CAST(c_acctbal AS DECIMAL(18,4)) > 0),
+tot AS (SELECT SUM(bal) AS tot_bal, COUNT(*) AS n_pos FROM pos),
+rich AS (
+  SELECT pos.* FROM pos CROSS JOIN tot
+  WHERE bal * n_pos > tot_bal)
+SELECT c_mktsegment,
+       COUNT(*) AS n_idle,
+       CAST(ROUND(SUM(bal), 2) AS DOUBLE) AS idle_bal
+FROM rich
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = rich.c_custkey)
+GROUP BY c_mktsegment
+""")
+def q_idle_rich(spark, sf_dir):
+    return relational.idle_rich_customers(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"))
+
+
+@register("grouping_sets_volume", """
+SELECT r_name, c_mktsegment, COUNT(*) AS n_cust,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY GROUPING SETS ((r_name), (c_mktsegment), ())
+""")
+def q_grouping_sets(spark, sf_dir):
+    """GROUPING SETS (beyond rollup/cube): independent aggregation grains
+    in one pass — Catalyst plans a single Expand + hash aggregate."""
+    for t in ("customer", "nation", "region"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"gs_{t}")
+    return spark.sql("""
+        SELECT r_name, c_mktsegment, COUNT(*) AS n_cust,
+               CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_bal
+        FROM gs_customer
+        JOIN gs_nation ON c_nationkey = n_nationkey
+        JOIN gs_region ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((r_name), (c_mktsegment), ())
+    """)
+
+
+@register("csv_directory_roundtrip", """
+SELECT c_mktsegment AS label, COUNT(*) AS io_ops,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_bal,
+       MAX(c_custkey) AS max_id
+FROM customer
+GROUP BY c_mktsegment
+""")
+def q_csv_roundtrip(spark, sf_dir):
+    """DirectoryOutput → Output.reader round trip (DirectoryOutput.java:
+    110-124,144-154): write customers as the per-label CSV directory
+    layout (label = mktsegment ≈ the reference's vertex label), read the
+    directory back with the reverse reader, and aggregate — content
+    parity with the source table proves the sink/reader pair lossless,
+    the reference's Export-test contract
+    (TestTinkerPopCallStepPlugin.java:268-276)."""
+    import tempfile
+
+    from movement_spark.sinks.directory import (
+        read_directory_csv, write_directory_csv)
+    customer = load_table(spark, sf_dir, "customer")
+    out = customer.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("label"))
+    base = tempfile.mkdtemp(prefix="ms_csvdir_")
+    write_directory_csv(out, base, "vertices", "label")
+    back = read_directory_csv(
+        spark, base, "vertices", "id BIGINT, acctbal DOUBLE, label STRING")
+    return (
+        back.groupBy("label")
+        .agg(F.count("*").alias("io_ops"),
+             F.round(F.sum(F.col("acctbal").cast("decimal(18,4)")), 2)
+             .cast("double").alias("sum_bal"),
+             F.max("id").alias("max_id"))
+    )
+
+
 @register("text_tokenize_stats", """
 SELECT source, COUNT(*) AS n_docs,
        CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_words,
@@ -798,6 +972,31 @@ GROUP BY e.doc_id
 def q_streaming_join(spark, sf_dir):
     from movement_spark.streaming.pipeline import run_streaming_shard_join
     return run_streaming_shard_join(spark, sf_dir)
+
+
+@register("streaming_session_windows", with_token_cte("""
+, ordered AS (
+  SELECT doc_id, ts, n_tok,
+         lag(ts) OVER (PARTITION BY doc_id ORDER BY ts) AS pts
+  FROM token_sequences),
+marked AS (
+  SELECT *, CASE WHEN pts IS NULL OR ts - pts >= INTERVAL 90 SECONDS
+                 THEN 1 ELSE 0 END AS new_s
+  FROM ordered),
+islands AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY doc_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked)
+SELECT doc_id,
+       CAST(epoch(MIN(ts)) AS BIGINT) AS session_start,
+       CAST(epoch(MAX(ts)) AS BIGINT) + 90 AS session_end,
+       COUNT(*) AS n_shard,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tok
+FROM islands GROUP BY doc_id, sid
+"""))
+def q_streaming_session(spark, sf_dir):
+    from movement_spark.streaming.pipeline import run_streaming_session
+    return run_streaming_session(spark, sf_dir)
 
 
 @register("multimodal_feature_stats", """

@@ -226,6 +226,44 @@ def run_streaming_dedup(spark: SparkSession, sf_dir: str,
     return sink.read(spark)
 
 
+def run_streaming_session(spark: SparkSession, sf_dir: str,
+                          gap: str = "90 seconds",
+                          watermark: str = "10 minutes",
+                          stage_dir: str | None = None,
+                          sink_dir: str | None = None,
+                          checkpoint_dir: str | None = None,
+                          listener=None) -> DataFrame:
+    """Streaming session windows per doc_id: Spark's native session_window
+    merges per-key activity separated by < gap into one state-store
+    session; results emit in append mode once the watermark closes the
+    session. Matches the batch session_token_windows oracle
+    (session_end = last event + gap). The sentinel rows form their own
+    far-future sessions and are cut by a predicate on the WINDOW column
+    (a non-window predicate would be pushed below the watermark node and
+    stall the flush — see run_streaming_tumbling's NOTE)."""
+    stage = stage_dir or _tmp("mss_stage_")
+    if not (os.path.isdir(stage) and os.listdir(stage)):
+        stage_token_stream(spark, sf_dir, stage)
+    src = read_token_stream(spark, stage)
+    flush_cut = F.timestamp_seconds(F.lit(EPOCH_2026 + TS_MOD + 3600))
+    sess = (
+        src.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "doc_id")
+        .agg(F.count("*").alias("n_shard"),
+             F.sum("n_tok").cast("bigint").alias("sum_tok"))
+        .where(F.col("w.start") < flush_cut)
+        .select("doc_id",
+                F.unix_timestamp("w.start").alias("session_start"),
+                F.unix_timestamp("w.end").alias("session_end"),
+                F.col("n_shard").cast("bigint").alias("n_shard"),
+                "sum_tok")
+    )
+    sink = IdempotentKeyedSink(sink_dir or _tmp("mss_sink_"),
+                               ["doc_id", "session_start"])
+    _run_to_sink(sess, sink, checkpoint_dir or _tmp("mss_ck_"), listener)
+    return sink.read(spark)
+
+
 def run_streaming_ordered_merge(spark: SparkSession, sf_dir: str,
                                 watermark: str = "10 minutes",
                                 stage_dir: str | None = None,
