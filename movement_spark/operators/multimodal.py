@@ -84,6 +84,63 @@ def media_features(documents: DataFrame) -> DataFrame:
     return media.mapInPandas(_extract_features, schema=FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("frame_bytes", IntegerType()),
+    StructField("checksum", LongType()),
+])
+
+N_FRAMES = 4
+
+
+def decode_video_frames(payload: bytes, n_frames: int) -> "np.ndarray":
+    """Real frame decode requires ffmpeg/av, absent in this container."""
+    raise NotImplementedError(
+        "video decode stub: wire av.open(io.BytesIO(payload)) here")
+
+
+def _sample_frames(n_frames: int):
+    """Deterministic fake decoder: the payload is treated as n_frames
+    equal-size chunks; each frame row carries its byte checksum. This is
+    the 1→N Emitable-style decomposition (Emitable.java:33) for media:
+    one mapInPandas batch in, n_frames rows per doc out — the exact
+    plumbing (schema, Arrow batching, fanout) a real ffmpeg/PIL decoder
+    plugs into."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids, idxs, sizes, sums = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"].values,
+                                       pdf["payload"].values):
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                fs = arr.size // n_frames
+                if fs == 0:
+                    continue
+                frames = arr[:fs * n_frames].reshape(n_frames, fs)
+                doc_ids.extend([doc_id] * n_frames)
+                idxs.extend(range(n_frames))
+                sizes.extend([fs] * n_frames)
+                sums.extend(frames.sum(axis=1, dtype=np.int64))
+            yield pd.DataFrame({
+                "doc_id": np.asarray(doc_ids, dtype=np.int64),
+                "frame_idx": np.asarray(idxs, dtype=np.int32),
+                "frame_bytes": np.asarray(sizes, dtype=np.int32),
+                "checksum": np.asarray(sums, dtype=np.int64),
+            })
+    return gen
+
+
+def media_frame_sample(documents: DataFrame, n_frames: int = N_FRAMES,
+                       sample_mod: int = 25) -> DataFrame:
+    """Frame-sampling pipeline over "video" payloads: sampled docs →
+    binary carrier → per-frame rows. The sample predicate sits BEFORE the
+    Python stage so the scan prunes to 1/sample_mod of the corpus and the
+    Arrow boundary only ships sampled payloads."""
+    media = documents_as_media(
+        documents.where(F.col("doc_id") % sample_mod == 0))
+    return media.mapInPandas(_sample_frames(n_frames), schema=FRAME_SCHEMA)
+
+
 def media_feature_stats(documents: DataFrame) -> DataFrame:
     """Aggregate the extracted features per first-byte class — bounded,
     oracle-checkable output."""

@@ -974,6 +974,20 @@ def q_streaming_join(spark, sf_dir):
     return run_streaming_shard_join(spark, sf_dir)
 
 
+@register("streaming_sliding_pipeline", with_token_cte("""
+, offs AS (SELECT unnest([0, 1]) AS o)
+SELECT CAST(epoch(time_bucket(INTERVAL 5 MINUTES, ts)) AS BIGINT) - o * 300 AS ws,
+       source,
+       COUNT(*) AS n_seq,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tok
+FROM token_sequences CROSS JOIN offs
+GROUP BY 1, 2
+"""))
+def q_streaming_sliding(spark, sf_dir):
+    from movement_spark.streaming.pipeline import run_streaming_sliding
+    return run_streaming_sliding(spark, sf_dir)
+
+
 @register("streaming_session_windows", with_token_cte("""
 , ordered AS (
   SELECT doc_id, ts, n_tok,
@@ -997,6 +1011,46 @@ FROM islands GROUP BY doc_id, sid
 def q_streaming_session(spark, sf_dir):
     from movement_spark.streaming.pipeline import run_streaming_session
     return run_streaming_session(spark, sf_dir)
+
+
+@register("multimodal_frame_sample", f"""
+WITH sampled AS (
+  SELECT doc_id, text, CAST(n_chars // {multimodal.N_FRAMES} AS INT) AS fs
+  FROM documents WHERE doc_id % 25 = 0),
+frames AS (
+  SELECT doc_id, unnest(range(0, {multimodal.N_FRAMES})) AS frame_idx, fs, text
+  FROM sampled WHERE fs > 0)
+SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx, fs AS frame_bytes,
+       CAST(list_sum(list_transform(
+             range(CAST(frame_idx * fs AS BIGINT) + 1,
+                   CAST((frame_idx + 1) * fs AS BIGINT) + 1),
+             p -> ascii(substring(text, CAST(p AS INT), 1)))) AS BIGINT) AS checksum
+FROM frames
+""")
+def q_frame_sample(spark, sf_dir):
+    return multimodal.media_frame_sample(load_table(spark, sf_dir, "documents"))
+
+
+@register("skew_safe_source_agg", with_token_cte("""
+SELECT source,
+       COUNT(*) AS n_seq,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tok
+FROM token_sequences GROUP BY source
+"""))
+def q_skew_agg(spark, sf_dir):
+    """Skew-mitigated aggregation on a LOW-cardinality hot key (source —
+    a handful of values over the whole corpus): two_phase_agg does the
+    heavy partial aggregation on (key, salt) so every task combines, then
+    a final tiny shuffle on the real key — the WorkChunkDriver salted
+    layout (SURVEY.md §2.2) as a reusable operator."""
+    from movement_spark.operators.chunking import two_phase_agg
+    t = token_sequences(spark, sf_dir)
+    return two_phase_agg(
+        t, "source",
+        {"n_seq": F.count("*"),
+         "sum_tok": F.sum("n_tok").cast("bigint")},
+    ).select("source", F.col("n_seq").cast("bigint").alias("n_seq"),
+             F.col("sum_tok").cast("bigint").alias("sum_tok"))
 
 
 @register("multimodal_feature_stats", """

@@ -226,6 +226,38 @@ def run_streaming_dedup(spark: SparkSession, sf_dir: str,
     return sink.read(spark)
 
 
+def run_streaming_sliding(spark: SparkSession, sf_dir: str,
+                          width: str = "10 minutes",
+                          slide: str = "5 minutes",
+                          watermark: str = "10 minutes",
+                          stage_dir: str | None = None,
+                          sink_dir: str | None = None,
+                          checkpoint_dir: str | None = None,
+                          listener=None) -> DataFrame:
+    """Streaming sliding windows: every row lands in width/slide
+    overlapping windows; state closes per window as the watermark passes
+    its end. Same sentinel-flush discipline as run_streaming_tumbling;
+    sink keyed (ws, source) so replays of overlapping windows stay
+    idempotent."""
+    stage = stage_dir or _tmp("msl_stage_")
+    if not (os.path.isdir(stage) and os.listdir(stage)):
+        stage_token_stream(spark, sf_dir, stage)
+    src = read_token_stream(spark, stage)
+    flush_cut = F.timestamp_seconds(F.lit(EPOCH_2026 + TS_MOD + 3600))
+    agg = (
+        src.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("w"), "source")
+        .agg(F.count("*").alias("n_seq"),
+             F.sum("n_tok").cast("bigint").alias("sum_tok"))
+        .where(F.col("w.start") < flush_cut)
+        .select(F.unix_timestamp("w.start").alias("ws"), "source",
+                "n_seq", "sum_tok")
+    )
+    sink = IdempotentKeyedSink(sink_dir or _tmp("msl_sink_"), ["ws", "source"])
+    _run_to_sink(agg, sink, checkpoint_dir or _tmp("msl_ck_"), listener)
+    return sink.read(spark)
+
+
 def run_streaming_session(spark: SparkSession, sf_dir: str,
                           gap: str = "90 seconds",
                           watermark: str = "10 minutes",

@@ -1,0 +1,78 @@
+"""Physical-plan audits: the 100 TB-shape assertions (SURVEY.md §4.2).
+
+Correctness says the operator works; these tests pin the plan SHAPE so a
+refactor can't silently regress scale behavior — a filter that stops
+reaching the parquet scan, a broadcast that becomes a sort-merge join,
+or Python creeping into a JVM-only pipeline would all pass the oracle
+gate while being 10× slower at scale.
+"""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from movement_spark.plans.audit import explain_text, plan_audit
+from movement_spark.sources.tables import load_table
+from movement_spark.sources.tokens import token_sequences
+from movement_spark.operators import relational, windows
+from movement_spark.operators.chunking import two_phase_agg
+
+
+def test_pricing_filter_reaches_scan(spark, sf_dir):
+    df = relational.pricing_summary(load_table(spark, sf_dir, "lineitem"))
+    audit = plan_audit(df)
+    assert audit["pushed_filters"], "l_shipdate filter must reach parquet"
+    assert audit["python_stages"] == 0
+
+
+def test_pricing_prunes_columns(spark, sf_dir):
+    df = relational.pricing_summary(load_table(spark, sf_dir, "lineitem"))
+    (schema,) = plan_audit(df)["scan_schemas"]
+    assert "l_shipdate" in schema and "l_quantity" in schema
+    assert "l_partkey" not in schema, "unused columns must be pruned"
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    df = relational.supplier_part_join(
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "lineitem"))
+    audit = plan_audit(df)
+    # formatted explain lists each node in tree + details → count is 2×
+    assert audit["broadcast_joins"] >= 2, "both dims must broadcast"
+    assert audit["sort_merge_joins"] == 0
+
+
+def test_token_pipeline_stays_jvm_side(spark, sf_dir):
+    df = windows.tumbling_token_throughput(token_sequences(spark, sf_dir))
+    audit = plan_audit(df)
+    assert audit["python_stages"] == 0, "token derivation must be codegen'd"
+
+
+def test_two_phase_agg_has_partial_then_final(spark, sf_dir):
+    t = token_sequences(spark, sf_dir)
+    df = two_phase_agg(t, "source", {"n": F.count("*")})
+    txt = explain_text(df)
+    # two aggregation levels around the salted exchange
+    assert txt.count("HashAggregate") >= 4
+    assert "source" in txt
+
+
+def test_semijoin_plans_as_semi(spark, sf_dir):
+    df = relational.order_priority_semijoin(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"))
+    txt = explain_text(df)
+    assert "LeftSemi" in txt, "EXISTS must plan as a semi join, not fanout"
+    assert plan_audit(df)["pushed_filters"], "date range must reach the scan"
+
+
+def test_no_cartesian_products_in_registry_samples(spark, sf_dir):
+    """The broadcast-scalar crossJoin in idle_rich_customers is the only
+    sanctioned cross join shape — it must plan as a broadcast nested loop
+    over a 1-row side, never CartesianProduct."""
+    df = relational.idle_rich_customers(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"))
+    txt = explain_text(df)
+    assert "CartesianProduct" not in txt
