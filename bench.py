@@ -58,11 +58,17 @@ def main() -> None:
     work = tempfile.mkdtemp(prefix="ms_bench_")
     stage = os.path.join(work, "stage")
     n_rows = stage_synth_stream(spark, n_docs, stage, n_files=64)
+    # state_partitions pinned at 8: stateful shuffle layout is a
+    # deployment constant sized to key cardinality (windows × sources),
+    # NOT something that grows with cores — same methodology as
+    # bench/scaling.py. Leaving it at 2×cpus costs ~4× in per-batch
+    # state-store commit overhead at this key count.
     stream = streaming_throughput(
         spark, stage, n_rows,
         sink_dir=os.path.join(work, "sink"),
         checkpoint_dir=os.path.join(work, "ck"),
         files_per_trigger=8,
+        state_partitions=8,
     )
     shutil.rmtree(work, ignore_errors=True)
 
