@@ -858,6 +858,69 @@ def q_asof(spark, sf_dir):
     )
 
 
+@register("funnel_detection", """
+WITH w AS (
+  SELECT user_id, ts, event_id, event_type,
+         MAX(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_view
+  FROM events),
+w2 AS (
+  SELECT *,
+         MAX(CASE WHEN event_type = 'click' AND prior_view IS NOT NULL
+                  THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_vc
+  FROM w),
+per_user AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS s1,
+         MAX(CASE WHEN event_type = 'click' AND prior_view IS NOT NULL
+                  THEN 1 ELSE 0 END) AS s2,
+         MAX(CASE WHEN event_type = 'purchase' AND prior_vc IS NOT NULL
+                  THEN 1 ELSE 0 END) AS s3
+  FROM w2 GROUP BY user_id)
+SELECT CAST(SUM(s1) AS BIGINT) AS n_viewed,
+       CAST(SUM(s2) AS BIGINT) AS n_clicked_after_view,
+       CAST(SUM(s3) AS BIGINT) AS n_full_funnel,
+       COUNT(*) AS n_users
+FROM per_user
+""")
+def q_funnel(spark, sf_dir):
+    """CEP sequence-pattern detection (batch form): view → click →
+    purchase strictly in event-time order per user, as chained window
+    functions — each stage's marker is a running max over the PRECEDING
+    frame, so the whole pattern match is two window passes + one
+    aggregate (one shuffle on user_id), no self-joins, no fanout."""
+    from pyspark.sql.window import Window
+    ev = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    staged = (
+        ev.withColumn(
+            "prior_view",
+            F.max(F.when(F.col("event_type") == "view", F.col("ts"))).over(w))
+        .withColumn(
+            "prior_vc",
+            F.max(F.when((F.col("event_type") == "click")
+                         & F.col("prior_view").isNotNull(),
+                         F.col("ts"))).over(w))
+    )
+    per_user = (
+        staged.groupBy("user_id")
+        .agg(F.max((F.col("event_type") == "view").cast("int")).alias("s1"),
+             F.max(((F.col("event_type") == "click")
+                    & F.col("prior_view").isNotNull()).cast("int")).alias("s2"),
+             F.max(((F.col("event_type") == "purchase")
+                    & F.col("prior_vc").isNotNull()).cast("int")).alias("s3"))
+    )
+    return per_user.agg(
+        F.sum("s1").cast("bigint").alias("n_viewed"),
+        F.sum("s2").cast("bigint").alias("n_clicked_after_view"),
+        F.sum("s3").cast("bigint").alias("n_full_funnel"),
+        F.count("*").alias("n_users"))
+
+
 @register("orders_cube", """
 SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
        CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
@@ -986,6 +1049,43 @@ GROUP BY 1, 2
 def q_streaming_sliding(spark, sf_dir):
     from movement_spark.streaming.pipeline import run_streaming_sliding
     return run_streaming_sliding(spark, sf_dir)
+
+
+@register("streaming_enriched_pipeline", with_token_cte("""
+SELECT CAST(epoch(time_bucket(INTERVAL 5 MINUTES, ts)) AS BIGINT) AS ws,
+       d.lang AS lang,
+       COUNT(*) AS n_seq,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tok
+FROM token_sequences t JOIN documents d ON t.did = d.doc_id
+GROUP BY 1, 2
+"""))
+def q_streaming_enriched(spark, sf_dir):
+    from movement_spark.streaming.pipeline import run_streaming_enriched
+    return run_streaming_enriched(spark, sf_dir)
+
+
+@register("lineage_partition_audit", """
+SELECT 'documents.parquet' AS src_file, COUNT(*) AS n_rows,
+       COUNT(DISTINCT doc_id) AS n_keys
+FROM documents
+""")
+def q_lineage(spark, sf_dir):
+    """Per-partition lineage surface (north rule): every scanned row
+    carries (_metadata.file_path, spark_partition_id) — the WorkChunk
+    UUID analog (WorkChunk.java:19). Aggregated per source file the
+    counts are deterministic and oracle-checkable; the partition ids are
+    execution lineage, summarized as a distinct count per file (not
+    hashed — layout is engine-specific)."""
+    from movement_spark.streaming.metrics import with_lineage
+    docs = with_lineage(load_table(spark, sf_dir, "documents"))
+    return (
+        docs.withColumn(
+            "src_file",
+            F.element_at(F.split(F.col("_source_file"), "/"), -1))
+        .groupBy("src_file")
+        .agg(F.count("*").alias("n_rows"),
+             F.countDistinct("doc_id").alias("n_keys"))
+    )
 
 
 @register("streaming_session_windows", with_token_cte("""

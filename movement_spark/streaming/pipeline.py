@@ -226,6 +226,48 @@ def run_streaming_dedup(spark: SparkSession, sf_dir: str,
     return sink.read(spark)
 
 
+def run_streaming_enriched(spark: SparkSession, sf_dir: str,
+                           width: str = "5 minutes",
+                           watermark: str = "10 minutes",
+                           stage_dir: str | None = None,
+                           sink_dir: str | None = None,
+                           checkpoint_dir: str | None = None,
+                           listener=None) -> DataFrame:
+    """Stream-static enrichment: the token stream joined per micro-batch
+    against a static dimension (doc language from the documents table),
+    then windowed per-language throughput. The dim is broadcast — the
+    CachedGraph analog (CachedGraph.java:59-76: hot vertex lookups served
+    from a local cache instead of the store); at dimension sizes beyond
+    broadcast range the same plan degrades gracefully to a shuffled hash
+    join. LEFT join so the watermark sentinel (which matches no dim row)
+    still reaches the aggregate's watermark accounting; its windows are
+    cut by the window-column predicate as usual."""
+    stage = stage_dir or _tmp("mse_stage_")
+    if not (os.path.isdir(stage) and os.listdir(stage)):
+        stage_token_stream(spark, sf_dir, stage)
+    dim = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.concat(F.lit("d"), F.col("doc_id").cast("string"))
+                .alias("doc_id"),
+                "lang")
+    )
+    src = read_token_stream(spark, stage)
+    flush_cut = F.timestamp_seconds(F.lit(EPOCH_2026 + TS_MOD + 3600))
+    agg = (
+        src.withWatermark("ts", watermark)
+        .join(F.broadcast(dim), "doc_id", "left")
+        .groupBy(F.window("ts", width).alias("w"), "lang")
+        .agg(F.count("*").alias("n_seq"),
+             F.sum("n_tok").cast("bigint").alias("sum_tok"))
+        .where(F.col("w.start") < flush_cut)
+        .select(F.unix_timestamp("w.start").alias("ws"), "lang",
+                "n_seq", "sum_tok")
+    )
+    sink = IdempotentKeyedSink(sink_dir or _tmp("mse_sink_"), ["ws", "lang"])
+    _run_to_sink(agg, sink, checkpoint_dir or _tmp("mse_ck_"), listener)
+    return sink.read(spark)
+
+
 def run_streaming_sliding(spark: SparkSession, sf_dir: str,
                           width: str = "10 minutes",
                           slide: str = "5 minutes",
@@ -307,7 +349,8 @@ def run_streaming_ordered_merge(spark: SparkSession, sf_dir: str,
     sink is keyed by doc_id; the returned frame carries the same
     order-sensitive digest as the batch merged_doc_check oracle."""
     stage = stage_dir or _tmp("mso_stage_")
-    stage_token_stream(spark, sf_dir, stage)
+    if not (os.path.isdir(stage) and os.listdir(stage)):
+        stage_token_stream(spark, sf_dir, stage)
     src = read_token_stream(spark, stage)
     # Sentinel rows flow through the stateful stage (their doc completes
     # immediately) and are dropped after it — filtering earlier would be

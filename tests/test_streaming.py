@@ -74,6 +74,51 @@ def test_checkpoint_resume_mid_stream(spark, sf_dir):
     assert expected.exceptAll(result).count() == 0
 
 
+def test_stateful_ordered_merge_resumes_from_checkpoint(spark, sf_dir):
+    """State-store resume (not just source offsets): kill the ordered
+    assembly mid-stream with docs OPEN in applyInPandasWithState state,
+    then resume with the same checkpoint. Docs whose shards span the
+    kill point must still assemble complete and in order."""
+    from movement_spark.streaming.pipeline import run_streaming_ordered_merge
+    from movement_spark.operators.ordering import merged_doc_check
+
+    full_stage = _mkdir()
+    stage_token_stream(spark, sf_dir, full_stage)
+    files = sorted(os.listdir(full_stage))
+    part_stage, ck, sink_dir = _mkdir(), _mkdir(), _mkdir()
+    for f in files[: len(files) // 2]:
+        shutil.copy2(os.path.join(full_stage, f), os.path.join(part_stage, f))
+    run_streaming_ordered_merge(spark, sf_dir, stage_dir=part_stage,
+                                sink_dir=sink_dir, checkpoint_dir=ck)
+    for f in files[len(files) // 2:]:
+        shutil.copy2(os.path.join(full_stage, f), os.path.join(part_stage, f))
+    result = run_streaming_ordered_merge(spark, sf_dir, stage_dir=part_stage,
+                                         sink_dir=sink_dir, checkpoint_dir=ck)
+    expected = merged_doc_check(token_sequences(spark, sf_dir)) \
+        .withColumn("n_shard", F.col("n_shard").cast("int"))
+    assert result.count() == expected.count()
+    assert result.exceptAll(expected).count() == 0, \
+        "resumed docs must match batch content and ORDER (poly_hash)"
+
+
+def test_cep_module_gates_cleanly(spark, sf_dir):
+    """transformWithStateInPandas needs google.protobuf (broken in this
+    sandbox): the operator must refuse with a clear error, or — where the
+    runtime exists — build a streaming DataFrame."""
+    import pytest as _pytest
+    from movement_spark.streaming import cep
+    from movement_spark.streaming.pipeline import (
+        read_token_stream, stage_token_stream)
+    stage = _mkdir()
+    stage_token_stream(spark, sf_dir, stage, n_chunks=2)
+    src = read_token_stream(spark, stage)
+    if cep._runtime_available():
+        assert cep.doc_completion(src).isStreaming
+    else:
+        with _pytest.raises(NotImplementedError):
+            cep.doc_completion(src)
+
+
 def test_late_rows_dropped_by_watermark(spark):
     """Dangling-edge analog (TinkerPopGraphEncoder.java:103-110 drop
     policy): a row arriving after the watermark passed its window is
