@@ -47,33 +47,44 @@ def doc_shingles(tokens: DataFrame) -> DataFrame:
     )
 
 
+def _hash_j(j: int) -> F.Column:
+    return ((F.lit(A_MULT * j + A_OFF) * F.col("sh")
+             + F.lit(B_MULT * j + B_OFF)) % MINHASH_P)
+
+
 def minhash_signatures(tokens: DataFrame, k: int = MINHASH_K) -> DataFrame:
-    """MinHash signature per doc: sig[j] = min over shingles of
-    (a_j*sh + b_j) mod p, computed relationally (doc × j grid, min-agg)."""
-    sh = doc_shingles(tokens)
-    hashes = sh.select(
-        "doc_id", "sh",
-        F.explode(F.expr(f"sequence(0, {k - 1})")).alias("j"),
-    ).select(
-        "doc_id", "j",
-        (((F.lit(A_MULT) * F.col("j") + A_OFF) * F.col("sh")
-          + (F.lit(B_MULT) * F.col("j") + B_OFF)) % MINHASH_P).alias("hv"),
+    """MinHash signature per doc, WIDE form: one shuffle keyed doc_id
+    with k min-aggregate columns (map-side partial min does most of the
+    work). The naive relational form — explode a doc×k grid then
+    min-agg — moves k× the rows through the shuffle; at 10^12 docs that
+    k× is the whole game. min() is duplicate-insensitive, so the
+    per-doc shingle distinct (a second shuffle) is skipped too.
+    """
+    sh = (
+        tokens.select("doc_id", F.explode("tokens").alias("t"))
+        .select("doc_id", (F.col("t") % SHINGLE_MOD).alias("sh"))
     )
-    return hashes.groupBy("doc_id", "j").agg(F.min("hv").alias("sig"))
+    return sh.groupBy("doc_id").agg(
+        *[F.min(_hash_j(j)).alias(f"s{j}") for j in range(k)])
 
 
 def minhash_band_buckets(tokens: DataFrame) -> DataFrame:
     """Band each signature: bucket id = positional combine of the band's
-    rows. Docs sharing a (band, bucket) are near-dup candidates."""
+    rows (sum of sig*31^pos), computed straight from the wide signature
+    columns — no second aggregation. Docs sharing a (band, bucket) are
+    near-dup candidates."""
     rows_per_band = MINHASH_K // MINHASH_BANDS
-    sig = minhash_signatures(tokens)
+    wide = minhash_signatures(tokens)
+    bands = []
+    for b in range(MINHASH_BANDS):
+        bucket = None
+        for p in range(rows_per_band):
+            term = F.col(f"s{b * rows_per_band + p}").cast("bigint") * (31 ** p)
+            bucket = term if bucket is None else bucket + term
+        bands.append(F.struct(F.lit(b).alias("band"), bucket.alias("bucket")))
     return (
-        sig
-        .withColumn("band", (F.col("j") / rows_per_band).cast("int"))
-        .withColumn("pos", F.col("j") % rows_per_band)
-        .groupBy("doc_id", "band")
-        .agg(F.sum(F.col("sig") * F.pow(F.lit(31.0), F.col("pos")).cast("bigint"))
-             .cast("bigint").alias("bucket"))
+        wide.select("doc_id", F.explode(F.array(*bands)).alias("bb"))
+        .select("doc_id", "bb.band", "bb.bucket")
     )
 
 

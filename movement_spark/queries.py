@@ -858,6 +858,63 @@ def q_asof(spark, sf_dir):
     )
 
 
+@register("order_value_quantiles", """
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+       round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+       COUNT(*) AS n
+FROM orders GROUP BY o_orderstatus
+""")
+def q_quantiles(spark, sf_dir):
+    """Exact quantiles (selection + linear interpolation — deterministic
+    across engines, unlike approx sketches). At 100 TB swap
+    percentile() for percentile_approx(): same plan shape, bounded
+    memory; the exact form here doubles as that path's accuracy
+    oracle."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+             F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+             F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+             F.count("*").alias("n"))
+    )
+
+
+KMV_A, KMV_B, KMV_P, KMV_K = 48271, 11, (1 << 31) - 1, 64
+
+
+@register("kmv_distinct_sketch", f"""
+WITH hashes AS (
+  SELECT DISTINCT ({KMV_A} * o_custkey + {KMV_B}) % {KMV_P} AS h
+  FROM orders),
+small AS (SELECT h FROM hashes ORDER BY h ASC LIMIT {KMV_K})
+SELECT COUNT(*) AS k, MAX(h) AS kth_min,
+       CAST(floor(CAST({KMV_K} - 1 AS BIGINT) * {KMV_P} * 1.0 / MAX(h)) AS BIGINT) AS est_distinct
+FROM small
+""")
+def q_kmv(spark, sf_dir):
+    """KMV (k-minimum-values) distinct-count sketch with a DETERMINISTIC
+    hash (a*x+b mod p, injective for keys < p) so the sketch itself is
+    oracle-exact — the bounded-memory cardinality path for 10^12-key
+    streams where countDistinct's shuffle is unaffordable. est ≈
+    (k-1)*p/h_k; mergeable across partitions by keeping the k smallest
+    of a union (the partial-agg shape Spark already plans for min-k)."""
+    orders = load_table(spark, sf_dir, "orders")
+    hashes = (
+        orders.select(
+            ((F.lit(KMV_A) * F.col("o_custkey") + KMV_B) % KMV_P).alias("h"))
+        .distinct()
+    )
+    small = hashes.orderBy(F.asc("h")).limit(KMV_K)
+    return small.agg(
+        F.count("*").alias("k"),
+        F.max("h").alias("kth_min"),
+        F.floor((KMV_K - 1) * F.lit(float(KMV_P)) / F.max("h"))
+        .cast("bigint").alias("est_distinct"))
+
+
 @register("funnel_detection", """
 WITH w AS (
   SELECT user_id, ts, event_id, event_type,

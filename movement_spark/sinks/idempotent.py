@@ -71,12 +71,21 @@ class IdempotentKeyedSink:
         )
 
     def compact(self, spark: SparkSession) -> None:
-        """MERGE-on-write: collapse epochs into one deduped snapshot."""
+        """MERGE-on-write: collapse epochs into one deduped snapshot and
+        reclaim the replaced epoch directories (the transaction-log
+        truncation step — without it MERGE-on-read cost grows with
+        replay history)."""
+        import shutil
         snap = self.read(spark)
         tmp = os.path.join(self.path, "_compacted")
         snap.write.mode("overwrite").parquet(tmp)
+        old = [d for d in os.listdir(self.path) if d.startswith("epoch=")]
         final = spark.read.parquet(tmp)
         final.write.mode("overwrite").parquet(os.path.join(self.path, "epoch=0"))
+        for d in old:
+            if d != "epoch=0":
+                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
 
     def drop_storage(self) -> None:
         """Output.dropStorage analog (Output.java:37)."""

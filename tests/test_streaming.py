@@ -119,6 +119,26 @@ def test_cep_module_gates_cleanly(spark, sf_dir):
             cep.doc_completion(src)
 
 
+def test_sink_compact_preserves_merge_on_read_view(spark):
+    """compact() (MERGE-on-write) must materialize exactly what read()
+    (MERGE-on-read) showed: same rows, replayed epochs collapsed."""
+    from movement_spark.sinks.idempotent import IdempotentKeyedSink
+    sink = IdempotentKeyedSink(_mkdir(), ["k"])
+    df1 = spark.createDataFrame([(1, 10), (2, 20)], "k INT, v INT")
+    df2 = spark.createDataFrame([(2, 99), (3, 30)], "k INT, v INT")
+    sink.foreach_batch(df1, 0)
+    sink.foreach_batch(df2, 1)
+    sink.foreach_batch(df2, 1)  # replay of epoch 1
+    before = {(r.k, r.v) for r in sink.read(spark).collect()}
+    assert before == {(1, 10), (2, 99), (3, 30)}
+    sink.compact(spark)
+    after = {(r.k, r.v) for r in sink.read(spark).collect()}
+    assert after == before
+    import os as _os
+    epochs = [d for d in _os.listdir(sink.path) if d.startswith("epoch=")]
+    assert epochs == ["epoch=0"], "compaction must reclaim replaced epochs"
+
+
 def test_late_rows_dropped_by_watermark(spark):
     """Dangling-edge analog (TinkerPopGraphEncoder.java:103-110 drop
     policy): a row arriving after the watermark passed its window is
