@@ -148,6 +148,64 @@ def ngram_jaccard_pairs(tokens: DataFrame, sample_mod: int = 25,
     )
 
 
+def dup_cluster_labels(tokens: DataFrame, sample_mod: int = 25,
+                       max_iters: int = 20) -> DataFrame:
+    """Connected components over the near-dup candidate graph: group
+    pairwise matches into duplicate CLUSTERS (the step that turns pair
+    lists into keep-one-per-cluster dedup decisions).
+
+    Iterative min-label propagation: every doc starts labeled with its
+    own numeric id; each round every doc takes the min label among
+    itself and its neighbors; fixpoint = components labeled by their
+    min member. Each round is one shuffle (edge join + min-agg) over
+    O(E) rows — the label-propagation shape that scales where a
+    driver-side union-find cannot; rounds needed = graph diameter
+    (near-dup clusters are shallow). The loop is driver-side CONTROL
+    only — all data stays distributed; convergence is checked with a
+    single scalar aggregate per round.
+    """
+    verts = (
+        tokens.where(F.col("did") % sample_mod == 0)
+        .select("doc_id", "did").distinct()
+    )
+    pairs = ngram_jaccard_pairs(tokens, sample_mod=sample_mod) \
+        .select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"),
+                     F.col("doc_a").alias("doc_b")))
+    labels = verts.select("doc_id", F.col("did").alias("label"))
+    edges = edges.cache()
+    for _ in range(max_iters):
+        labels = labels.cache()
+        neighbor_min = (
+            edges.join(labels, edges.doc_a == labels.doc_id)
+            .groupBy(F.col("doc_b").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select("doc_id",
+                    F.least("label", F.coalesce("nbr_label", "label"))
+                    .alias("label"))
+        )
+        updated = updated.cache()
+        changed = (
+            labels.select(F.sum("label").alias("s")).collect()[0].s
+            != updated.select(F.sum("label").alias("s")).collect()[0].s
+        )
+        labels.unpersist()
+        if not changed:
+            labels = updated
+            break
+        labels = updated
+    return (
+        labels.groupBy("label")
+        .agg(F.count("*").alias("n_docs"),
+             F.min("doc_id").alias("rep_doc"))
+        .select(F.col("label").alias("component"), "n_docs", "rep_doc")
+    )
+
+
 def simhash_docs(tokens: DataFrame, sample_mod: int = 50) -> DataFrame:
     """32-bit SimHash per sampled doc, from coarse shingles.
 

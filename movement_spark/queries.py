@@ -27,7 +27,7 @@ from movement_spark.operators.ordering import merged_doc_check
 from movement_spark.session import tune_session
 from movement_spark.sources.tables import load_table
 from movement_spark.sources.tokens import (
-    token_sequences, with_token_cte,
+    token_sequences, with_token_cte, TOKEN_SEQ_DUCKDB_CTE,
     TOK_MULT, SEQ_MULT, POS_MULT, TOK_MOD, LEN_MOD, TS_MOD, EPOCH_2026,
 )
 
@@ -491,6 +491,51 @@ SELECT doc_id,
                      ELSE 0 END) AS BIGINT) AS simhash
 FROM votes GROUP BY doc_id
 """)
+
+
+_CLUSTER_SQL = f"""
+WITH RECURSIVE {{token_cte}},
+sample_docs AS (SELECT * FROM token_sequences WHERE did % 25 = 0),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(CASE WHEN n_tok >= 2 THEN
+           list_transform(range(0, n_tok - 1), i ->
+             CAST(tokens[i + 1] % {dedup.JACCARD_MOD} AS BIGINT) * {dedup.JACCARD_MOD}
+             + CAST(tokens[i + 2] % {dedup.JACCARD_MOD} AS BIGINT))
+           ELSE CAST([] AS BIGINT[]) END) AS g
+  FROM sample_docs),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE n_inter * 100 >= sa.sz + sb.sz - n_inter),
+verts AS (SELECT DISTINCT doc_id, did FROM sample_docs),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach AS (
+  SELECT doc_id AS doc, did AS label FROM verts
+  UNION
+  SELECT e.dst AS doc, r.label AS label FROM reach r JOIN edges e ON e.src = r.doc),
+comp AS (SELECT doc, MIN(label) AS component FROM reach GROUP BY doc)
+SELECT component, COUNT(*) AS n_docs, MIN(doc) AS rep_doc
+FROM comp GROUP BY component
+"""
+
+
+@register("dedup_cluster_components",
+          _CLUSTER_SQL.format(token_cte=TOKEN_SEQ_DUCKDB_CTE))
+def q_dup_clusters(spark, sf_dir):
+    """Duplicate clusters: near-dup pairs → connected components via
+    iterative min-label propagation (oracle: DuckDB recursive CTE). The
+    cluster representative (min doc) is the keep-one decision of a
+    dedup pipeline."""
+    return dedup.dup_cluster_labels(
+        token_sequences(spark, sf_dir, keep_did=True))
 
 
 @register("simhash_docs", _SIMHASH_SQL)
