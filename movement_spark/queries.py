@@ -1153,6 +1153,19 @@ def q_streaming_sliding(spark, sf_dir):
     return run_streaming_sliding(spark, sf_dir)
 
 
+@register("streaming_update_mode", with_token_cte("""
+SELECT CAST(epoch(time_bucket(INTERVAL 5 MINUTES, ts)) AS BIGINT) AS ws,
+       source,
+       COUNT(*) AS n_seq,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tok
+FROM token_sequences
+GROUP BY 1, 2
+"""))
+def q_streaming_update(spark, sf_dir):
+    from movement_spark.streaming.pipeline import run_streaming_update_mode
+    return run_streaming_update_mode(spark, sf_dir)
+
+
 @register("streaming_enriched_pipeline", with_token_cte("""
 SELECT CAST(epoch(time_bucket(INTERVAL 5 MINUTES, ts)) AS BIGINT) AS ws,
        d.lang AS lang,

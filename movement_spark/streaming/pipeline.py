@@ -226,6 +226,52 @@ def run_streaming_dedup(spark: SparkSession, sf_dir: str,
     return sink.read(spark)
 
 
+def run_streaming_update_mode(spark: SparkSession, sf_dir: str,
+                              width: str = "5 minutes",
+                              watermark: str = "10 minutes",
+                              stage_dir: str | None = None,
+                              sink_dir: str | None = None,
+                              checkpoint_dir: str | None = None,
+                              listener=None) -> DataFrame:
+    """Update-mode tumbling aggregate through the keyed upsert sink: each
+    trigger emits the CURRENT value of every changed window and the sink's
+    max-epoch-per-key read resolves to the latest — the MERGE-upsert
+    pattern (vs append mode's emit-once-on-watermark-close). No flush
+    sentinel is needed: results don't wait on the watermark, late
+    refinements simply supersede. The trade at scale: update mode
+    re-emits hot windows every trigger (more sink I/O), append emits
+    exactly once per window (more latency) — both end states are
+    oracle-equal, which this query proves."""
+    stage = stage_dir or _tmp("msu_stage_")
+    if not (os.path.isdir(stage) and os.listdir(stage)):
+        stage_token_stream(spark, sf_dir, stage, sentinel=False)
+    src = read_token_stream(spark, stage)
+    agg = (
+        src.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "source")
+        .agg(F.count("*").alias("n_seq"),
+             F.sum("n_tok").cast("bigint").alias("sum_tok"))
+        .select(F.unix_timestamp("w.start").alias("ws"), "source",
+                "n_seq", "sum_tok")
+    )
+    sink = IdempotentKeyedSink(sink_dir or _tmp("msu_sink_"), ["ws", "source"])
+    spark_ = agg.sparkSession
+    if listener is not None:
+        spark_.streams.addListener(listener)
+    q = (
+        agg.writeStream
+        .outputMode("update")
+        .foreachBatch(sink.foreach_batch)
+        .option("checkpointLocation", checkpoint_dir or _tmp("msu_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if listener is not None:
+        spark_.streams.removeListener(listener)
+    return sink.read(spark)
+
+
 def run_streaming_enriched(spark: SparkSession, sf_dir: str,
                            width: str = "5 minutes",
                            watermark: str = "10 minutes",
