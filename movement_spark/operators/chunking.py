@@ -56,6 +56,43 @@ def two_phase_agg(df: DataFrame, key: str, aggs: dict[str, Column],
         *[F.sum(name).alias(name) for name in aggs])
 
 
+def allocate_output_ids(df: DataFrame, order_cols: list[str],
+                        partitions: int = 32,
+                        id_col: str = "out_id") -> DataFrame:
+    """Gap-free, unique, deterministic 1-based output ids in the total
+    order of ``order_cols`` — the OutputIdDriver contract
+    (RangedOutputIdDriver.java:57-62) WITHOUT its global atomic counter
+    and WITHOUT the naive `row_number() OVER (ORDER BY ...)` plan, which
+    funnels every row through ONE task.
+
+    Two-phase (the scalable zipWithIndex): range-partition on the order
+    keys, number rows locally within each sorted partition, then add
+    each partition's cumulative row-count offset (tiny driver-side
+    prefix sum over `partitions` counts, broadcast back). Determinism:
+    Spark's RangePartitioner samples with a fixed seed, and the ids are
+    offset-corrected so boundaries don't affect the result anyway.
+    """
+    from pyspark.sql.window import Window
+
+    ranged = df.repartitionByRange(partitions, *[F.col(c) for c in order_cols])
+    w = Window.partitionBy(F.spark_partition_id()).orderBy(*order_cols)
+    local = ranged.withColumn("_pid", F.spark_partition_id()) \
+                  .withColumn("_rn", F.row_number().over(w))
+    counts = {r._pid: r.n for r in
+              local.groupBy("_pid").agg(F.count("*").alias("n")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_df = local.sparkSession.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "_pid INT, _off BIGINT")
+    return (
+        local.join(F.broadcast(off_df), "_pid")
+        .withColumn(id_col, (F.col("_off") + F.col("_rn")).cast("bigint"))
+        .drop("_pid", "_rn", "_off")
+    )
+
+
 def chunk_stats(df: DataFrame, key: str, buckets: int = 16) -> DataFrame:
     """Observability for the work-queue layout: per-bucket row/doc counts —
     the WORK_CHUNKS counter analog (WorkChunkDriver.java:37)."""

@@ -1053,14 +1053,14 @@ FROM ids GROUP BY 1
 """))
 def q_output_ids(spark, sf_dir):
     """OutputIdDriver analog (RangedOutputIdDriver.java:57-62):
-    deterministic, gap-free, unique output id allocation — as
-    row_number over a total order instead of a shared atomic counter
-    (which would serialize a cluster). Bucketed stats prove coverage
-    and uniqueness as scalars."""
-    from pyspark.sql.window import Window
+    deterministic, gap-free, unique output id allocation in a total
+    order — via the two-phase range-partitioned allocator (a global
+    `row_number() OVER (ORDER BY ...)` would funnel 10^12 rows through
+    one task; a shared atomic counter would serialize the cluster).
+    Bucketed stats prove coverage and uniqueness as scalars."""
+    from movement_spark.operators.chunking import allocate_output_ids
     t = token_sequences(spark, sf_dir)
-    ids = t.withColumn(
-        "out_id", F.row_number().over(Window.orderBy("doc_id", "seq")))
+    ids = allocate_output_ids(t, ["doc_id", "seq"], partitions=16)
     return (
         ids.withColumn("bucket", (F.col("out_id") % 10).cast("int"))
         .groupBy("bucket")

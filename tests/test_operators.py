@@ -3,7 +3,8 @@
 from pyspark.sql import functions as F
 
 from movement_spark.operators.chunking import (
-    salted_repartition, two_phase_agg, partition_skew_report,
+    allocate_output_ids, salted_repartition, two_phase_agg,
+    partition_skew_report,
 )
 from movement_spark.operators.ordering import merge_doc_shards
 from movement_spark.sources.tokens import token_sequences
@@ -57,3 +58,23 @@ def test_two_phase_agg_equals_plain_agg(spark, sf_dir):
         {"s": F.sum("n_tok"), "c": F.count("*")}, salt_buckets=4)
     assert plain.exceptAll(salted).count() == 0
     assert salted.exceptAll(plain).count() == 0
+
+
+def test_output_ids_unique_gap_free_and_ordered(spark, sf_dir):
+    """OutputIdDriver contract (TestDriver.java:95-127: 1000 parallel
+    consumers must see 100k UNIQUE ids): the two-phase allocator must
+    produce exactly 1..N with no dupes/gaps, in the requested total
+    order, across multiple range partitions."""
+    t = token_sequences(spark, sf_dir)
+    n = t.count()
+    ids = allocate_output_ids(t, ["doc_id", "seq"], partitions=8)
+    stats = ids.agg(F.min("out_id").alias("lo"),
+                    F.max("out_id").alias("hi"),
+                    F.countDistinct("out_id").alias("d")).collect()[0]
+    assert (stats.lo, stats.hi, stats.d) == (1, n, n)
+    # total-order correctness vs the single-partition reference plan
+    from pyspark.sql.window import Window
+    ref = t.withColumn(
+        "ref_id", F.row_number().over(Window.orderBy("doc_id", "seq")))
+    joined = ids.join(ref, ["doc_id", "seq"])
+    assert joined.where(F.col("out_id") != F.col("ref_id")).count() == 0
