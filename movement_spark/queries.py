@@ -903,6 +903,54 @@ def q_asof(spark, sf_dir):
     )
 
 
+@register("json_props_stats", """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS INT) AS max_k,
+       CAST(SUM(CASE WHEN CAST(json_extract(props, '$.k') AS INTEGER) > 50
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+FROM events GROUP BY event_type
+""")
+def q_json_props(spark, sf_dir):
+    """Semi-structured extraction: typed from_json over the JSON props
+    column (schema-on-read done ONCE into a typed struct — the
+    schema-probe step of the reference's emitters, GraphCSVDecoder-style,
+    but per-expression). Stays JVM-side; no Python JSON parsing."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json("props", "k INT").getField("k")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.sum("k").cast("bigint").alias("sum_k"),
+             F.max("k").cast("int").alias("max_k"),
+             F.sum((F.col("k") > 50).cast("int")).cast("bigint").alias("n_high"))
+    )
+
+
+@register("validation_audit", with_token_cte("""
+SELECT violation, COUNT(*) AS n_rows FROM (
+  SELECT unnest(CASE WHEN did % 97 = 0 THEN ['n_tok_match']
+                     ELSE CAST([NULL] AS VARCHAR[]) END) AS violation
+  FROM token_sequences) GROUP BY violation
+"""))
+def q_validation(spark, sf_dir):
+    """ErrorHandler/DLQ surface (ErrorHandler.java:20-35): per-row rule
+    violations collected as data, not exceptions. A deterministic
+    corruption (did % 97) breaks the n_tok invariant; the audit counts
+    rows per violated rule (NULL bucket = valid rows)."""
+    from movement_spark.operators.validate import violation_stats
+    t = token_sequences(spark, sf_dir, keep_did=True)
+    corrupted = t.withColumn(
+        "n_tok",
+        F.col("n_tok") + (F.col("did") % 97 == 0).cast("int"))
+    return violation_stats(corrupted, {
+        "n_tok_match": F.col("n_tok") == F.size("tokens"),
+        "source_present": F.col("source").isNotNull(),
+    })
+
+
 @register("order_value_quantiles", """
 SELECT o_orderstatus,
        round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
@@ -1151,6 +1199,19 @@ GROUP BY 1, 2
 def q_streaming_sliding(spark, sf_dir):
     from movement_spark.streaming.pipeline import run_streaming_sliding
     return run_streaming_sliding(spark, sf_dir)
+
+
+@register("streaming_events_daily", """
+SELECT CAST(epoch(time_bucket(INTERVAL 1 DAY, ts)) AS BIGINT) AS ws,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(MIN(value), 6) AS min_v,
+       ROUND(MAX(value), 6) AS max_v
+FROM events GROUP BY 1, 2
+""")
+def q_streaming_events(spark, sf_dir):
+    from movement_spark.streaming.pipeline import run_streaming_events
+    return run_streaming_events(spark, sf_dir)
 
 
 @register("streaming_update_mode", with_token_cte("""

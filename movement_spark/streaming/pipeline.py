@@ -226,6 +226,79 @@ def run_streaming_dedup(spark: SparkSession, sf_dir: str,
     return sink.read(spark)
 
 
+EVENTS_SCHEMA = ("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+                 "event_type STRING, value DOUBLE, props STRING")
+EVENTS_FLUSH_TS = pd.Timestamp("2024-03-01")  # beyond the Jan-2024 data
+
+
+def stage_events_stream(spark: SparkSession, sf_dir: str,
+                        stage_dir: str, n_chunks: int = 6) -> int:
+    """Stage the driver-provided events table as event-time-ordered chunk
+    files plus flush sentinels — the same WorkChunkDriver-as-files shape
+    as stage_token_stream, over a REAL (non-derived) table."""
+    os.makedirs(stage_dir, exist_ok=True)
+    pdf = (spark.read.parquet(f"{sf_dir}/events.parquet")
+           .orderBy("ts", "event_id").toPandas())
+    n_rows = len(pdf)
+    arrow_schema = pa.schema([
+        ("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+        ("user_id", pa.int64()), ("event_type", pa.string()),
+        ("value", pa.float64()), ("props", pa.string()),
+    ])
+    base = time.time() - n_chunks - 10
+
+    def _write(part: pd.DataFrame, idx: int) -> None:
+        path = os.path.join(stage_dir, f"chunk_{idx:04d}.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(part, schema=arrow_schema,
+                                 preserve_index=False), path)
+        os.utime(path, (base + idx, base + idx))
+
+    for i, part in enumerate(np.array_split(pdf, n_chunks)):
+        if not part.empty:
+            _write(part, i)
+    for k in range(2):
+        _write(pd.DataFrame({
+            "event_id": [-1], "ts": [EVENTS_FLUSH_TS + pd.Timedelta(minutes=k)],
+            "user_id": [-1], "event_type": [SENTINEL], "value": [0.0],
+            "props": ["{}"],
+        }), n_chunks + k)
+    return n_rows
+
+
+def run_streaming_events(spark: SparkSession, sf_dir: str,
+                         width: str = "1 day",
+                         watermark: str = "1 day",
+                         stage_dir: str | None = None,
+                         sink_dir: str | None = None,
+                         checkpoint_dir: str | None = None,
+                         listener=None) -> DataFrame:
+    """Daily per-type event stats as a watermarked streaming pipeline
+    over the events table (min/max are order-independent, so the
+    float column stays oracle-exact where a streamed SUM of doubles
+    would not be)."""
+    stage = stage_dir or _tmp("msev_stage_")
+    if not (os.path.isdir(stage) and os.listdir(stage)):
+        stage_events_stream(spark, sf_dir, stage)
+    src = (spark.readStream.schema(EVENTS_SCHEMA)
+           .option("maxFilesPerTrigger", 1).parquet(stage))
+    flush_cut = F.lit(EVENTS_FLUSH_TS.to_pydatetime()).cast("timestamp")
+    agg = (
+        src.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.min("value"), 6).alias("min_v"),
+             F.round(F.max("value"), 6).alias("max_v"))
+        .where(F.col("w.start") < flush_cut)
+        .select(F.unix_timestamp("w.start").alias("ws"), "event_type",
+                "n_events", "min_v", "max_v")
+    )
+    sink = IdempotentKeyedSink(sink_dir or _tmp("msev_sink_"),
+                               ["ws", "event_type"])
+    _run_to_sink(agg, sink, checkpoint_dir or _tmp("msev_ck_"), listener)
+    return sink.read(spark)
+
+
 def run_streaming_update_mode(spark: SparkSession, sf_dir: str,
                               width: str = "5 minutes",
                               watermark: str = "10 minutes",

@@ -78,3 +78,24 @@ def test_output_ids_unique_gap_free_and_ordered(spark, sf_dir):
         "ref_id", F.row_number().over(Window.orderBy("doc_id", "seq")))
     joined = ids.join(ref, ["doc_id", "seq"])
     assert joined.where(F.col("out_id") != F.col("ref_id")).count() == 0
+
+
+def test_validation_split_routes_dead_letters(spark, sf_dir):
+    """ErrorHandler policy as data: corrupted rows land on the DLQ path
+    WITH their violation reasons; good rows pass through unmarked; the
+    two paths partition the input exactly."""
+    from movement_spark.operators.validate import split_valid
+    t = token_sequences(spark, sf_dir, keep_did=True)
+    corrupted = t.withColumn(
+        "n_tok", F.col("n_tok") + (F.col("did") % 97 == 0).cast("int"))
+    good, bad = split_valid(corrupted, {
+        "n_tok_match": F.col("n_tok") == F.size("tokens"),
+        "source_present": F.col("source").isNotNull(),
+    })
+    n_corrupt = corrupted.where(F.col("did") % 97 == 0).count()
+    assert bad.count() == n_corrupt > 0
+    assert good.count() + bad.count() == corrupted.count()
+    assert "_violations" not in good.columns
+    reasons = {r.v for r in
+               bad.select(F.explode("_violations").alias("v")).collect()}
+    assert reasons == {"n_tok_match"}
