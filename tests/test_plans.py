@@ -76,3 +76,33 @@ def test_no_cartesian_products_in_registry_samples(spark, sf_dir):
         load_table(spark, sf_dir, "customer"))
     txt = explain_text(df)
     assert "CartesianProduct" not in txt
+
+
+def test_registry_wide_plan_guardrails(spark, sf_dir):
+    """Sweep EVERY batch query's physical plan: no CartesianProduct
+    anywhere, Python stages only where the semantics demand them
+    (multimodal binary extraction). Streaming queries are excluded —
+    calling them runs real pipelines; their plan discipline is enforced
+    by the pipeline code itself."""
+    from movement_spark import queries as Q
+    from movement_spark.plans.audit import explain_text
+
+    PYTHON_ALLOWED = {"multimodal_feature_stats", "multimodal_frame_sample"}
+    # these execute work eagerly when CALLED (writes, iterative loops) —
+    # plan text of the returned frame is still checked
+    skip = {n for n in Q.queries() if n.startswith("streaming_")}
+    offenders = []
+    for name, fn in Q.queries().items():
+        if name in skip:
+            continue
+        txt = explain_text(fn(spark, sf_dir))
+        if "CartesianProduct" in txt:
+            offenders.append((name, "CartesianProduct"))
+        has_python = any(m in txt for m in (
+            "BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+            "FlatMapGroupsInPandas"))
+        if has_python and name not in PYTHON_ALLOWED:
+            offenders.append((name, "unexpected Python stage"))
+        if not has_python and name in PYTHON_ALLOWED:
+            offenders.append((name, "expected Python stage missing"))
+    assert not offenders, offenders

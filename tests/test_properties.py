@@ -1,0 +1,91 @@
+"""Property-based tests (hypothesis) for the zip mechanics and ordering.
+
+The reference's runtime test randomizes thread/batch parameters over 20
+loops (TestLocalParallelStreamRuntime.java:43-59); the disciplined form
+of that idea is property testing against an executable model: each
+distributed operator is compared to a few-line pure-Python simulation
+of the PAPER's semantics (cycle/pinion/slip-wheel, SURVEY.md §1.4) over
+many generated gear sizes. derandomize keeps CI deterministic.
+"""
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from movement_spark.operators.mechanics import pinion_zip, slip_wheel, zip_uneven
+
+SET = settings(max_examples=8, deadline=None, derandomize=True)
+
+
+def _gear(spark, vals, col):
+    return spark.createDataFrame([(v,) for v in vals], f"{col} INT")
+
+
+def _model_pinion(a, b, rotations):
+    """Pure-Python PinionSystem: A runs `rotations` turns, B restarts
+    when exhausted (PinionSystem.java:104-113)."""
+    out = []
+    gpos = 0
+    for _ in range(rotations):
+        for x in a:
+            out.append((x, b[gpos % len(b)]))
+            gpos += 1
+    return sorted(out)
+
+
+@SET
+@given(na=st.integers(1, 7), nb=st.integers(1, 7), rot=st.integers(1, 3))
+def test_pinion_matches_model(spark, na, nb, rot):
+    a = [10 + i for i in range(na)]
+    b = [100 + i for i in range(nb)]
+    df = pinion_zip(_gear(spark, a, "x"), _gear(spark, b, "y"), "x", "y",
+                    rotations=rot)
+    got = sorted((r.x, r.y) for r in df.select("x", "y").collect())
+    assert got == _model_pinion(a, b, rot)
+
+
+@SET
+@given(na=st.integers(1, 6), k=st.integers(1, 4))
+def test_slip_wheel_matches_model(spark, na, k):
+    a = [10 + i for i in range(na)]
+    b = [100 + i for i in range(na * k)]  # exactly k notches per A element
+    df = slip_wheel(_gear(spark, a, "x"), _gear(spark, b, "y"), "x", "y",
+                    notches=k)
+    got = sorted((r.x, r.y) for r in df.select("x", "y").collect())
+    model = sorted((a[i], b[i * k + j]) for i in range(na) for j in range(k))
+    assert got == model
+
+
+@SET
+@given(na=st.integers(0, 5), nb=st.integers(0, 5))
+def test_zip_uneven_covers_both_tails(spark, na, nb):
+    if na == 0 and nb == 0:
+        return
+    a = [10 + i for i in range(na)]
+    b = [100 + i for i in range(nb)]
+    df = zip_uneven(_gear(spark, a, "x"), _gear(spark, b, "y"), "x", "y")
+    rows = df.select("pos", "x", "y").collect()
+    assert len(rows) == max(na, nb)
+    nulls_x = sum(1 for r in rows if r.x is None)
+    nulls_y = sum(1 for r in rows if r.y is None)
+    assert nulls_x == max(na, nb) - na
+    assert nulls_y == max(na, nb) - nb
+
+
+@SET
+@given(seed=st.integers(0, 10_000))
+def test_merge_digest_invariant_under_shuffle(spark, sf_dir, seed):
+    """The ordered-merge digest must be invariant to ANY input row order
+    (the engine may not rely on arrival order — Movement's threads never
+    guaranteed one)."""
+    from movement_spark.operators.ordering import merged_doc_check
+    from movement_spark.sources.tokens import token_sequences
+    t = token_sequences(spark, sf_dir).limit(40)
+    shuffled = (
+        t.withColumn("_r", F.pmod(F.xxhash64(F.col("doc_id"), F.col("seq"),
+                                             F.lit(seed)), F.lit(997)))
+        .orderBy("_r").drop("_r").repartition(5)
+    )
+    base = merged_doc_check(t).orderBy("doc_id").collect()
+    perm = merged_doc_check(shuffled).orderBy("doc_id").collect()
+    assert [tuple(r) for r in base] == [tuple(r) for r in perm]
