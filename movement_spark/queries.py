@@ -975,7 +975,12 @@ def q_quantiles(spark, sf_dir):
     )
 
 
-KMV_A, KMV_B, KMV_P, KMV_K = 48271, 11, (1 << 31) - 1, 64
+# The multiplier must be large enough that a*x WRAPS p many times even
+# for small consecutive key ranges — with a small multiplier the hashes
+# of keys 0..n form a short arithmetic progression near zero and the
+# k-th minimum wildly under-represents the range (estimate off by 100×+,
+# caught by tests/test_sketches.py::test_kmv_estimate_within_20pct).
+KMV_A, KMV_B, KMV_P, KMV_K = 1_103_515_245, 12_345, (1 << 31) - 1, 64
 
 
 @register("kmv_distinct_sketch", f"""

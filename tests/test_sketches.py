@@ -1,0 +1,56 @@
+"""Accuracy gates for the at-scale approximate paths.
+
+The oracle-gated queries use EXACT forms (countDistinct, percentile,
+KMV with deterministic hash) because hash parity demands bit equality.
+At 10^12 rows the production plans swap in approx sketches; these tests
+pin each approximation's error against its exact counterpart on the
+same data, so the swap is a measured trade, not a leap.
+"""
+
+from pyspark.sql import functions as F
+
+from movement_spark.sources.tables import load_table
+from movement_spark.sources.tokens import token_sequences
+
+
+def test_hll_distinct_within_5pct(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    row = orders.agg(
+        F.countDistinct("o_custkey").alias("exact"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) / row.exact < 0.05
+
+
+def test_approx_percentile_within_1pct(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    row = orders.agg(
+        F.expr("percentile(o_totalprice, 0.9)").alias("exact"),
+        F.expr("percentile_approx(o_totalprice, 0.9, 1000)").alias("approx"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) / row.exact < 0.01
+
+
+def test_kmv_estimate_within_20pct(spark, sf_dir):
+    """The oracle-exact KMV sketch (k=64) must also be a sane estimator:
+    (k-1)*p/h_k lands within the ~1/sqrt(k) band of the true count."""
+    from movement_spark.queries import queries
+    est = queries()["kmv_distinct_sketch"](spark, sf_dir).collect()[0]
+    truth = (load_table(spark, sf_dir, "orders")
+             .agg(F.countDistinct("o_custkey")).collect()[0][0])
+    assert abs(est.est_distinct - truth) / truth < 0.20
+
+
+def test_minhash_bands_find_true_near_dups(spark, sf_dir):
+    """Recall sanity for LSH banding: docs sharing a band bucket must
+    exist (the synthetic corpus's coarse shingle space guarantees
+    near-dups), and every doc lands in exactly MINHASH_BANDS buckets."""
+    from movement_spark.operators.dedup import (
+        MINHASH_BANDS, minhash_band_buckets)
+    t = token_sequences(spark, sf_dir)
+    buckets = minhash_band_buckets(t)
+    n_docs = t.select("doc_id").distinct().count()
+    assert buckets.count() == n_docs * MINHASH_BANDS
+    collisions = (buckets.groupBy("band", "bucket")
+                  .count().where(F.col("count") > 1).count())
+    assert collisions > 0
