@@ -162,6 +162,7 @@ def run_streaming_tumbling(spark: SparkSession, sf_dir: str,
                            stage_dir: str | None = None,
                            sink_dir: str | None = None,
                            checkpoint_dir: str | None = None,
+                           files_per_trigger: int = 1,
                            listener=None) -> DataFrame:
     """Streaming flagship: watermarked tumbling per-source token
     throughput through the exactly-once sink; returns final sink table
@@ -169,7 +170,7 @@ def run_streaming_tumbling(spark: SparkSession, sf_dir: str,
     stage = stage_dir or _tmp("ms_stage_")
     if not (os.path.isdir(stage) and os.listdir(stage)):
         stage_token_stream(spark, sf_dir, stage)
-    src = read_token_stream(spark, stage)
+    src = read_token_stream(spark, stage, files_per_trigger)
     # NOTE: the sentinel must be dropped by a predicate on the WINDOW
     # column. A filter on any other column (e.g. source) is pushed by the
     # optimizer through the aggregate AND the EventTimeWatermark node down

@@ -222,3 +222,21 @@ def test_metrics_listener_counts_rows(spark, sf_dir):
     assert s["io_ops"] == 1252
     assert s["batches"] >= 3
     assert s["avg_rows_per_sec"] > 0
+
+
+def test_results_invariant_to_microbatch_boundaries(spark, sf_dir):
+    """Micro-batch boundaries are an EXECUTION detail, never semantics:
+    the same staged input consumed 1 file/trigger vs 4 files/trigger
+    must leave identical sink contents (watermark advancement differs
+    per batch; late-enough watermarks make the outcome equal)."""
+    stage = _mkdir()
+    stage_token_stream(spark, sf_dir, stage)
+    one = run_streaming_tumbling(spark, sf_dir, stage_dir=stage,
+                                 sink_dir=_mkdir(), checkpoint_dir=_mkdir(),
+                                 files_per_trigger=1)
+    four = run_streaming_tumbling(spark, sf_dir, stage_dir=stage,
+                                  sink_dir=_mkdir(), checkpoint_dir=_mkdir(),
+                                  files_per_trigger=4)
+    assert one.count() == four.count()
+    assert one.exceptAll(four).count() == 0
+    assert four.exceptAll(one).count() == 0
