@@ -903,6 +903,74 @@ def q_asof(spark, sf_dir):
     )
 
 
+@register("orders_moving_revenue", """
+WITH daily AS (
+  SELECT CAST(epoch(date_trunc('day', o_orderdate)) AS BIGINT) // 86400 AS day_no,
+         CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1)
+SELECT day_no, revenue,
+       CAST(ROUND(SUM(CAST(revenue AS DECIMAL(18,4)))
+             OVER (ORDER BY day_no RANGE BETWEEN 6 PRECEDING AND CURRENT ROW),
+            2) AS DOUBLE) AS rev_7d,
+       CAST(COUNT(*) OVER (ORDER BY day_no
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS days_in_window
+FROM daily
+""")
+def q_moving_revenue(spark, sf_dir):
+    """RANGE-frame window (vs the ROWS frames used elsewhere): 7-day
+    moving revenue over the daily aggregate — the frame is bound by
+    VALUE distance on the ordering key, so calendar gaps shrink the
+    window instead of reaching further back. One shuffle for the daily
+    agg; the window runs on the tiny aggregate, not the fact table."""
+    from pyspark.sql.window import Window
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy((F.floor(F.unix_timestamp(
+            F.date_trunc("day", F.col("o_orderdate"))) / 86400))
+            .cast("bigint").alias("day_no"))
+        .agg(F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+             .cast("double").alias("revenue"))
+    )
+    w = Window.orderBy("day_no").rangeBetween(-6, 0)
+    return daily.select(
+        "day_no", "revenue",
+        F.round(F.sum(F.col("revenue").cast("decimal(18,4)")).over(w), 2)
+        .cast("double").alias("rev_7d"),
+        F.count("*").over(w).cast("bigint").alias("days_in_window"))
+
+
+@register("repeat_customer_intersect", """
+WITH y95 AS (SELECT DISTINCT o_custkey FROM orders
+             WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+               AND o_orderdate < TIMESTAMP '1996-01-01'),
+y96 AS (SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'),
+both_years AS (SELECT o_custkey FROM y95 INTERSECT SELECT o_custkey FROM y96)
+SELECT c_mktsegment, COUNT(*) AS n_repeat
+FROM both_years JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""")
+def q_intersect(spark, sf_dir):
+    """INTERSECT (set-op coverage beyond UNION/EXCEPT): customers active
+    in consecutive years, per segment."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+
+    def year(y):
+        return (orders.where(
+            (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp")))
+            .select("o_custkey").distinct())
+
+    both = year(1995).intersect(year(1996))
+    return (
+        both.join(customer, both.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_repeat"))
+    )
+
+
 @register("json_props_stats", """
 SELECT event_type,
        COUNT(*) AS n_events,
