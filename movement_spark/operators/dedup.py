@@ -198,6 +198,7 @@ def dup_cluster_labels(tokens: DataFrame, sample_mod: int = 25,
             labels = updated
             break
         labels = updated
+    edges.unpersist()
     return (
         labels.groupBy("label")
         .agg(F.count("*").alias("n_docs"),
