@@ -141,6 +141,50 @@ def media_frame_sample(documents: DataFrame, n_frames: int = N_FRAMES,
     return media.mapInPandas(_sample_frames(n_frames), schema=FRAME_SCHEMA)
 
 
+RESIZE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("orig_bytes", IntegerType()),
+    StructField("resized_bytes", IntegerType()),
+    StructField("resized_checksum", LongType()),
+])
+
+RESIZE_STRIDE = 4
+
+
+def _resize(stride: int):
+    """Deterministic fake resize: stride-decimate the byte stream (the
+    1/k downsample a real PIL `Image.resize` / audio resampler plugs
+    into — same batch shape: binary in, smaller binary + metadata out).
+    Vectorized: one numpy slice per payload, no per-byte Python."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            orig = np.empty(n, dtype=np.int32)
+            new_len = np.empty(n, dtype=np.int32)
+            csum = np.empty(n, dtype=np.int64)
+            for i, payload in enumerate(pdf["payload"].values):
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                small = arr[::stride]
+                orig[i] = arr.size
+                new_len[i] = small.size
+                csum[i] = int(small.sum())
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].values,
+                "orig_bytes": orig,
+                "resized_bytes": new_len,
+                "resized_checksum": csum,
+            })
+    return gen
+
+
+def media_resize(documents: DataFrame, stride: int = RESIZE_STRIDE,
+                 sample_mod: int = 25) -> DataFrame:
+    """Resize pipeline over binary media payloads (sampled)."""
+    media = documents_as_media(
+        documents.where(F.col("doc_id") % sample_mod == 0))
+    return media.mapInPandas(_resize(stride), schema=RESIZE_SCHEMA)
+
+
 def media_feature_stats(documents: DataFrame) -> DataFrame:
     """Aggregate the extracted features per first-byte class — bounded,
     oracle-checkable output."""

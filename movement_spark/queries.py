@@ -1402,6 +1402,21 @@ def q_skew_agg(spark, sf_dir):
              F.col("sum_tok").cast("bigint").alias("sum_tok"))
 
 
+@register("multimodal_resize", f"""
+SELECT doc_id,
+       CAST(n_chars AS INT) AS orig_bytes,
+       CAST((n_chars + {multimodal.RESIZE_STRIDE} - 1) // {multimodal.RESIZE_STRIDE} AS INT)
+         AS resized_bytes,
+       CAST(list_sum(list_transform(
+             range(0, (n_chars + {multimodal.RESIZE_STRIDE} - 1) // {multimodal.RESIZE_STRIDE}),
+             i -> ascii(substring(text, CAST(i * {multimodal.RESIZE_STRIDE} AS INT) + 1, 1))))
+         AS BIGINT) AS resized_checksum
+FROM documents WHERE doc_id % 25 = 0
+""")
+def q_resize(spark, sf_dir):
+    return multimodal.media_resize(load_table(spark, sf_dir, "documents"))
+
+
 @register("multimodal_feature_stats", """
 WITH feats AS (
   SELECT doc_id,

@@ -87,7 +87,8 @@ def test_registry_wide_plan_guardrails(spark, sf_dir):
     from movement_spark import queries as Q
     from movement_spark.plans.audit import explain_text
 
-    PYTHON_ALLOWED = {"multimodal_feature_stats", "multimodal_frame_sample"}
+    PYTHON_ALLOWED = {"multimodal_feature_stats", "multimodal_frame_sample",
+                      "multimodal_resize"}
     # these execute work eagerly when CALLED (writes, iterative loops) —
     # plan text of the returned frame is still checked
     skip = {n for n in Q.queries() if n.startswith("streaming_")}
