@@ -212,21 +212,24 @@ def simhash_docs(tokens: DataFrame, sample_mod: int = 50) -> DataFrame:
 
     bit b of h(sh) with h = (sh * SIMHASH_MULT) mod 2^32; simhash bit b set
     iff sum over shingles of (2*bit-1) > 0. Pure integer/bit arithmetic.
+
+    Wide form (same rewrite as minhash_signatures): the 32 bit-votes are
+    32 sum-aggregate columns in the ONE distinct-shingle shuffle — the
+    doc×32 exploded grid would move 32× the rows. Votes are
+    duplicate-SENSITIVE (unlike min), so the per-doc shingle distinct
+    stays.
     """
     sh = doc_shingles(tokens.where(F.col("did") % sample_mod == 0))
-    bits = sh.select(
-        "doc_id",
-        F.explode(F.expr(f"sequence(0, {SIMHASH_BITS - 1})")).alias("b"),
-        (F.col("sh") * SIMHASH_MULT % F.lit(1 << 32)).alias("hv"),
-    ).select(
-        "doc_id", "b",
-        (F.expr("shiftright(hv, b)") % 2 * 2 - 1).alias("vote"),
-    )
-    return (
-        bits.groupBy("doc_id", "b").agg(F.sum("vote").alias("s"))
-        .withColumn("bitval",
-                    F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), b)"))
-                     .otherwise(F.lit(0).cast("bigint")))
-        .groupBy("doc_id")
-        .agg(F.sum("bitval").cast("bigint").alias("simhash"))
-    )
+    hv = (F.col("sh") * SIMHASH_MULT % F.lit(1 << 32))
+    votes = sh.select("doc_id", hv.alias("hv")).groupBy("doc_id").agg(
+        *[F.sum(F.shiftright(F.col("hv"), b) % 2 * 2 - 1).alias(f"v{b}")
+          for b in range(SIMHASH_BITS)])
+    bit_terms = [
+        F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("bigint"))
+        .otherwise(F.lit(0).cast("bigint"))
+        for b in range(SIMHASH_BITS)
+    ]
+    total = bit_terms[0]
+    for t in bit_terms[1:]:
+        total = total + t
+    return votes.select("doc_id", total.cast("bigint").alias("simhash"))
