@@ -60,9 +60,17 @@ class IdempotentKeyedSink:
         self.batches += 1
 
     # -- read path (MERGE-on-read) ----------------------------------------
-    def read(self, spark: SparkSession) -> DataFrame:
+    def read(self, spark: SparkSession,
+             as_of_epoch: int | None = None) -> DataFrame:
+        """Snapshot view of the sink. ``as_of_epoch`` gives time travel —
+        the table as it stood after that epoch committed (Iceberg's
+        snapshot-id read re-expressed over the epoch log): later epochs
+        are pruned BEFORE the key dedup, and epoch= is a partition
+        column so the prune is directory-level, no data read."""
         df = spark.read.option("basePath", self.path).parquet(
             os.path.join(self.path, "epoch=*"))
+        if as_of_epoch is not None:
+            df = df.where(F.col("epoch") <= as_of_epoch)
         w = Window.partitionBy(*self.keys).orderBy(F.desc("epoch"))
         return (
             df.withColumn("_rn", F.row_number().over(w))

@@ -240,3 +240,16 @@ def test_results_invariant_to_microbatch_boundaries(spark, sf_dir):
     assert one.count() == four.count()
     assert one.exceptAll(four).count() == 0
     assert four.exceptAll(one).count() == 0
+
+
+def test_sink_time_travel_reads_past_snapshots(spark):
+    """as_of_epoch gives the table as it stood after that epoch committed
+    (the Iceberg snapshot-read analog over the epoch log)."""
+    sink = IdempotentKeyedSink(_mkdir(), ["k"])
+    sink.foreach_batch(spark.createDataFrame([(1, 10), (2, 20)], "k INT, v INT"), 0)
+    sink.foreach_batch(spark.createDataFrame([(2, 99), (3, 30)], "k INT, v INT"), 1)
+    at0 = {(r.k, r.v) for r in sink.read(spark, as_of_epoch=0).collect()}
+    at1 = {(r.k, r.v) for r in sink.read(spark, as_of_epoch=1).collect()}
+    latest = {(r.k, r.v) for r in sink.read(spark).collect()}
+    assert at0 == {(1, 10), (2, 20)}
+    assert at1 == latest == {(1, 10), (2, 99), (3, 30)}
