@@ -52,6 +52,7 @@ class ProgressRecord:
     duration_ms: int
     observed: dict = field(default_factory=dict)
     state_rows: int = 0
+    rows_dropped_late: int = 0
 
 
 class RuntimeMetricsListener(StreamingQueryListener):
@@ -69,8 +70,10 @@ class RuntimeMetricsListener(StreamingQueryListener):
 
     def onQueryProgress(self, event):
         p = json.loads(event.progress.json)
-        state_rows = sum(
-            s.get("numRowsTotal", 0) for s in p.get("stateOperators", []))
+        state_ops = p.get("stateOperators", [])
+        state_rows = sum(s.get("numRowsTotal", 0) for s in state_ops)
+        dropped = sum(s.get("numRowsDroppedByWatermark", 0)
+                      for s in state_ops)
         rec = ProgressRecord(
             batch_id=p.get("batchId", -1),
             num_input_rows=p.get("numInputRows", 0),
@@ -78,6 +81,7 @@ class RuntimeMetricsListener(StreamingQueryListener):
             duration_ms=p.get("durationMs", {}).get("triggerExecution", 0),
             observed=p.get("observedMetrics", {}),
             state_rows=state_rows,
+            rows_dropped_late=dropped,
         )
         self.records.append(rec)
         self.total_rows += rec.num_input_rows
@@ -103,4 +107,6 @@ class RuntimeMetricsListener(StreamingQueryListener):
             "avg_rows_per_sec": self.total_rows / elapsed,
             "max_state_rows": max((r.state_rows for r in self.records),
                                   default=0),
+            "rows_dropped_late": sum(r.rows_dropped_late
+                                     for r in self.records),
         }

@@ -172,15 +172,19 @@ def test_late_rows_dropped_by_watermark(spark):
     _write_chunk(stage, 5, [
         (SENTINEL, 0, [], 0, SENTINEL, _ts(90060), 1)], base + 5)
 
+    listener = RuntimeMetricsListener()
     result = run_streaming_tumbling(
         spark, sf_dir="unused", stage_dir=stage, sink_dir=sink_dir,
-        checkpoint_dir=ck)
+        checkpoint_dir=ck, listener=listener)
     rows = {(r.ws, r.source): (r.n_seq, r.sum_tok) for r in result.collect()}
     w0 = (EPOCH_2026, "web")
     # late row contributed nothing: window 0 holds only a+b
     assert rows[w0] == (2, 3)
     total_tok = sum(v[1] for v in rows.values())
     assert total_tok == 5  # a(2) + b(1) + c(1) + d(1); late row dropped
+    # the drop is OBSERVED, not silent: StatusMonitor-style counters
+    # carry numRowsDroppedByWatermark (RuntimeMetrics north-rule surface)
+    assert listener.summary()["rows_dropped_late"] >= 1
 
 
 def test_sink_replay_is_idempotent(spark):
