@@ -70,6 +70,36 @@ def _job_migrate(spark: SparkSession, conf: dict) -> dict:
     return {"rows": df.count(), "output": out}
 
 
+def _job_load_csv(spark: SparkSession, conf: dict) -> dict:
+    """LoadCsv: per-label CSV directory → validated keyed parquet table —
+    the reference's literal Load task (CSV dir + decoder → store,
+    Load.java:23,40-52) over the DirectoryEmitter-analog reader. Rows
+    failing validation are routed to a dead-letter directory instead of
+    aborting the load (dropDanglingEdges-style policy, counted)."""
+    from pyspark.sql import functions as F
+
+    from movement_spark.operators.validate import split_valid
+    from movement_spark.sinks.directory import read_directory_csv
+
+    src = conf["input.csv_dir"]
+    phase = conf.get("input.phase", "vertices")
+    schema = conf.get("input.schema", "id BIGINT, acctbal DOUBLE, label STRING")
+    key = conf.get("input.key", "id")
+    out = conf.get("output.dir") or tempfile.mkdtemp(prefix="ms_loadcsv_")
+    df = read_directory_csv(spark, src, phase, schema)
+    good, bad = split_valid(df, {
+        "key_present": F.col(key).isNotNull(),
+        "label_present": F.col("label").isNotNull(),
+    })
+    good.write.mode("overwrite").partitionBy("label").parquet(
+        os.path.join(out, "table"))
+    n_bad = bad.count()
+    if n_bad:
+        bad.write.mode("overwrite").parquet(os.path.join(out, "dead_letter"))
+    n_good = spark.read.parquet(os.path.join(out, "table")).count()
+    return {"rows": n_good, "dead_letters": n_bad, "output": out}
+
+
 def _job_bench(spark: SparkSession, conf: dict) -> dict:
     from movement_spark.benchmarks import streaming_throughput
     from movement_spark.sources.synth import stage_synth_stream
@@ -79,11 +109,13 @@ def _job_bench(spark: SparkSession, conf: dict) -> dict:
     rows = stage_synth_stream(spark, n_docs, stage, n_files=64)
     return streaming_throughput(
         spark, stage, rows, os.path.join(work, "sink"),
-        os.path.join(work, "ck"), files_per_trigger=16)
+        os.path.join(work, "ck"), files_per_trigger=16,
+        state_partitions=8)
 
 
 JOBS: dict[str, Callable[[SparkSession, dict], dict]] = {
     "Load": _job_load,
+    "LoadCsv": _job_load_csv,
     "Export": _job_export,
     "Migrate": _job_migrate,
     "Bench": _job_bench,

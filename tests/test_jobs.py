@@ -49,3 +49,29 @@ def test_props_and_overrides(tmp_path):
     p.write_text("# comment\ninput.sf_dir = /a/b\nbench.docs=5\n\n")
     conf = parse_props(str(p))
     assert conf == {"input.sf_dir": "/a/b", "bench.docs": "5"}
+
+
+def test_load_csv_job_roundtrip_with_dead_letters(spark, sf_dir, tmp_path):
+    """Reference Load task shape: CSV directory in, keyed store out,
+    invalid rows to a dead-letter path (counted, not fatal)."""
+    from pyspark.sql import functions as F
+
+    from movement_spark.sinks.directory import write_directory_csv
+    from movement_spark.sources.tables import load_table
+
+    src = load_table(spark, sf_dir, "customer").select(
+        F.when(F.col("c_custkey") % 50 == 0, None)   # every 50th id NULL
+        .otherwise(F.col("c_custkey")).alias("id"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("label"))
+    base = str(tmp_path / "csvdir")
+    write_directory_csv(src, base, "vertices", "label")
+    res = run_job("LoadCsv", spark=spark, **{
+        "input.csv_dir": base,
+        "output.dir": str(tmp_path / "out")})
+    assert res.status == "SUCCEEDED"
+    n_total = src.count()
+    n_bad = src.where(F.col("id").isNull()).count()
+    assert n_bad > 0
+    assert res.metrics["dead_letters"] == n_bad
+    assert res.metrics["rows"] == n_total - n_bad
