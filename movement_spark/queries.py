@@ -903,6 +903,26 @@ def q_asof(spark, sf_dir):
     )
 
 
+@register("orders_by_weekday", """
+SELECT CAST(isodow(o_orderdate) - 1 AS INT) AS weekday,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+FROM orders GROUP BY 1
+""")
+def q_weekday(spark, sf_dir):
+    """Temporal extraction with cross-engine calendar normalization:
+    Spark weekday() is 0=Monday, DuckDB isodow is 1=Monday — both sides
+    normalize to the ISO 0-based index explicitly (never trust default
+    day-numbering across engines)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.weekday("o_orderdate").cast("int").alias("weekday"))
+        .agg(F.count("*").alias("n_orders"),
+             F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+             .cast("double").alias("revenue"))
+    )
+
+
 @register("orders_moving_revenue", """
 WITH daily AS (
   SELECT CAST(epoch(date_trunc('day', o_orderdate)) AS BIGINT) // 86400 AS day_no,

@@ -38,9 +38,11 @@ class IdempotentKeyedSink:
         self.keys = keys
         self.io_ops = 0          # OutputWriter io_ops counter analog
         self.batches = 0
+        self._schema = None      # last seen batch schema (for empty reads)
 
     # -- write path (foreachBatch target) --------------------------------
     def foreach_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        self._schema = batch_df.schema
         out = os.path.join(self.path, f"epoch={epoch_id}")
         # Deterministic per-epoch path + overwrite == idempotent replay.
         # The batch plan executes exactly ONCE (write only); row counting
@@ -66,7 +68,19 @@ class IdempotentKeyedSink:
         the table as it stood after that epoch committed (Iceberg's
         snapshot-id read re-expressed over the epoch log): later epochs
         are pruned BEFORE the key dedup, and epoch= is a partition
-        column so the prune is directory-level, no data read."""
+        column so the prune is directory-level, no data read.
+
+        A sink whose every batch was empty has no epoch directories
+        (empty epochs are reclaimed); that is a VALID state — a stream
+        of gaps, PotentialSequence-style — and reads as a typed empty
+        table, not an error."""
+        has_epochs = os.path.isdir(self.path) and any(
+            d.startswith("epoch=") for d in os.listdir(self.path))
+        if not has_epochs:
+            if self._schema is None:
+                raise ValueError(
+                    f"sink at {self.path} has no data and no recorded schema")
+            return spark.createDataFrame([], self._schema)
         df = spark.read.option("basePath", self.path).parquet(
             os.path.join(self.path, "epoch=*"))
         if as_of_epoch is not None:

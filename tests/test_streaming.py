@@ -257,3 +257,19 @@ def test_sink_time_travel_reads_past_snapshots(spark):
     latest = {(r.k, r.v) for r in sink.read(spark).collect()}
     assert at0 == {(1, 10), (2, 20)}
     assert at1 == latest == {(1, 10), (2, 99), (3, 30)}
+
+
+def test_empty_stream_yields_empty_sink(spark):
+    """Gap-not-end semantics (PotentialSequence: empty means gap): a
+    stage containing only flush sentinels must run cleanly and leave an
+    EMPTY sink — no phantom windows, no crash on the no-data path."""
+    stage, ck, sink_dir = _mkdir(), _mkdir(), _mkdir()
+    base = 2000.0
+    _write_chunk(stage, 0, [
+        (SENTINEL, 0, [], 0, SENTINEL, _ts(90000), 1)], base)
+    _write_chunk(stage, 1, [
+        (SENTINEL, 0, [], 0, SENTINEL, _ts(90060), 1)], base + 1)
+    result = run_streaming_tumbling(
+        spark, sf_dir="unused", stage_dir=stage, sink_dir=sink_dir,
+        checkpoint_dir=ck)
+    assert result.count() == 0
