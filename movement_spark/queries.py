@@ -1294,6 +1294,19 @@ def q_streaming_sliding(spark, sf_dir):
     return run_streaming_sliding(spark, sf_dir)
 
 
+@register("streaming_union_pipeline", with_token_cte("""
+SELECT CAST(epoch(time_bucket(INTERVAL 5 MINUTES, ts)) AS BIGINT) AS ws,
+       source,
+       COUNT(*) AS n_seq,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tok
+FROM token_sequences
+GROUP BY 1, 2
+"""))
+def q_streaming_union(spark, sf_dir):
+    from movement_spark.streaming.pipeline import run_streaming_union
+    return run_streaming_union(spark, sf_dir)
+
+
 @register("streaming_events_daily", """
 SELECT CAST(epoch(time_bucket(INTERVAL 1 DAY, ts)) AS BIGINT) AS ws,
        event_type,

@@ -267,6 +267,53 @@ def stage_events_stream(spark: SparkSession, sf_dir: str,
     return n_rows
 
 
+def run_streaming_union(spark: SparkSession, sf_dir: str,
+                        width: str = "5 minutes",
+                        watermark: str = "10 minutes",
+                        stage_dir: str | None = None,
+                        sink_dir: str | None = None,
+                        checkpoint_dir: str | None = None,
+                        listener=None) -> DataFrame:
+    """GearBox as a streaming DAG (GearBox.java:49-56: flatMap N pinion
+    outputs onto ONE stream): two independent file-stream sources — the
+    staged chunks split across two directories — union into a single
+    watermarked aggregate. The watermark is the min across member
+    streams, so one slow gear holds results for all (exactly GearBox's
+    isComplete = all members complete). Sentinels are staged into BOTH
+    directories so both watermarks advance."""
+    stage = stage_dir or _tmp("msg_stage_")
+    a_dir, b_dir = os.path.join(stage, "a"), os.path.join(stage, "b")
+    if not (os.path.isdir(a_dir) and os.listdir(a_dir)):
+        full = os.path.join(stage, "_full")
+        stage_token_stream(spark, sf_dir, full)
+        os.makedirs(a_dir, exist_ok=True)
+        os.makedirs(b_dir, exist_ok=True)
+        files = sorted(os.listdir(full))
+        sentinels = files[-2:]
+        for i, f in enumerate(files[:-2]):
+            os.rename(os.path.join(full, f),
+                      os.path.join(a_dir if i % 2 == 0 else b_dir, f))
+        for f in sentinels:  # both gears must see the flush
+            import shutil as _sh
+            _sh.copy2(os.path.join(full, f), os.path.join(a_dir, f))
+            _sh.copy2(os.path.join(full, f), os.path.join(b_dir, f))
+    src = read_token_stream(spark, a_dir).unionByName(
+        read_token_stream(spark, b_dir))
+    flush_cut = F.timestamp_seconds(F.lit(EPOCH_2026 + TS_MOD + 3600))
+    agg = (
+        src.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "source")
+        .agg(F.count("*").alias("n_seq"),
+             F.sum("n_tok").cast("bigint").alias("sum_tok"))
+        .where(F.col("w.start") < flush_cut)
+        .select(F.unix_timestamp("w.start").alias("ws"), "source",
+                "n_seq", "sum_tok")
+    )
+    sink = IdempotentKeyedSink(sink_dir or _tmp("msg_sink_"), ["ws", "source"])
+    _run_to_sink(agg, sink, checkpoint_dir or _tmp("msg_ck_"), listener)
+    return sink.read(spark)
+
+
 def run_streaming_events(spark: SparkSession, sf_dir: str,
                          width: str = "1 day",
                          watermark: str = "1 day",
