@@ -860,6 +860,27 @@ def q_token_topk(spark, sf_dir):
     )
 
 
+@register("token_position_stats", with_token_cte("""
+, positioned AS (
+  SELECT doc_id, tokens, unnest(range(0, n_tok)) AS p
+  FROM token_sequences)
+SELECT CAST(p // 16 AS INT) AS pos_bucket,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(tokens[CAST(p AS INT) + 1]) AS BIGINT) AS sum_tok_val
+FROM positioned GROUP BY 1
+"""))
+def q_token_positions(spark, sf_dir):
+    """posexplode: token value statistics by sequence position bucket
+    (the positional profile a tokenizer-drift monitor watches)."""
+    t = token_sequences(spark, sf_dir)
+    return (
+        t.select(F.posexplode("tokens").alias("p", "tok"))
+        .groupBy(F.floor(F.col("p") / 16).cast("int").alias("pos_bucket"))
+        .agg(F.count("*").alias("n_tokens"),
+             F.sum("tok").cast("bigint").alias("sum_tok_val"))
+    )
+
+
 @register("asof_purchase_gap", """
 WITH ordered AS (
   SELECT user_id, ts, event_id, event_type,
