@@ -107,3 +107,42 @@ def test_registry_wide_plan_guardrails(spark, sf_dir):
         if not has_python and name in PYTHON_ALLOWED:
             offenders.append((name, "expected Python stage missing"))
     assert not offenders, offenders
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """Batch-side skew is AQE's job (session.py enables skewJoin): a join
+    with one hot key must show skew=true splits in the FINAL adaptive
+    plan. Caveat this engine designs around: the rule skips joins whose
+    output feeds another shuffle requirement (e.g. groupBy on a
+    different key) — for those paths the manual salted two-phase
+    aggregate (operators/chunking.py) is the mitigation, which is why
+    both exist."""
+    from pyspark.sql import functions as F
+    from movement_spark.plans.audit import explain_text
+
+    tuned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "128k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+    }
+    saved = {k: spark.conf.get(k) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        fact = spark.range(1_000_000).select(
+            F.when(F.col("id") % 10 != 0, 0)
+            .otherwise(F.col("id") % 1000).alias("k"),
+            F.concat(F.lit("x" * 64), F.col("id").cast("string"))
+            .alias("payload"))
+        dim = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        j = fact.join(dim, "k").select("k", "v")
+        assert len(j.collect()) == 1_000_000
+        txt = explain_text(j)
+        assert "isFinalPlan=true" in txt
+        assert txt.count("skew=true") >= 1, \
+            "hot-key partition must be split by AQE skew handling"
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
