@@ -1122,6 +1122,41 @@ def q_kmv(spark, sf_dir):
         .cast("bigint").alias("est_distinct"))
 
 
+@register("user_interarrival_stats", """
+WITH gaps AS (
+  SELECT user_id,
+         CAST(floor(epoch(lead(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id))) AS BIGINT)
+         - CAST(floor(epoch(ts)) AS BIGINT) AS gap_sec
+  FROM events)
+SELECT user_id,
+       COUNT(*) AS n_gaps,
+       CAST(SUM(gap_sec) AS BIGINT) AS sum_gap_sec,
+       MAX(gap_sec) AS max_gap_sec
+FROM gaps WHERE gap_sec IS NOT NULL
+GROUP BY user_id
+""")
+def q_interarrival(spark, sf_dir):
+    """lead() window coverage: per-user event inter-arrival gaps (the
+    session-gap distribution that calibrates session_window gap
+    parameters). Epochs floor'd to whole seconds on BOTH engines before
+    subtracting — sub-second timestamps differ in float representation
+    otherwise."""
+    from pyspark.sql.window import Window
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.floor(F.unix_timestamp(F.lead("ts").over(w))).cast("bigint")
+           - F.floor(F.unix_timestamp("ts")).cast("bigint"))
+    return (
+        ev.withColumn("gap_sec", gap)
+        .where(F.col("gap_sec").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_gaps"),
+             F.sum("gap_sec").cast("bigint").alias("sum_gap_sec"),
+             F.max("gap_sec").alias("max_gap_sec"))
+    )
+
+
 @register("funnel_detection", """
 WITH w AS (
   SELECT user_id, ts, event_id, event_type,
