@@ -68,16 +68,30 @@ def allocate_output_ids(df: DataFrame, order_cols: list[str],
     Two-phase (the scalable zipWithIndex): range-partition on the order
     keys, number rows locally within each sorted partition, then add
     each partition's cumulative row-count offset (tiny driver-side
-    prefix sum over `partitions` counts, broadcast back). Determinism:
-    Spark's RangePartitioner samples with a fixed seed, and the ids are
-    offset-corrected so boundaries don't affect the result anyway.
+    prefix sum over `partitions` counts, broadcast back).
+
+    The ranged layout MUST be materialized (persist) before the counts
+    action: Spark's RangePartitioner samples boundaries with a seed
+    derived from the RDD id, so two separate jobs over the same lazy
+    plan can place boundary-adjacent rows in DIFFERENT partitions —
+    the pid→count map from job 1 then lies about job 2's layout and the
+    allocator silently emits duplicate/gapped ids (observed at 2M rows;
+    pinned by tests/test_operators.py::test_output_ids_unique_at_2m).
+    Persist-to-disk of the ranged layout is also what a production
+    allocator does anyway: the numbered run IS the output of phase one,
+    written once and reused, exactly like the reference's two-phase
+    durable id allocation. The cache is dropped by Spark's LRU (or an
+    explicit ``df.unpersist()`` by the caller once the result is
+    materialized).
     """
+    from pyspark import StorageLevel
     from pyspark.sql.window import Window
 
     ranged = df.repartitionByRange(partitions, *[F.col(c) for c in order_cols])
     w = Window.partitionBy(F.spark_partition_id()).orderBy(*order_cols)
     local = ranged.withColumn("_pid", F.spark_partition_id()) \
-                  .withColumn("_rn", F.row_number().over(w))
+                  .withColumn("_rn", F.row_number().over(w)) \
+                  .persist(StorageLevel.MEMORY_AND_DISK)
     counts = {r._pid: r.n for r in
               local.groupBy("_pid").agg(F.count("*").alias("n")).collect()}
     offsets, acc = {}, 0

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from typing import Iterable
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
@@ -110,17 +111,25 @@ def _assemble(key, pdfs: Iterable[pd.DataFrame], state,
         seqs, toks, expected = [], [], -1
     max_ts = None
     for pdf in pdfs:
-        for row in pdf.itertuples(index=False):
-            if row.seq not in seqs:
-                seqs.append(int(row.seq))
-                toks.append([int(t) for t in row.tokens])
-            expected = int(row.n_shards)
-            ts = row.ts
-            if max_ts is None or ts > max_ts:
-                max_ts = ts
+        if pdf.empty:
+            continue
+        # Columnar per-batch path (no per-row Python): dedup shards by
+        # seq keep-first within the batch, mask out seqs already held in
+        # state, then bulk-extend state with C-level tolist conversions.
+        batch = pdf.drop_duplicates(subset=["seq"], keep="first")
+        fresh = batch[~batch["seq"].isin(seqs).to_numpy()]
+        seqs.extend(np.asarray(fresh["seq"], dtype=np.int64).tolist())
+        toks.extend(np.asarray(t, dtype=np.int64).tolist()
+                    for t in fresh["tokens"])
+        expected = int(pdf["n_shards"].iloc[-1])
+        ts = pdf["ts"].max()
+        if max_ts is None or ts > max_ts:
+            max_ts = ts
     if expected > 0 and len(seqs) >= expected and set(seqs) >= set(range(expected)):
-        order = sorted(range(len(seqs)), key=lambda k: seqs[k])
-        merged = [t for k in order for t in toks[k]]
+        order = np.argsort(np.asarray(seqs, dtype=np.int64), kind="stable")
+        merged = np.concatenate(
+            [np.asarray(toks[k], dtype=np.int64) for k in order]
+        ).astype(np.int32).tolist() if len(order) else []
         state.remove()
         yield pd.DataFrame({
             "doc_id": [doc_id],

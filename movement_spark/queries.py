@@ -1521,3 +1521,33 @@ FROM feats GROUP BY first_byte
 """)
 def q_multimodal(spark, sf_dir):
     return multimodal.media_feature_stats(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------
+# Driver-gate ordering. The correctness sweep evaluates the registry in
+# insertion order, and round 1's sweep was cut off after ~49 entries —
+# leaving everything registered later driver-unverified. Queries without
+# a green CORRECTNESS_r01 row register FIRST (cheap batch ones, then the
+# streaming pipelines, which share one staged input per variant via
+# streaming.pipeline.shared_stage), so a repeat truncation can only hit
+# rows that were already verified in a previous round.
+# ---------------------------------------------------------------------
+_FRONT = [
+    "lineage_partition_audit",
+    "skew_safe_source_agg",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "multimodal_feature_stats",
+    "streaming_dedup",
+    "streaming_shard_join",
+    "streaming_sliding_pipeline",
+    "streaming_union_pipeline",
+    "streaming_events_daily",
+    "streaming_update_mode",
+    "streaming_enriched_pipeline",
+    "streaming_session_windows",
+]
+_REGISTRY = {
+    name: _REGISTRY[name]
+    for name in [*_FRONT, *[n for n in _REGISTRY if n not in _FRONT]]
+}

@@ -29,7 +29,6 @@ import os
 import tempfile
 import time
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -68,6 +67,55 @@ _ARROW_SCHEMA = pa.schema([
 ])
 
 
+def _emit_sentinel_files(stage_dir: str, start_idx: int, base: float,
+                         rows_fn) -> None:
+    """Write the TWO flush-sentinel files: the watermark only advances at
+    the START of the batch AFTER the one that saw the max event time, and
+    availableNow does not run a trailing no-data batch. Sentinel #1
+    raises the max event time; the batch processing sentinel #2 then
+    carries a watermark beyond every real window and flushes them.
+    Single control rows — driver-side pyarrow writes, not Spark jobs."""
+    for k in range(2):
+        pdf, schema = rows_fn(k)
+        path = os.path.join(stage_dir, f"chunk_{start_idx + k:04d}.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(pdf, schema=schema, preserve_index=False),
+            path)
+        os.utime(path, (base + start_idx + k, base + start_idx + k))
+
+
+def _distribute_chunks(df: DataFrame, stage_dir: str, n_chunks: int,
+                       range_cols: list[str],
+                       duplicate_factor: int = 1) -> tuple[int, int, float]:
+    """Write ``df`` as event-time-ordered chunk files via ONE distributed
+    job: repartitionByRange on the event-time key gives each output file
+    a contiguous ts slice; the part files are renamed chunk_{i}_{d} in
+    range order with increasing mtimes, so the file source replays them
+    as a monotone watermark sequence. Row count comes from the written
+    parquet footers — no second scan, no driver-side data collection.
+    Returns (n_rows, next_chunk_idx, mtime_base)."""
+    import shutil
+
+    os.makedirs(stage_dir, exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix="ms_stage_tmp_")
+    (df.repartitionByRange(n_chunks, *[F.col(c) for c in range_cols])
+       .write.mode("overwrite").parquet(tmp))
+    parts = sorted(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    base = time.time() - len(parts) - 10
+    n_rows = 0
+    for i, part in enumerate(parts):
+        src = os.path.join(tmp, part)
+        n_rows += pq.ParquetFile(src).metadata.num_rows
+        # duplicate_factor > 1 stages each chunk k times (at-least-once
+        # delivery simulation for the streaming dedup stage)
+        for d in range(duplicate_factor):
+            dest = os.path.join(stage_dir, f"chunk_{i:04d}_{d}.parquet")
+            shutil.copy2(src, dest)
+            os.utime(dest, (base + i, base + i))
+    shutil.rmtree(tmp, ignore_errors=True)
+    return n_rows, len(parts), base
+
+
 def stage_token_stream(spark: SparkSession, sf_dir: str, stage_dir: str,
                        n_chunks: int = 6, sentinel: bool = True,
                        duplicate_factor: int = 1) -> int:
@@ -76,57 +124,52 @@ def stage_token_stream(spark: SparkSession, sf_dir: str, stage_dir: str,
     One file per event-time slice, mtimes increasing, so the file source
     delivers them as consecutive micro-batches with a monotonically
     advancing watermark — the WorkChunkDriver sequence made of files.
+    Fully distributed (repartitionByRange write; the oracle path and the
+    scale path are the same code — no driver-side collection).
     Returns the number of real (non-sentinel) rows staged.
     """
-    os.makedirs(stage_dir, exist_ok=True)
-    pdf = (
+    df = (
         token_sequences(spark, sf_dir, keep_did=True)
         .withColumn("n_shards", (1 + F.col("did") % 4).cast("int"))
         .drop("did")
-        .orderBy("ts", "doc_id", "seq")
-        .toPandas()
     )
-    n_rows = len(pdf)
-    slice_sec = TS_MOD // n_chunks
-    epochs = pdf["ts"].astype("datetime64[s]").astype("int64") - EPOCH_2026
-    chunk_of = np.minimum(epochs // slice_sec, n_chunks - 1).astype(int)
-    base = time.time() - n_chunks - 10
-    for i in range(n_chunks):
-        part = pdf[chunk_of == i]
-        if part.empty:
-            continue
-        # duplicate_factor > 1 stages each chunk k times (at-least-once
-        # delivery simulation for the streaming dedup stage)
-        for d in range(duplicate_factor):
-            path = os.path.join(stage_dir, f"chunk_{i:04d}_{d}.parquet")
-            pq.write_table(
-                pa.Table.from_pandas(part, schema=_ARROW_SCHEMA,
-                                     preserve_index=False), path)
-            os.utime(path, (base + i, base + i))
+    n_rows, next_idx, base = _distribute_chunks(
+        df, stage_dir, n_chunks, ["ts", "doc_id", "seq"], duplicate_factor)
     if sentinel:
-        # TWO sentinel files: the watermark only advances at the START of
-        # the batch AFTER the one that saw the max event time, and
-        # availableNow does not run a trailing no-data batch. Sentinel #1
-        # raises the max event time; the batch processing sentinel #2 then
-        # carries a watermark beyond every real window and flushes them.
-        for k in range(2):
+        def _rows(k: int):
             flush_ts = pd.Timestamp(
                 (EPOCH_2026 + TS_MOD + 7200 + 60 * k) * 1_000_000_000)
-            part = pd.DataFrame({
+            return pd.DataFrame({
                 "doc_id": [SENTINEL], "seq": [0], "tokens": [[]],
                 "n_tok": [0], "source": [SENTINEL], "ts": [flush_ts],
                 "n_shards": [1],
-            })
-            path = os.path.join(stage_dir, f"chunk_{n_chunks + k:04d}.parquet")
-            pq.write_table(
-                pa.Table.from_pandas(part, schema=_ARROW_SCHEMA,
-                                     preserve_index=False), path)
-            os.utime(path, (base + n_chunks + k, base + n_chunks + k))
+            }), _ARROW_SCHEMA
+        _emit_sentinel_files(stage_dir, next_idx, base, _rows)
     return n_rows
 
 
+def _n_stage_files(stage_dir: str) -> int:
+    try:
+        return sum(1 for f in os.listdir(stage_dir) if f.endswith(".parquet"))
+    except OSError:
+        return 0
+
+
+def _auto_trigger(stage_dir: str) -> int:
+    """Fast correctness-path pacing: everything except the LAST file in
+    one micro-batch, the final flush sentinel in a second batch (the
+    minimum that still advances the watermark through the real data).
+    Results are invariant to batching (pinned by
+    test_results_invariant_to_microbatch_boundaries); fewer state-store
+    commits ≈ 4× less wall-clock per pipeline at oracle scale. Benchmarks
+    pass an explicit files_per_trigger to measure steady-state batches."""
+    return max(1, _n_stage_files(stage_dir) - 1)
+
+
 def read_token_stream(spark: SparkSession, stage_dir: str,
-                      files_per_trigger: int = 1) -> DataFrame:
+                      files_per_trigger: int | None = None) -> DataFrame:
+    if files_per_trigger is None:
+        files_per_trigger = _auto_trigger(stage_dir)
     return (
         spark.readStream.schema(STREAM_SCHEMA)
         .option("maxFilesPerTrigger", files_per_trigger)
@@ -156,20 +199,74 @@ def _tmp(prefix: str) -> str:
     return tempfile.mkdtemp(prefix=prefix)
 
 
+# Per-process staged-input cache: the 11 oracle-gated streaming pipelines
+# share one staged drop per (sf_dir, variant) instead of re-staging per
+# query — staging is setup, not the operator under test, and the driver's
+# correctness sweep runs every pipeline in one process.
+_SHARED_STAGES: dict[tuple[str, str], str] = {}
+
+
+def shared_stage(spark: SparkSession, sf_dir: str,
+                 variant: str = "base") -> str:
+    key = (os.path.abspath(sf_dir), variant)
+    cached = _SHARED_STAGES.get(key)
+    if cached and os.path.isdir(cached) and os.listdir(cached):
+        return cached
+    stage = _tmp(f"ms_shared_{variant}_")
+    if variant == "base":
+        stage_token_stream(spark, sf_dir, stage)
+    elif variant == "dedup":
+        stage_token_stream(spark, sf_dir, stage, duplicate_factor=2)
+    elif variant == "nosentinel":
+        stage_token_stream(spark, sf_dir, stage, sentinel=False)
+    elif variant == "events":
+        stage_events_stream(spark, sf_dir, stage)
+    elif variant == "union":
+        _stage_union_dirs(spark, sf_dir, stage)
+    else:
+        raise ValueError(f"unknown stage variant {variant!r}")
+    _SHARED_STAGES[key] = stage
+    return stage
+
+
+def _stage_union_dirs(spark: SparkSession, sf_dir: str, stage: str) -> None:
+    """Split one staged drop across two directories (the two 'gears' of
+    the streaming union) and copy the flush sentinels into BOTH so both
+    member watermarks advance."""
+    import shutil as _sh
+
+    a_dir, b_dir = os.path.join(stage, "a"), os.path.join(stage, "b")
+    full = os.path.join(stage, "_full")
+    stage_token_stream(spark, sf_dir, full)
+    os.makedirs(a_dir, exist_ok=True)
+    os.makedirs(b_dir, exist_ok=True)
+    files = sorted(os.listdir(full))
+    sentinels = files[-2:]
+    for i, f in enumerate(files[:-2]):
+        os.rename(os.path.join(full, f),
+                  os.path.join(a_dir if i % 2 == 0 else b_dir, f))
+    for f in sentinels:  # both gears must see the flush
+        _sh.copy2(os.path.join(full, f), os.path.join(a_dir, f))
+        _sh.copy2(os.path.join(full, f), os.path.join(b_dir, f))
+
+
 def run_streaming_tumbling(spark: SparkSession, sf_dir: str,
                            width: str = "5 minutes",
                            watermark: str = "10 minutes",
                            stage_dir: str | None = None,
                            sink_dir: str | None = None,
                            checkpoint_dir: str | None = None,
-                           files_per_trigger: int = 1,
+                           files_per_trigger: int | None = None,
                            listener=None) -> DataFrame:
     """Streaming flagship: watermarked tumbling per-source token
     throughput through the exactly-once sink; returns final sink table
     (same shape/oracle as the batch tumbling query)."""
-    stage = stage_dir or _tmp("ms_stage_")
-    if not (os.path.isdir(stage) and os.listdir(stage)):
-        stage_token_stream(spark, sf_dir, stage)
+    if stage_dir is None:
+        stage = shared_stage(spark, sf_dir)
+    else:
+        stage = stage_dir
+        if not (os.path.isdir(stage) and os.listdir(stage)):
+            stage_token_stream(spark, sf_dir, stage)
     src = read_token_stream(spark, stage, files_per_trigger)
     # NOTE: the sentinel must be dropped by a predicate on the WINDOW
     # column. A filter on any other column (e.g. source) is pushed by the
@@ -208,8 +305,12 @@ def run_streaming_dedup(spark: SparkSession, sf_dir: str,
     so the final sink equals the batch oracle over the UN-duplicated
     table. State for seen keys is evicted as the watermark passes.
     """
-    stage = stage_dir or _tmp("msd_stage_")
-    stage_token_stream(spark, sf_dir, stage, duplicate_factor=2)
+    if stage_dir is None:
+        stage = shared_stage(spark, sf_dir, "dedup")
+    else:
+        stage = stage_dir
+        if not (os.path.isdir(stage) and os.listdir(stage)):
+            stage_token_stream(spark, sf_dir, stage, duplicate_factor=2)
     src = read_token_stream(spark, stage)
     flush_cut = F.timestamp_seconds(F.lit(EPOCH_2026 + TS_MOD + 3600))
     agg = (
@@ -236,34 +337,25 @@ def stage_events_stream(spark: SparkSession, sf_dir: str,
                         stage_dir: str, n_chunks: int = 6) -> int:
     """Stage the driver-provided events table as event-time-ordered chunk
     files plus flush sentinels — the same WorkChunkDriver-as-files shape
-    as stage_token_stream, over a REAL (non-derived) table."""
-    os.makedirs(stage_dir, exist_ok=True)
-    pdf = (spark.read.parquet(f"{sf_dir}/events.parquet")
-           .orderBy("ts", "event_id").toPandas())
-    n_rows = len(pdf)
+    as stage_token_stream, over a REAL (non-derived) table. Distributed
+    (repartitionByRange write), like the token stager."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_rows, next_idx, base = _distribute_chunks(
+        ev, stage_dir, n_chunks, ["ts", "event_id"])
     arrow_schema = pa.schema([
         ("event_id", pa.int64()), ("ts", pa.timestamp("us")),
         ("user_id", pa.int64()), ("event_type", pa.string()),
         ("value", pa.float64()), ("props", pa.string()),
     ])
-    base = time.time() - n_chunks - 10
 
-    def _write(part: pd.DataFrame, idx: int) -> None:
-        path = os.path.join(stage_dir, f"chunk_{idx:04d}.parquet")
-        pq.write_table(
-            pa.Table.from_pandas(part, schema=arrow_schema,
-                                 preserve_index=False), path)
-        os.utime(path, (base + idx, base + idx))
-
-    for i, part in enumerate(np.array_split(pdf, n_chunks)):
-        if not part.empty:
-            _write(part, i)
-    for k in range(2):
-        _write(pd.DataFrame({
+    def _rows(k: int):
+        return pd.DataFrame({
             "event_id": [-1], "ts": [EVENTS_FLUSH_TS + pd.Timedelta(minutes=k)],
             "user_id": [-1], "event_type": [SENTINEL], "value": [0.0],
             "props": ["{}"],
-        }), n_chunks + k)
+        }), arrow_schema
+
+    _emit_sentinel_files(stage_dir, next_idx, base, _rows)
     return n_rows
 
 
@@ -281,22 +373,13 @@ def run_streaming_union(spark: SparkSession, sf_dir: str,
     streams, so one slow gear holds results for all (exactly GearBox's
     isComplete = all members complete). Sentinels are staged into BOTH
     directories so both watermarks advance."""
-    stage = stage_dir or _tmp("msg_stage_")
+    if stage_dir is None:
+        stage = shared_stage(spark, sf_dir, "union")
+    else:
+        stage = stage_dir
+        if not os.path.isdir(os.path.join(stage, "a")):
+            _stage_union_dirs(spark, sf_dir, stage)
     a_dir, b_dir = os.path.join(stage, "a"), os.path.join(stage, "b")
-    if not (os.path.isdir(a_dir) and os.listdir(a_dir)):
-        full = os.path.join(stage, "_full")
-        stage_token_stream(spark, sf_dir, full)
-        os.makedirs(a_dir, exist_ok=True)
-        os.makedirs(b_dir, exist_ok=True)
-        files = sorted(os.listdir(full))
-        sentinels = files[-2:]
-        for i, f in enumerate(files[:-2]):
-            os.rename(os.path.join(full, f),
-                      os.path.join(a_dir if i % 2 == 0 else b_dir, f))
-        for f in sentinels:  # both gears must see the flush
-            import shutil as _sh
-            _sh.copy2(os.path.join(full, f), os.path.join(a_dir, f))
-            _sh.copy2(os.path.join(full, f), os.path.join(b_dir, f))
     src = read_token_stream(spark, a_dir).unionByName(
         read_token_stream(spark, b_dir))
     flush_cut = F.timestamp_seconds(F.lit(EPOCH_2026 + TS_MOD + 3600))
@@ -325,11 +408,15 @@ def run_streaming_events(spark: SparkSession, sf_dir: str,
     over the events table (min/max are order-independent, so the
     float column stays oracle-exact where a streamed SUM of doubles
     would not be)."""
-    stage = stage_dir or _tmp("msev_stage_")
-    if not (os.path.isdir(stage) and os.listdir(stage)):
-        stage_events_stream(spark, sf_dir, stage)
+    if stage_dir is None:
+        stage = shared_stage(spark, sf_dir, "events")
+    else:
+        stage = stage_dir
+        if not (os.path.isdir(stage) and os.listdir(stage)):
+            stage_events_stream(spark, sf_dir, stage)
     src = (spark.readStream.schema(EVENTS_SCHEMA)
-           .option("maxFilesPerTrigger", 1).parquet(stage))
+           .option("maxFilesPerTrigger", _auto_trigger(stage))
+           .parquet(stage))
     flush_cut = F.lit(EVENTS_FLUSH_TS.to_pydatetime()).cast("timestamp")
     agg = (
         src.withWatermark("ts", watermark)
@@ -363,9 +450,12 @@ def run_streaming_update_mode(spark: SparkSession, sf_dir: str,
     re-emits hot windows every trigger (more sink I/O), append emits
     exactly once per window (more latency) — both end states are
     oracle-equal, which this query proves."""
-    stage = stage_dir or _tmp("msu_stage_")
-    if not (os.path.isdir(stage) and os.listdir(stage)):
-        stage_token_stream(spark, sf_dir, stage, sentinel=False)
+    if stage_dir is None:
+        stage = shared_stage(spark, sf_dir, "nosentinel")
+    else:
+        stage = stage_dir
+        if not (os.path.isdir(stage) and os.listdir(stage)):
+            stage_token_stream(spark, sf_dir, stage, sentinel=False)
     src = read_token_stream(spark, stage)
     agg = (
         src.withWatermark("ts", watermark)
@@ -409,9 +499,12 @@ def run_streaming_enriched(spark: SparkSession, sf_dir: str,
     join. LEFT join so the watermark sentinel (which matches no dim row)
     still reaches the aggregate's watermark accounting; its windows are
     cut by the window-column predicate as usual."""
-    stage = stage_dir or _tmp("mse_stage_")
-    if not (os.path.isdir(stage) and os.listdir(stage)):
-        stage_token_stream(spark, sf_dir, stage)
+    if stage_dir is None:
+        stage = shared_stage(spark, sf_dir)
+    else:
+        stage = stage_dir
+        if not (os.path.isdir(stage) and os.listdir(stage)):
+            stage_token_stream(spark, sf_dir, stage)
     dim = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .select(F.concat(F.lit("d"), F.col("doc_id").cast("string"))
@@ -448,9 +541,12 @@ def run_streaming_sliding(spark: SparkSession, sf_dir: str,
     its end. Same sentinel-flush discipline as run_streaming_tumbling;
     sink keyed (ws, source) so replays of overlapping windows stay
     idempotent."""
-    stage = stage_dir or _tmp("msl_stage_")
-    if not (os.path.isdir(stage) and os.listdir(stage)):
-        stage_token_stream(spark, sf_dir, stage)
+    if stage_dir is None:
+        stage = shared_stage(spark, sf_dir)
+    else:
+        stage = stage_dir
+        if not (os.path.isdir(stage) and os.listdir(stage)):
+            stage_token_stream(spark, sf_dir, stage)
     src = read_token_stream(spark, stage)
     flush_cut = F.timestamp_seconds(F.lit(EPOCH_2026 + TS_MOD + 3600))
     agg = (
@@ -482,9 +578,12 @@ def run_streaming_session(spark: SparkSession, sf_dir: str,
     far-future sessions and are cut by a predicate on the WINDOW column
     (a non-window predicate would be pushed below the watermark node and
     stall the flush — see run_streaming_tumbling's NOTE)."""
-    stage = stage_dir or _tmp("mss_stage_")
-    if not (os.path.isdir(stage) and os.listdir(stage)):
-        stage_token_stream(spark, sf_dir, stage)
+    if stage_dir is None:
+        stage = shared_stage(spark, sf_dir)
+    else:
+        stage = stage_dir
+        if not (os.path.isdir(stage) and os.listdir(stage)):
+            stage_token_stream(spark, sf_dir, stage)
     src = read_token_stream(spark, stage)
     flush_cut = F.timestamp_seconds(F.lit(EPOCH_2026 + TS_MOD + 3600))
     sess = (
@@ -515,9 +614,12 @@ def run_streaming_ordered_merge(spark: SparkSession, sf_dir: str,
     applyInPandasWithState assembles each doc's shards in seq order; the
     sink is keyed by doc_id; the returned frame carries the same
     order-sensitive digest as the batch merged_doc_check oracle."""
-    stage = stage_dir or _tmp("mso_stage_")
-    if not (os.path.isdir(stage) and os.listdir(stage)):
-        stage_token_stream(spark, sf_dir, stage)
+    if stage_dir is None:
+        stage = shared_stage(spark, sf_dir)
+    else:
+        stage = stage_dir
+        if not (os.path.isdir(stage) and os.listdir(stage)):
+            stage_token_stream(spark, sf_dir, stage)
     src = read_token_stream(spark, stage)
     # Sentinel rows flow through the stateful stage (their doc completes
     # immediately) and are dropped after it — filtering earlier would be
@@ -554,8 +656,12 @@ def run_streaming_shard_join(spark: SparkSession, sf_dir: str,
     """Watermarked stream-stream join correlating shard streams on doc_id
     (PinionSystem/SlipWheel keyed analog); per-doc aggregate of the joined
     pairs matches the batch shard_pair_join oracle."""
-    stage = stage_dir or _tmp("msj_stage_")
-    stage_token_stream(spark, sf_dir, stage)
+    if stage_dir is None:
+        stage = shared_stage(spark, sf_dir)
+    else:
+        stage = stage_dir
+        if not (os.path.isdir(stage) and os.listdir(stage)):
+            stage_token_stream(spark, sf_dir, stage)
     src = read_token_stream(spark, stage).where(F.col("source") != SENTINEL)
     even = (
         src.select("doc_id", F.col("seq").alias("seq_a"),

@@ -173,9 +173,11 @@ def test_late_rows_dropped_by_watermark(spark):
         (SENTINEL, 0, [], 0, SENTINEL, _ts(90060), 1)], base + 5)
 
     listener = RuntimeMetricsListener()
+    # one file per micro-batch: the late-vs-finalized semantics under
+    # test depend on the window being finalized BEFORE the late file
     result = run_streaming_tumbling(
         spark, sf_dir="unused", stage_dir=stage, sink_dir=sink_dir,
-        checkpoint_dir=ck, listener=listener)
+        checkpoint_dir=ck, files_per_trigger=1, listener=listener)
     rows = {(r.ws, r.source): (r.n_seq, r.sum_tok) for r in result.collect()}
     w0 = (EPOCH_2026, "web")
     # late row contributed nothing: window 0 holds only a+b
@@ -224,7 +226,8 @@ def test_metrics_listener_counts_rows(spark, sf_dir):
     s = listener.summary()
     # 1250 real rows + 2 sentinels at sf0.001
     assert s["io_ops"] == 1252
-    assert s["batches"] >= 3
+    # auto trigger pacing: all-but-last files, then the final sentinel
+    assert s["batches"] >= 2
     assert s["avg_rows_per_sec"] > 0
 
 
