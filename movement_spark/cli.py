@@ -35,6 +35,8 @@ def main(argv: list[str] | None = None) -> int:
     t.add_argument("-c", "--config", help="properties file")
     t.add_argument("-s", "--set", action="append", default=[],
                    metavar="K=V", help="config override (repeatable)")
+    t.add_argument("-q", "--quiet", action="store_true",
+                   help="suppress the 1 Hz live status line")
 
     sub.add_parser("list-tasks", help="list known jobs")
     sub.add_parser("list-queries", help="list registered queries")
@@ -59,7 +61,7 @@ def main(argv: list[str] | None = None) -> int:
             ap.error(f"-s expects K=V, got {kv!r}")
         k, v = kv.split("=", 1)
         conf[k] = v
-    result = run_job(args.name, **conf)
+    result = _run_with_status(args.name, conf, quiet=args.quiet)
     print(json.dumps({
         "task": result.name,
         "status": result.status,
@@ -67,6 +69,40 @@ def main(argv: list[str] | None = None) -> int:
         "metrics": result.metrics,
     }))
     return 0 if result.status == "SUCCEEDED" else 1
+
+
+def _run_with_status(name: str, conf: dict, quiet: bool = False):
+    """Run a task async and poll it at 1 Hz, printing the reference's
+    StatusMonitor line (CLI.java:29-34: a scheduled 1 Hz printout of the
+    per-output io counters while the task runs). The counters come from a
+    RuntimeMetricsListener on the shared session — the same signal the
+    reference reads off its outputs' AtomicLongs — so the line is live
+    during streaming stages, not a post-hoc summary."""
+    import time
+
+    from movement_spark.jobs import run_job_async, task_status, wait_task
+    from movement_spark.session import get_spark
+    from movement_spark.streaming.metrics import (
+        STATUS_FORMAT, RuntimeMetricsListener)
+
+    spark = get_spark(app_name=f"movement_spark_{name}")
+    listener = RuntimeMetricsListener()
+    spark.streams.addListener(listener)
+    task_id = run_job_async(name, spark=spark, **conf)
+    last, t0 = 0, time.time()
+    try:
+        while task_status(task_id)["status"] == "RUNNING":
+            time.sleep(1.0)
+            if quiet:
+                continue
+            total = listener.total_rows
+            elapsed = max(time.time() - t0, 1e-9)
+            print(STATUS_FORMAT % (total, total - last, 1.0, total / elapsed),
+                  file=sys.stderr)
+            last = total
+    finally:
+        spark.streams.removeListener(listener)
+    return wait_task(task_id)
 
 
 if __name__ == "__main__":

@@ -12,7 +12,9 @@ from __future__ import annotations
 
 import os
 import tempfile
+import threading
 import time
+import uuid
 from dataclasses import dataclass, field
 from typing import Any, Callable
 
@@ -135,3 +137,87 @@ def run_job(name: str, spark: SparkSession | None = None,
         return JobResult(name, "SUCCEEDED", t0, time.time(), metrics)
     except Exception as e:  # noqa: BLE001 — fail-fast policy, report status
         return JobResult(name, f"FAILED: {e}", t0, time.time())
+
+
+# ---------------------------------------------------------------------
+# Async task surface: the reference launches every task in a
+# CompletableFuture, hands back a taskId UUID, and lets callers poll
+# TaskStatus / block on WaitTask (LocalParallelStreamRuntime.java:157-192,
+# TaskStatus.java:14, WaitTask.java:12, RuntimeUtil.waitTask). Spark jobs
+# submitted from multiple Python threads share one SparkSession safely,
+# so a daemon thread per task is the direct analog of the future.
+# ---------------------------------------------------------------------
+
+
+@dataclass
+class _TaskHandle:
+    task_id: str
+    name: str
+    thread: threading.Thread
+    started_at: float
+    result: JobResult | None = None
+
+
+_TASKS: dict[str, _TaskHandle] = {}
+_TASKS_LOCK = threading.Lock()
+
+
+def run_job_async(name: str, spark: SparkSession | None = None,
+                  **conf: Any) -> str:
+    """Launch a job in the background; returns a taskId immediately
+    (Runtime.runTask analog — `Iterator.of(taskId)`)."""
+    if name not in JOBS:
+        raise KeyError(f"unknown job {name!r}; known: {sorted(JOBS)}")
+    task_id = str(uuid.uuid4())
+    handle = _TaskHandle(task_id, name, None, time.time())  # type: ignore[arg-type]
+
+    def _target() -> None:
+        handle.result = run_job(name, spark, **conf)
+
+    handle.thread = threading.Thread(
+        target=_target, daemon=True, name=f"ms-task-{task_id[:8]}")
+    with _TASKS_LOCK:
+        _TASKS[task_id] = handle
+    handle.thread.start()
+    return task_id
+
+
+def task_status(task_id: str) -> dict[str, Any]:
+    """TaskStatus analog: poll a running/finished task by id; status is
+    RUNNING until the future resolves, then the JobResult status."""
+    with _TASKS_LOCK:
+        handle = _TASKS.get(task_id)
+    if handle is None:
+        raise KeyError(f"unknown task {task_id!r}")
+    out: dict[str, Any] = {
+        "task_id": task_id,
+        "name": handle.name,
+        "elapsed_sec": time.time() - handle.started_at,
+    }
+    if handle.result is None:
+        out["status"] = "RUNNING"
+    else:
+        out["status"] = handle.result.status
+        out["metrics"] = handle.result.metrics
+        out["elapsed_sec"] = handle.result.elapsed_sec
+    return out
+
+
+def wait_task(task_id: str, timeout: float | None = None) -> JobResult:
+    """WaitTask / RuntimeUtil.waitTask analog: block until the task
+    completes and return its JobResult."""
+    with _TASKS_LOCK:
+        handle = _TASKS.get(task_id)
+    if handle is None:
+        raise KeyError(f"unknown task {task_id!r}")
+    handle.thread.join(timeout)
+    if handle.result is None:
+        raise TimeoutError(f"task {task_id} still running after {timeout}s")
+    return handle.result
+
+
+def list_tasks() -> list[dict[str, Any]]:
+    """Runtime.runningTasks view: every launched task's current status."""
+    with _TASKS_LOCK:
+        ids = list(_TASKS)
+    return [task_status(t) for t in ids]

@@ -77,6 +77,65 @@ def slip_wheel(a: DataFrame, b: DataFrame, order_a: str, order_b: str,
     return pa.join(pb, cond, "inner")
 
 
+class CyclicReplay:
+    """CyclicStream as a first-class operator (CyclicStream.java:15:
+    endlessly repeat a finite stream until an external halt; restart
+    increments ``startCounter``, and ``completedRotations`` = starts - 1,
+    CyclicStream.java:28,46-58).
+
+    The pull-stream iteration becomes algebra over a global tick: tick i
+    of the endless repetition maps to (rot = i // size, pos = i % size),
+    so ``take(n)`` distributes over ``spark.range(n)`` with a broadcast
+    join against the positioned finite stream — no cyclic state, any
+    parallelism. The odometers (PinionSystem.java:46-47 count per-element
+    consumption the same way) are pure functions of consumed-count and
+    size, observable without executing the stream.
+    """
+
+    def __init__(self, df: DataFrame, order_col: str):
+        self.df = df
+        self.order_col = order_col
+        # the wheel is dim-sized by construction (the reference replays an
+        # in-memory stream); its size is a driver scalar like any dim count
+        self.size = df.count()
+
+    def take(self, n: int) -> DataFrame:
+        """First ``n`` elements of the endless repetition, with rotation
+        (``rot``) and in-rotation position (``pos``) columns."""
+        ticks = self.df.sparkSession.range(n).select(
+            F.col("id").alias("tick"),
+            F.expr(f"cast(id div {self.size} as int)").alias("rot"),
+            F.pmod(F.col("id"), F.lit(self.size)).cast("int").alias("pos"))
+        wheel = with_pos(self.df, self.order_col)
+        return ticks.join(F.broadcast(wheel), "pos", "inner")
+
+    def starts(self, consumed: int) -> int:
+        """startCounter after ``consumed`` elements were pulled."""
+        return 0 if consumed <= 0 else (consumed + self.size - 1) // self.size
+
+    def completed_rotations(self, consumed: int) -> int:
+        """CyclicStream.completedRotations (= startCounter - 1;
+        CyclicStreamTest.java:22-50: 5 pulls of a 3-stream → 1,
+        2 pulls → 0)."""
+        return max(0, self.starts(consumed) - 1)
+
+
+def pinion_odometers(size_a: int, size_b: int, rotations: int = 1) -> dict:
+    """PinionSystem's observable counters (PinionSystem.java:46-47,
+    incremented once per element consumed per gear): for gear A running
+    ``rotations`` full turns through the 1-notch slip wheel, both gears
+    consume exactly size_a × rotations elements; B's rotation odometer
+    follows the CyclicStream law over that consumption."""
+    consumed = size_a * rotations
+    b_starts = 0 if consumed <= 0 else (consumed + size_b - 1) // size_b
+    return {
+        "odometer_a": consumed,
+        "odometer_b": consumed,
+        "a_completed_rotations": max(0, rotations - 1),
+        "b_completed_rotations": max(0, b_starts - 1),
+    }
+
+
 def gear_box(pinions: list[DataFrame]) -> DataFrame:
     """GearBox: flatMap N pinion outputs onto one stream
     (GearBox.java:49-56) — unionByName, done when all complete."""

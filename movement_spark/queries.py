@@ -1523,6 +1523,45 @@ def q_multimodal(spark, sf_dir):
     return multimodal.media_feature_stats(load_table(spark, sf_dir, "documents"))
 
 
+@register("cyclic_replay_odometer", """
+WITH wheel AS (
+  SELECT n_nationkey,
+         row_number() OVER (ORDER BY n_nationkey) - 1 AS pos
+  FROM nation),
+sz AS (SELECT COUNT(*) AS size FROM nation),
+ticks AS (SELECT unnest(range(0, 62)) AS tick),
+taken AS (
+  SELECT CAST(tick // size AS INT) AS rot, CAST(tick % size AS INT) AS pos
+  FROM ticks CROSS JOIN sz)
+SELECT rot,
+       COUNT(*) AS n_in_rot,
+       CAST(SUM(n_nationkey) AS BIGINT) AS sum_key,
+       CAST(MAX(pos) AS INT) AS max_pos,
+       CAST((SELECT (62 - 1) // size FROM sz) AS INT) AS completed_rotations
+FROM taken JOIN wheel USING (pos)
+GROUP BY rot
+""")
+def q_cyclic(spark, sf_dir):
+    """CyclicStream as a first-class operator with rotation odometers
+    (CyclicStream.java:15,28,46-58; odometer law pinned by
+    CyclicStreamTest.java:22-50 goldens in tests/test_mechanics.py):
+    replay the nation wheel for 62 ticks, report per-rotation stats plus
+    the completedRotations scalar — the observable half of the paper's
+    gear algebra."""
+    from movement_spark.operators.mechanics import CyclicReplay
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey")
+    rep = CyclicReplay(nation, "n_nationkey")
+    return (
+        rep.take(62)
+        .groupBy("rot")
+        .agg(F.count("*").alias("n_in_rot"),
+             F.sum("n_nationkey").cast("bigint").alias("sum_key"),
+             F.max("pos").cast("int").alias("max_pos"))
+        .withColumn("completed_rotations",
+                    F.lit(rep.completed_rotations(62)).cast("int"))
+    )
+
+
 # ---------------------------------------------------------------------
 # Driver-gate ordering. The correctness sweep evaluates the registry in
 # insertion order, and round 1's sweep was cut off after ~49 entries —
@@ -1533,6 +1572,7 @@ def q_multimodal(spark, sf_dir):
 # rows that were already verified in a previous round.
 # ---------------------------------------------------------------------
 _FRONT = [
+    "cyclic_replay_odometer",
     "lineage_partition_audit",
     "skew_safe_source_agg",
     "multimodal_frame_sample",

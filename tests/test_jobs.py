@@ -75,3 +75,63 @@ def test_load_csv_job_roundtrip_with_dead_letters(spark, sf_dir, tmp_path):
     assert n_bad > 0
     assert res.metrics["dead_letters"] == n_bad
     assert res.metrics["rows"] == n_total - n_bad
+
+
+def test_async_task_launch_poll_await(spark, sf_dir, tmp_path):
+    """Mirrors TestTinkerPopCallStepPlugin.java:209-214: launch a task,
+    get an id back immediately, poll TaskStatus while it runs, then
+    waitTask and assert the element counts."""
+    import uuid as _uuid
+
+    from movement_spark.jobs import (
+        list_tasks, run_job_async, task_status, wait_task)
+
+    task_id = run_job_async(
+        "Export", spark=spark,
+        **{"input.sf_dir": sf_dir, "output.dir": str(tmp_path / "out")})
+    _uuid.UUID(task_id)  # the handle is a real UUID, like the reference's
+    st = task_status(task_id)  # status is pollable WHILE running
+    assert st["status"] in ("RUNNING", "SUCCEEDED")
+    assert st["name"] == "Export"
+    res = wait_task(task_id, timeout=300)
+    assert res.status == "SUCCEEDED"
+    assert res.metrics["rows"] > 0
+    done = task_status(task_id)
+    assert done["status"] == "SUCCEEDED"
+    assert done["metrics"]["rows"] == res.metrics["rows"]
+    assert any(t["task_id"] == task_id for t in list_tasks())
+
+
+def test_async_task_failure_is_observable(spark):
+    from movement_spark.jobs import run_job_async, wait_task
+
+    task_id = run_job_async("Export", spark=spark,
+                            **{"input.sf_dir": "/nonexistent/path"})
+    res = wait_task(task_id, timeout=300)
+    assert res.status.startswith("FAILED")
+
+
+def test_unknown_task_id_raises():
+    import pytest as _pytest
+
+    from movement_spark.jobs import task_status, wait_task
+    with _pytest.raises(KeyError):
+        task_status("nope")
+    with _pytest.raises(KeyError):
+        wait_task("nope")
+
+
+def test_cli_task_prints_live_status(spark, sf_dir, tmp_path, capsys):
+    """CLI.java:29-34: a 1 Hz StatusMonitor line during the run — the
+    CLI must emit at least one live status line for a non-trivial task
+    and still print the final JSON result."""
+    import json as _json
+
+    rc = main(["task", "Migrate",
+               "-s", f"input.sf_dir={sf_dir}",
+               "-s", f"output.dir={tmp_path / 'mig'}"])
+    captured = capsys.readouterr()
+    assert rc == 0
+    out = _json.loads(captured.out.strip().splitlines()[-1])
+    assert out["status"] == "SUCCEEDED"
+    assert "issued" in captured.err and "io operations" in captured.err

@@ -76,3 +76,25 @@ def test_gear_box_interleaves(spark):
     p3 = _seq(spark, [5])
     out = gear_box([p1, p2, p3])
     assert sorted(r.v for r in out.collect()) == [1, 2, 3, 4, 5]
+
+
+def test_cyclic_replay_golden(spark):
+    """CyclicStreamTest.java:22-50: a 3-element wheel pulled 5 times
+    yields [0,1,2,0,1] and ONE completed rotation; pulled 2 times, zero."""
+    from movement_spark.operators.mechanics import CyclicReplay
+    df = spark.range(3).select(F.col("id").alias("v"))
+    rep = CyclicReplay(df, "v")
+    assert [r.v for r in rep.take(5).orderBy("tick").collect()] == [0, 1, 2, 0, 1]
+    assert rep.completed_rotations(5) == 1
+    assert rep.completed_rotations(2) == 0
+    assert rep.completed_rotations(3) == 0  # exactly one turn, none restarted
+    assert rep.starts(5) == 2
+
+
+def test_pinion_odometers_follow_consumption():
+    """PinionSystem.java:46-47: odometers count per-element consumption;
+    through the 1-notch slip wheel both gears consume |A|×rotations."""
+    from movement_spark.operators.mechanics import pinion_odometers
+    od = pinion_odometers(6, 4, rotations=2)
+    assert od == {"odometer_a": 12, "odometer_b": 12,
+                  "a_completed_rotations": 1, "b_completed_rotations": 2}
