@@ -112,8 +112,9 @@ def ngram_jaccard_pairs(tokens: DataFrame, sample_mod: int = 25,
 
     Shingle = coarse 2-gram: consecutive (token % JACCARD_MOD) pairs packed
     into one bigint — coarse enough that near-dup docs overlap. The sample
-    (did % sample_mod == 0) bounds the pair space; in production the input
-    would be LSH candidates instead of a sample — same code path.
+    (did % sample_mod == 0) bounds the pair space for the all-pairs oracle
+    shape; the production path is ``lsh_verified_neardups``, where the
+    pair space is bounded by MinHash band buckets instead of a sample.
     """
     base = tokens.where(F.col("did") % sample_mod == 0)
     gram_expr = (
@@ -148,6 +149,78 @@ def ngram_jaccard_pairs(tokens: DataFrame, sample_mod: int = 25,
     )
 
 
+def doc_ngrams(tokens: DataFrame, n: int = 2) -> DataFrame:
+    """Doc → distinct packed n-grams (the exact-verification feature set
+    shared by ngram_jaccard_pairs and the LSH-fed path)."""
+    gram_expr = (
+        f"if(n_tok >= {n}, "
+        f"transform(sequence(0, n_tok - {n}), "
+        f"i -> cast(tokens[i] % {JACCARD_MOD} as bigint) * {JACCARD_MOD} "
+        f"   + cast(tokens[i+1] % {JACCARD_MOD} as bigint)), "
+        f"array())"
+    )
+    return (
+        tokens.select("doc_id", F.explode(F.expr(gram_expr)).alias("g"))
+        .distinct()
+    )
+
+
+def lsh_candidate_pairs(tokens: DataFrame) -> DataFrame:
+    """Distinct candidate pairs from the MinHash band buckets — the
+    production pair generator: the only pair-producing join is keyed by
+    (band, bucket), so the pair space stays LSH-bounded instead of
+    O(n²), and a pair colliding in several bands is deduplicated before
+    any downstream work fans out."""
+    buckets = minhash_band_buckets(tokens)
+    other = buckets.select(F.col("doc_id").alias("doc_b"),
+                           F.col("band").alias("band_b"),
+                           F.col("bucket").alias("bucket_b"))
+    return (
+        buckets.join(other,
+                     (F.col("band") == F.col("band_b"))
+                     & (F.col("bucket") == F.col("bucket_b"))
+                     & (F.col("doc_id") < F.col("doc_b")))
+        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        .distinct()
+    )
+
+
+def lsh_verified_neardups(tokens: DataFrame,
+                          jaccard_den: int = 2) -> DataFrame:
+    """The production LSH → exact-Jaccard pipeline, sample-free: MinHash
+    band buckets propose candidate pairs; exact n-gram Jaccard verifies
+    ONLY those pairs (keep if jaccard >= 1/jaccard_den). Gram extraction
+    runs solely over candidate docs (semi-join pushdown), and the
+    intersection join is keyed (doc, gram) — every stage's row count is
+    bounded by the LSH collisions, never the corpus squared. This is the
+    at-scale wiring of ngram_jaccard_pairs' sampled shape."""
+    cands = lsh_candidate_pairs(tokens)
+    cand_docs = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    grams = doc_ngrams(tokens.join(cand_docs, "doc_id", "semi"))
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    ga = grams.select(F.col("doc_id").alias("doc_a"), "g")
+    gb = grams.select(F.col("doc_id").alias("doc_b"), "g")
+    inter = (
+        cands.join(ga, "doc_a")
+        .join(gb, ["doc_b", "g"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .select("doc_a", "doc_b", "n_inter",
+                (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+                .alias("n_union"))
+        .where(F.col("n_inter") * jaccard_den >= F.col("n_union"))
+    )
+
+
 def dup_cluster_labels(tokens: DataFrame, sample_mod: int = 25,
                        max_iters: int = 20) -> DataFrame:
     """Connected components over the near-dup candidate graph: group
@@ -175,6 +248,7 @@ def dup_cluster_labels(tokens: DataFrame, sample_mod: int = 25,
                      F.col("doc_a").alias("doc_b")))
     labels = verts.select("doc_id", F.col("did").alias("label"))
     edges = edges.cache()
+    converged = False
     for _ in range(max_iters):
         labels = labels.cache()
         neighbor_min = (
@@ -194,11 +268,20 @@ def dup_cluster_labels(tokens: DataFrame, sample_mod: int = 25,
             != updated.select(F.sum("label").alias("s")).collect()[0].s
         )
         labels.unpersist()
-        if not changed:
-            labels = updated
-            break
         labels = updated
+        if not changed:
+            converged = True
+            break
     edges.unpersist()
+    if not converged:
+        # A component with diameter > max_iters would return partially
+        # propagated labels that silently diverge from the oracle —
+        # refuse instead (raise the cap, or switch to pointer-doubling
+        # large-star/small-star for O(log d) rounds, for graphs this deep).
+        raise RuntimeError(
+            f"label propagation did not converge within {max_iters} "
+            f"rounds: a candidate-graph component has diameter > "
+            f"{max_iters}; results would be partial")
     return (
         labels.groupBy("label")
         .agg(F.count("*").alias("n_docs"),

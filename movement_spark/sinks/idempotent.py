@@ -24,9 +24,11 @@ key-based dedup bounds reader work to keys written more than once
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StructType
 from pyspark.sql.window import Window
 
 
@@ -40,8 +42,41 @@ class IdempotentKeyedSink:
         self.batches = 0
         self._schema = None      # last seen batch schema (for empty reads)
 
+    # schema + compaction watermark live BESIDE the epoch log so a fresh
+    # process resuming an existing sink (whose epochs may all have been
+    # empty/reclaimed) still reads a typed empty table, and time travel
+    # can refuse instead of silently answering from a collapsed history
+    def _schema_file(self) -> str:
+        return os.path.join(self.path, "_schema.json")
+
+    def _watermark_file(self) -> str:
+        return os.path.join(self.path, "_compacted_through.json")
+
+    def _load_schema(self) -> StructType | None:
+        if self._schema is not None:
+            return self._schema
+        try:
+            with open(self._schema_file()) as f:
+                self._schema = StructType.fromJson(json.load(f))
+        except (OSError, ValueError, KeyError):
+            return None
+        return self._schema
+
+    def compaction_watermark(self) -> int | None:
+        """Highest epoch collapsed by a compact() — snapshots at or below
+        it no longer exist as distinct history."""
+        try:
+            with open(self._watermark_file()) as f:
+                return json.load(f)["compacted_through"]
+        except (OSError, ValueError, KeyError):
+            return None
+
     # -- write path (foreachBatch target) --------------------------------
     def foreach_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        if self._schema is None:
+            os.makedirs(self.path, exist_ok=True)
+            with open(self._schema_file(), "w") as f:
+                json.dump(batch_df.schema.jsonValue(), f)
         self._schema = batch_df.schema
         out = os.path.join(self.path, f"epoch={epoch_id}")
         # Deterministic per-epoch path + overwrite == idempotent replay.
@@ -74,13 +109,20 @@ class IdempotentKeyedSink:
         (empty epochs are reclaimed); that is a VALID state — a stream
         of gaps, PotentialSequence-style — and reads as a typed empty
         table, not an error."""
+        wm = self.compaction_watermark()
+        if as_of_epoch is not None and wm is not None and as_of_epoch < wm:
+            raise ValueError(
+                f"time travel to epoch {as_of_epoch} predates the "
+                f"compaction watermark {wm}: that snapshot was collapsed "
+                f"by compact() and no longer exists")
         has_epochs = os.path.isdir(self.path) and any(
             d.startswith("epoch=") for d in os.listdir(self.path))
         if not has_epochs:
-            if self._schema is None:
+            schema = self._load_schema()
+            if schema is None:
                 raise ValueError(
                     f"sink at {self.path} has no data and no recorded schema")
-            return spark.createDataFrame([], self._schema)
+            return spark.createDataFrame([], schema)
         df = spark.read.option("basePath", self.path).parquet(
             os.path.join(self.path, "epoch=*"))
         if as_of_epoch is not None:
@@ -96,18 +138,25 @@ class IdempotentKeyedSink:
         """MERGE-on-write: collapse epochs into one deduped snapshot and
         reclaim the replaced epoch directories (the transaction-log
         truncation step — without it MERGE-on-read cost grows with
-        replay history)."""
+        replay history). The snapshot lands in epoch=<max_epoch> and the
+        compaction watermark is recorded, so ``epoch <= as_of`` reads
+        stay meaningful afterwards and time travel BELOW the watermark
+        raises instead of silently answering from collapsed history."""
         import shutil
         snap = self.read(spark)
         tmp = os.path.join(self.path, "_compacted")
         snap.write.mode("overwrite").parquet(tmp)
         old = [d for d in os.listdir(self.path) if d.startswith("epoch=")]
+        max_epoch = max(int(d.split("=", 1)[1]) for d in old)
         final = spark.read.parquet(tmp)
-        final.write.mode("overwrite").parquet(os.path.join(self.path, "epoch=0"))
+        final.write.mode("overwrite").parquet(
+            os.path.join(self.path, f"epoch={max_epoch}"))
         for d in old:
-            if d != "epoch=0":
+            if d != f"epoch={max_epoch}":
                 shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
         shutil.rmtree(tmp, ignore_errors=True)
+        with open(self._watermark_file(), "w") as f:
+            json.dump({"compacted_through": max_epoch}, f)
 
     def drop_storage(self) -> None:
         """Output.dropStorage analog (Output.java:37)."""

@@ -1,0 +1,107 @@
+"""OutputLogger analog: the engine's own log messages routed through the
+SAME encoder→output machinery as data.
+
+The reference does not print its runtime logs — it encodes each
+LogMessage with a CSVEncoder and hands it to an Output writer keyed by
+the message type (OutputLogger.java:19,33-37; CSVLogMessageEncoder.java:
+20,48-52 encodes ``message.getFields()`` as a CSV line;
+SingleSynchronizedFileLogger serializes the single shared writer). The
+analog here reuses the DirectoryOutput sink (sinks/directory.py): log
+records buffer on the driver (logs are control-plane, single-writer by
+construction — the reference synchronizes its one file writer for the
+same reason) and flush as a DataFrame through ``write_directory_csv``
+with ``level`` as the label column, so the per-level directory layout,
+file rotation, headers, and the reverse reader are exactly the data
+path's. A log record is just another row; greppable with the engine
+itself.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from movement_spark.sinks.directory import (
+    read_directory_csv, write_directory_csv)
+
+LOG_PHASE = "logs"
+LOG_SCHEMA = "seq INT, ts DOUBLE, logger STRING, message STRING, context STRING"
+LEVELS = ("DEBUG", "INFO", "WARN", "ERROR")
+
+
+class DirectoryOutputLogger:
+    """Logger → Encoder → Output, over the directory sink.
+
+    ``clock`` is injectable so tests (and deterministic replays) can pin
+    timestamps; ``seq`` gives a total order independent of clock
+    resolution, like the reference's single synchronized writer does by
+    construction.
+    """
+
+    def __init__(self, spark: SparkSession, base_dir: str,
+                 name: str = "movement",
+                 clock: Callable[[], float] = time.time):
+        self.spark = spark
+        self.base_dir = base_dir
+        self.name = name
+        self.clock = clock
+        self._buffer: list[tuple] = []
+        self._seq = 0
+        self._flushes = 0
+        self.io_ops = 0  # OutputWriter counter analog
+
+    # -- Logger surface (OutputLogger.java:41-58) -------------------------
+    def debug(self, message: Any, **context: Any) -> None:
+        self._log("DEBUG", message, context)
+
+    def info(self, message: Any, **context: Any) -> None:
+        self._log("INFO", message, context)
+
+    def warn(self, message: Any, **context: Any) -> None:
+        self._log("WARN", message, context)
+
+    def error(self, message: Any, **context: Any) -> None:
+        self._log("ERROR", message, context)
+
+    def _log(self, level: str, message: Any, context: dict) -> None:
+        # LogMessage.getFields() analog: (seq, ts, logger, message,
+        # context-as-json, level); level becomes the Output label.
+        self._buffer.append((
+            self._seq, float(self.clock()), self.name, str(message),
+            json.dumps(context, sort_keys=True), level))
+        self._seq += 1
+
+    # -- Output lifecycle -------------------------------------------------
+    def flush(self) -> str:
+        """Encode the buffered records and write them through the
+        directory Output (writer keyed by level, the message 'label')."""
+        if not self._buffer:
+            return f"{self.base_dir}/{LOG_PHASE}"
+        df = self.spark.createDataFrame(
+            self._buffer, LOG_SCHEMA + ", level STRING")
+        # one subdirectory per flush (flush=N) so successive flushes
+        # append to the log storage instead of replacing it — the
+        # rotation SingleSynchronizedFileLogger gets from its split files
+        write_directory_csv(df, self.base_dir,
+                            f"{LOG_PHASE}/flush={self._flushes}",
+                            label_col="level")
+        self._flushes += 1
+        self.io_ops += len(self._buffer)
+        self._buffer = []
+        return f"{self.base_dir}/{LOG_PHASE}"
+
+    def read(self, spark: SparkSession | None = None) -> DataFrame:
+        """Output.reader analog over the log storage (level recovered
+        from the partition directories)."""
+        return read_directory_csv(
+            spark or self.spark, self.base_dir, LOG_PHASE, LOG_SCHEMA)
+
+    def metrics(self) -> dict[str, int]:
+        return {"io_ops": self.io_ops, "buffered": len(self._buffer)}
+
+    def close(self) -> None:
+        """AutoCloseable analog (OutputLogger.java:60-64)."""
+        self.flush()

@@ -1,0 +1,46 @@
+"""OutputLogger analog: log messages through the data sink machinery.
+
+Mirrors OutputLogger.java:33-37 (writeToOutput: encode the LogMessage,
+hand it to the Output writer keyed by message label) and the CSV field
+layout of CSVLogMessageEncoder.java:48-52."""
+
+from pyspark.sql import functions as F
+
+from movement_spark.sinks.logger import DirectoryOutputLogger
+
+
+def test_log_messages_roundtrip_through_directory_sink(spark, tmp_path):
+    clock = iter(range(100)).__next__  # deterministic timestamps
+    log = DirectoryOutputLogger(spark, str(tmp_path), name="engine",
+                                clock=lambda: float(clock()))
+    log.info("phase one started", phase="ONE")
+    log.warn("slow chunk", chunk=7)
+    log.error("dangling edge dropped", doc="d42")
+    log.flush()
+    log.info("phase two started", phase="TWO")
+    log.close()  # close flushes the tail — two flush dirs total
+
+    back = log.read(spark)
+    assert back.count() == 4
+    by_level = {r.level: r.n for r in
+                back.groupBy("level").agg(F.count("*").alias("n")).collect()}
+    assert by_level == {"INFO": 2, "WARN": 1, "ERROR": 1}
+    rows = {r.seq: r for r in back.collect()}
+    assert rows[0].message == "phase one started"
+    assert '"phase": "ONE"' in rows[0].context
+    assert rows[2].level == "ERROR" and rows[2].logger == "engine"
+    # total order is the seq column, independent of flush boundaries
+    assert sorted(rows) == [0, 1, 2, 3]
+    assert log.metrics() == {"io_ops": 4, "buffered": 0}
+
+
+def test_logger_per_level_directory_layout(spark, tmp_path):
+    import os
+
+    log = DirectoryOutputLogger(spark, str(tmp_path), clock=lambda: 0.0)
+    log.info("a")
+    log.error("b")
+    log.flush()
+    flush0 = os.path.join(tmp_path, "logs", "flush=0")
+    labels = sorted(d for d in os.listdir(flush0) if d.startswith("level="))
+    assert labels == ["level=ERROR", "level=INFO"]

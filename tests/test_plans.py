@@ -125,6 +125,10 @@ def test_aqe_splits_skewed_join_partitions(spark):
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "128k",
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32k",
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        # the split thresholds above are calibrated for 8-partition
+        # shuffles; another test touching the shared session via
+        # get_spark() may have raised this to the engine default
+        "spark.sql.shuffle.partitions": "8",
     }
     saved = {k: spark.conf.get(k) for k in tuned}
     try:

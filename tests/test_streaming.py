@@ -136,7 +136,29 @@ def test_sink_compact_preserves_merge_on_read_view(spark):
     assert after == before
     import os as _os
     epochs = [d for d in _os.listdir(sink.path) if d.startswith("epoch=")]
-    assert epochs == ["epoch=0"], "compaction must reclaim replaced epochs"
+    assert epochs == ["epoch=1"], \
+        "compaction must land in epoch=<max> and reclaim replaced epochs"
+    # time travel below the compaction watermark must REFUSE, not
+    # silently return the collapsed snapshot (ADVICE r01)
+    assert sink.compaction_watermark() == 1
+    with pytest.raises(ValueError, match="compaction watermark"):
+        sink.read(spark, as_of_epoch=0)
+    # at/after the watermark still reads
+    assert {(r.k, r.v) for r in sink.read(spark, as_of_epoch=1).collect()} == before
+
+
+def test_sink_schema_survives_process_restart(spark):
+    """A fresh sink object over existing storage whose epochs were all
+    reclaimed must still read as a typed empty table (schema persisted
+    beside the epoch log, ADVICE r01)."""
+    path = _mkdir()
+    sink = IdempotentKeyedSink(path, ["k"])
+    empty = spark.createDataFrame([], "k INT, v INT")
+    sink.foreach_batch(empty, 0)  # empty epoch -> reclaimed, schema kept
+    fresh = IdempotentKeyedSink(path, ["k"])  # "new process"
+    out = fresh.read(spark)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["k", "v"]
 
 
 def test_late_rows_dropped_by_watermark(spark):
