@@ -1314,6 +1314,29 @@ def q_streaming_merge(spark, sf_dir):
     return run_streaming_ordered_merge(spark, sf_dir)
 
 
+@register("streaming_ordered_merge_jvm", with_token_cte("""
+, merged AS (
+  SELECT doc_id,
+         COUNT(*) AS n_shard,
+         CAST(SUM(n_tok) AS BIGINT) AS total_tok,
+         flatten(list(tokens ORDER BY seq)) AS m
+  FROM token_sequences GROUP BY doc_id)
+SELECT doc_id, CAST(n_shard AS INT) AS n_shard, total_tok,
+       CAST(list_sum(list_transform(m, x -> CAST(x AS BIGINT))) AS BIGINT) AS tok_sum,
+       CAST(list_sum(list_transform(m, (x, i) -> CAST(x AS BIGINT) * i)) AS BIGINT) AS poly_hash
+FROM merged
+"""))
+def q_streaming_merge_jvm(spark, sf_dir):
+    """The PHASE barrier with ZERO Python: session-window streaming
+    aggregate (sort_array/collect_list/flatten in the native state
+    store) — same order-sensitive digest oracle as the stateful-Python
+    assembler, proving the throughput and latency paths interchangeable
+    (see ordered_doc_assembler_jvm)."""
+    from movement_spark.streaming.pipeline import (
+        run_streaming_ordered_merge_jvm)
+    return run_streaming_ordered_merge_jvm(spark, sf_dir)
+
+
 @register("streaming_dedup", with_token_cte("""
 SELECT CAST(epoch(time_bucket(INTERVAL 5 MINUTES, ts)) AS BIGINT) AS ws,
        source,
@@ -1637,6 +1660,7 @@ def q_cyclic(spark, sf_dir):
 # ---------------------------------------------------------------------
 _FRONT = [
     "lsh_candidate_jaccard",
+    "streaming_ordered_merge_jvm",
     "cyclic_replay_odometer",
     "lineage_partition_audit",
     "skew_safe_source_agg",

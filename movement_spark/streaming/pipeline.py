@@ -646,6 +646,49 @@ def run_streaming_ordered_merge(spark: SparkSession, sf_dir: str,
     )
 
 
+def run_streaming_ordered_merge_jvm(spark: SparkSession, sf_dir: str,
+                                    watermark: str = "10 minutes",
+                                    stage_dir: str | None = None,
+                                    sink_dir: str | None = None,
+                                    checkpoint_dir: str | None = None,
+                                    listener=None) -> DataFrame:
+    """The PHASE barrier as an ALL-JVM session-window aggregate (the
+    throughput path — no Python boundary; see ordered_doc_assembler_jvm).
+    gap = 62 min > the fixture's max intra-doc event-time span (1 h), so
+    each doc is exactly one session; the session closes when the
+    watermark passes last-shard + gap, which the flush sentinels
+    guarantee. Output digest matches the batch merged_doc_check oracle —
+    the same rows the stateful-Python path emits, proving the two
+    assembler implementations interchangeable."""
+    from movement_spark.operators.ordering import ordered_doc_assembler_jvm
+
+    if stage_dir is None:
+        stage = shared_stage(spark, sf_dir)
+    else:
+        stage = stage_dir
+        if not (os.path.isdir(stage) and os.listdir(stage)):
+            stage_token_stream(spark, sf_dir, stage)
+    src = read_token_stream(spark, stage)
+    shards = src.select("doc_id", "seq", "tokens", "ts")
+    flush_cut = F.timestamp_seconds(F.lit(EPOCH_2026 + TS_MOD + 3600))
+    merged = (
+        ordered_doc_assembler_jvm(shards, watermark=watermark)
+        .where(F.col("w.start") < flush_cut)  # sentinel cut: window col ONLY
+        .drop("w")
+    )
+    sink = IdempotentKeyedSink(sink_dir or _tmp("msoj_sink_"), ["doc_id"])
+    _run_to_sink(merged, sink, checkpoint_dir or _tmp("msoj_ck_"), listener)
+    out = sink.read(spark)
+    return out.select(
+        "doc_id", F.col("n_shard").cast("int").alias("n_shard"),
+        "total_tok",
+        F.expr("aggregate(merged, 0L, (acc, x) -> acc + cast(x as bigint))")
+        .alias("tok_sum"),
+        F.expr("aggregate(transform(merged, (x, i) -> cast(x as bigint) * (i + 1)),"
+               " 0L, (acc, x) -> acc + x)").alias("poly_hash"),
+    )
+
+
 def run_streaming_shard_join(spark: SparkSession, sf_dir: str,
                              watermark: str = "10 minutes",
                              max_gap_sec: int = 60,
