@@ -290,6 +290,54 @@ def dup_cluster_labels(tokens: DataFrame, sample_mod: int = 25,
     )
 
 
+SIMHASH_BANDS = 4  # 8-bit bands of the 32-bit simhash
+
+
+def simhash_neardup_pairs(tokens: DataFrame, sample_mod: int = 10,
+                          max_hamming: int = 8) -> DataFrame:
+    """Complete the SimHash dedup pipeline: hash → banded candidate pairs
+    → exact hamming verify (the hash-alone query is ``simhash_docs``).
+
+    The 32-bit simhash splits into 4 byte-bands; docs sharing any
+    (band, value) become candidates (shuffle key = band value — never
+    all-pairs), then ``bit_count(xor)`` keeps pairs at hamming distance
+    <= max_hamming. For max_hamming < SIMHASH_BANDS the banding is
+    EXACT by pigeonhole; above it recall follows band collisions — the
+    standard LSH trade. The oracle mirrors the banded path, so the
+    result set is deterministic either way.
+    """
+    sh = simhash_docs(tokens, sample_mod=sample_mod)
+    band_structs = [
+        F.struct(F.lit(b).alias("band"),
+                 (F.shiftright(F.col("simhash"), 8 * b) % 256).alias("bv"))
+        for b in range(SIMHASH_BANDS)
+    ]
+    bands = (
+        sh.select("doc_id", "simhash",
+                  F.explode(F.array(*band_structs)).alias("bb"))
+        .select("doc_id", "simhash", "bb.band", "bb.bv")
+    )
+    other = bands.select(F.col("doc_id").alias("doc_b"),
+                         F.col("simhash").alias("sim_b"),
+                         F.col("band").alias("band_b"),
+                         F.col("bv").alias("bv_b"))
+    pairs = (
+        bands.join(other,
+                   (F.col("band") == F.col("band_b"))
+                   & (F.col("bv") == F.col("bv_b"))
+                   & (F.col("doc_id") < F.col("doc_b")))
+        .select(F.col("doc_id").alias("doc_a"), "doc_b",
+                F.col("simhash").alias("sim_a"), "sim_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        pairs.withColumn("hamming", hamming.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def simhash_docs(tokens: DataFrame, sample_mod: int = 50) -> DataFrame:
     """32-bit SimHash per sampled doc, from coarse shingles.
 

@@ -135,6 +135,53 @@ def lsh_bucketed_neighbors(embeddings: DataFrame, n_queries: int = 10,
     )
 
 
+N_CENTROIDS = 16
+
+
+def ivf_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
+             n_centroids: int = N_CENTROIDS) -> DataFrame:
+    """IVF ANN (nprobe=1): the inverted-file layout that production ANN
+    systems use at corpus scale, alongside the LSH-bucket variant.
+
+    Coarse quantizer = the first ``n_centroids`` vectors (a deterministic
+    sample; production would k-means them — assignment and search shapes
+    are identical, and a learned codebook drops in as a different
+    ``cents`` frame). Every vector joins its nearest centroid by integer
+    dot (broadcast centroids — one narrow pass over the corpus, argmax
+    via per-vector top-1); a query then searches ONLY its centroid's
+    inverted list: the corpus-side shuffle key is the centroid id, never
+    an all-pairs join. Ties break by centroid id, so assignment is
+    deterministic and oracle-reproducible.
+    """
+    q = quantized(embeddings)
+    cents = q.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cent_id"), F.col("q").alias("cv"))
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("cdot"), F.asc("cent_id"))
+    assigned = (
+        q.crossJoin(F.broadcast(cents))
+        .select("vec_id", "q", "cent_id", _dot("q", "cv").alias("cdot"))
+        .withColumn("_rn", F.row_number().over(w_assign))
+        .where(F.col("_rn") == 1)
+        .select("vec_id", "q", "cent_id")
+    )
+    queries = assigned.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qv"),
+        F.col("cent_id").alias("q_cent"))
+    cand = (
+        assigned.join(F.broadcast(queries),
+                      F.col("cent_id") == F.col("q_cent"))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", _dot("q", "qv").alias("dot"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "dot", "rank")
+    )
+
+
 NEARDUP_PLANES = 4
 
 

@@ -1555,6 +1555,91 @@ def q_multimodal(spark, sf_dir):
     return multimodal.media_feature_stats(load_table(spark, sf_dir, "documents"))
 
 
+_SIMHASH_PAIRS_SQL = with_token_cte(f"""
+, shingles AS (
+  SELECT DISTINCT doc_id, unnest(tokens) % {dedup.SHINGLE_MOD} AS sh
+  FROM token_sequences WHERE did % 10 = 0),
+bits AS (
+  SELECT doc_id, unnest(range(0, {dedup.SIMHASH_BITS})) AS b,
+         (sh * {dedup.SIMHASH_MULT}) % {1 << 32} AS hv
+  FROM shingles),
+votes AS (
+  SELECT doc_id, b, SUM(((hv >> CAST(b AS INT)) % 2) * 2 - 1) AS s
+  FROM bits GROUP BY 1, 2),
+sims AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << CAST(b AS INT)
+                       ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, simhash, band,
+         (simhash >> CAST(band * 8 AS INT)) % 256 AS bv
+  FROM (SELECT doc_id, simhash, unnest(range(0, {dedup.SIMHASH_BANDS})) AS band
+        FROM sims)),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sim_a, b.simhash AS sim_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+FROM pairs WHERE bit_count(xor(sim_a, sim_b)) <= 8
+""")
+
+
+@register("simhash_neardup_pairs", _SIMHASH_PAIRS_SQL)
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash hash → banded candidates → exact hamming verify: the
+    pipeline completion of simhash_docs (which only emits hashes).
+    Candidates come from byte-band buckets, never all-pairs."""
+    return dedup.simhash_neardup_pairs(
+        token_sequences(spark, sf_dir, keep_did=True))
+
+
+_IVF_SQL = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x ->
+           CAST(round(CAST(x AS DOUBLE) * {similarity.QUANT}, 0) AS BIGINT)) AS qv
+  FROM embeddings),
+cents AS (SELECT vec_id AS cent_id, qv AS cv FROM q
+          WHERE vec_id < {similarity.N_CENTROIDS}),
+scored AS (
+  SELECT q.vec_id, q.qv, cents.cent_id,
+         CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+              i -> q.qv[i] * cents.cv[i])) AS BIGINT) AS cdot
+  FROM q CROSS JOIN cents),
+assigned AS (
+  SELECT vec_id, qv, cent_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cdot DESC, cent_id ASC) AS rn
+    FROM scored) WHERE rn = 1),
+queries AS (SELECT vec_id AS query_id, qv AS query_v, cent_id AS q_cent
+            FROM assigned WHERE vec_id < 10),
+cand AS (
+  SELECT query_id, a.vec_id,
+         CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+              i -> a.qv[i] * queries.query_v[i])) AS BIGINT) AS dot
+  FROM assigned a JOIN queries ON a.cent_id = queries.q_cent
+  WHERE a.vec_id <> queries.query_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY dot DESC, vec_id ASC) AS rank
+  FROM cand)
+SELECT query_id, vec_id, dot, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+@register("ann_ivf_topk", _IVF_SQL)
+def q_ann_ivf(spark, sf_dir):
+    """IVF ANN (nprobe=1): inverted-file coarse quantization — the third
+    ANN layout next to brute-force (re-rank path) and sign-LSH buckets;
+    shuffle key = centroid id."""
+    df = similarity.ivf_topk(load_table(spark, sf_dir, "embeddings"))
+    return df.withColumn("rank", F.col("rank").cast("int"))
+
+
 _LSH_JACCARD_SQL = with_token_cte(f"""
 , shingles AS (
   SELECT DISTINCT doc_id, unnest(tokens) % {dedup.SHINGLE_MOD} AS sh
@@ -1660,6 +1745,8 @@ def q_cyclic(spark, sf_dir):
 # ---------------------------------------------------------------------
 _FRONT = [
     "lsh_candidate_jaccard",
+    "simhash_neardup_pairs",
+    "ann_ivf_topk",
     "streaming_ordered_merge_jvm",
     "cyclic_replay_odometer",
     "lineage_partition_audit",
