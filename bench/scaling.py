@@ -144,8 +144,19 @@ gated bit-for-bit against a DuckDB oracle (tests/test_oracle_parity.py).
 Reproduce: `python bench/scaling.py` (env: MS_SCALE_DOCS, MS_SCALE_LEN,
 MS_SCALE_REPS). Per-round headline timings: `python bench.py`.
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # Preserve per-round notes appended below the marker by other tools
+    # (bench steady-state sections, CEP micro-bench tables, ...).
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    marker = "<!-- round-notes -->"
+    tail = ""
+    if os.path.exists(path):
+        prev = open(path).read()
+        if marker in prev:
+            tail = prev[prev.index(marker):]
+    with open(path, "w") as f:
         f.write(md)
+        if tail:
+            f.write("\n" + tail)
     print(json.dumps(result))
 
 

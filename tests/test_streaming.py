@@ -101,6 +101,36 @@ def test_stateful_ordered_merge_resumes_from_checkpoint(spark, sf_dir):
         "resumed docs must match batch content and ORDER (poly_hash)"
 
 
+def test_jvm_assembler_resumes_from_checkpoint(spark, sf_dir):
+    """Session-window state resume for the all-JVM assembler: kill the
+    run with sessions OPEN in the native streaming-agg state store,
+    resume with the same checkpoint, and require the batch digest —
+    docs whose shards span the kill point must still merge complete and
+    in seq order."""
+    from movement_spark.operators.ordering import merged_doc_check
+    from movement_spark.streaming.pipeline import (
+        run_streaming_ordered_merge_jvm)
+
+    full_stage = _mkdir()
+    stage_token_stream(spark, sf_dir, full_stage)
+    files = sorted(os.listdir(full_stage))
+    part_stage, ck, sink_dir = _mkdir(), _mkdir(), _mkdir()
+    for f in files[: len(files) // 2]:
+        shutil.copy2(os.path.join(full_stage, f), os.path.join(part_stage, f))
+    run_streaming_ordered_merge_jvm(spark, sf_dir, stage_dir=part_stage,
+                                    sink_dir=sink_dir, checkpoint_dir=ck)
+    for f in files[len(files) // 2:]:
+        shutil.copy2(os.path.join(full_stage, f), os.path.join(part_stage, f))
+    result = run_streaming_ordered_merge_jvm(spark, sf_dir,
+                                             stage_dir=part_stage,
+                                             sink_dir=sink_dir,
+                                             checkpoint_dir=ck)
+    expected = merged_doc_check(token_sequences(spark, sf_dir)) \
+        .withColumn("n_shard", F.col("n_shard").cast("int"))
+    assert result.count() == expected.count()
+    assert result.exceptAll(expected).count() == 0
+
+
 def test_cep_module_gates_cleanly(spark, sf_dir):
     """transformWithStateInPandas needs google.protobuf (broken in this
     sandbox): the operator must refuse with a clear error, or — where the
