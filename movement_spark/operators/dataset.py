@@ -1,0 +1,90 @@
+"""Training-dataset assembly operators: splits and sequence packing.
+
+The last mile of a pretraining data pipeline, after dedup/quality:
+deterministically split the corpus, then pack variable-length token
+sequences into fixed-size context windows. Both are pure column
+arithmetic (a*x+b mod p hashing, prefix sums) so the DuckDB oracle can
+recompute them bit-for-bit, and both shapes survive 100 TB: the split
+is stateless per-row; packing is a per-source prefix sum (each source's
+window function runs inside one partition of the source-keyed shuffle —
+production packs per shard/worker exactly the same way, never a global
+order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+# Split hashing — plain integer arithmetic, NOT an engine hash builtin,
+# so the assignment is reproducible in any engine (and stable forever:
+# re-running the pipeline never moves a doc across splits).
+SPLIT_A, SPLIT_B, SPLIT_P = 1_103_515_245, 12_345, (1 << 31) - 1
+TRAIN_PCT, VAL_PCT = 80, 10  # remainder = test
+
+CONTEXT_LEN = 2048  # tokens per packed training window
+
+
+def split_column(doc_key: F.Column) -> F.Column:
+    """train/val/test by deterministic hash bucket of the doc key."""
+    bucket = ((doc_key * SPLIT_A + SPLIT_B) % SPLIT_P) % 100
+    return (F.when(bucket < TRAIN_PCT, "train")
+            .when(bucket < TRAIN_PCT + VAL_PCT, "val")
+            .otherwise("test"))
+
+
+def dataset_split_stats(documents: DataFrame) -> DataFrame:
+    """Per-(source, split) doc and char counts — the manifest a split
+    step emits so downstream jobs can verify ratios and leakage."""
+    return (
+        documents
+        .withColumn("split", split_column(F.col("doc_id")))
+        .groupBy("source", "split")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_chars").cast("bigint").alias("sum_chars"))
+    )
+
+
+def sequence_packing_stats(tokens: DataFrame,
+                           context_len: int = CONTEXT_LEN) -> DataFrame:
+    """Concatenate-then-chunk packing plan (the GPT-style layout): per
+    source, docs concatenate in doc order and split into fixed
+    ``context_len`` windows. Emitted stats are what a packing planner
+    reports: windows needed, docs crossing a window boundary (the
+    attention-mask seam count), and tail waste.
+
+    One shuffle on (source); the prefix sum is a ROWS-unbounded window
+    INSIDE each source partition — no global ordering anywhere, so the
+    plan parallelizes across sources (the production unit of packing).
+    """
+    per_doc = (
+        tokens
+        .groupBy("source", "doc_id")
+        .agg(F.sum("n_tok").cast("bigint").alias("doc_tok"))
+    )
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    placed = (
+        per_doc
+        .withColumn("cum_end", F.sum("doc_tok").over(w))
+        .withColumn("cum_start", F.col("cum_end") - F.col("doc_tok"))
+        .withColumn("first_bin", F.expr(f"cum_start div {context_len}"))
+        .withColumn("last_bin", F.expr(f"(cum_end - 1) div {context_len}"))
+    )
+    agg = (
+        placed.groupBy("source")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("doc_tok").cast("bigint").alias("total_tok"),
+             F.sum((F.col("first_bin") != F.col("last_bin")).cast("int"))
+             .cast("bigint").alias("n_boundary_docs"))
+    )
+    # all-integer window math (float ceil differs across engines)
+    n_windows = F.expr(f"(total_tok + {context_len - 1}) div {context_len}")
+    return (
+        agg.withColumn("n_windows", n_windows.cast("bigint"))
+        .withColumn("tail_waste_tok",
+                    (F.col("n_windows") * context_len - F.col("total_tok"))
+                    .cast("bigint"))
+        .select("source", "n_docs", "total_tok", "n_windows",
+                "n_boundary_docs", "tail_waste_tok")
+    )

@@ -96,3 +96,44 @@ def doc_fingerprints(documents: DataFrame, sample_mod: int = 25) -> DataFrame:
         F.expr(fp).alias("fingerprint"),
         F.least(F.col("n_chars"), F.lit(FP_LEN)).cast("int").alias("fp_len"),
     )
+
+
+BIGRAM_PMI_SCALE = 1_000_000
+
+
+def token_bigram_stats(tokens: DataFrame, tok_mod: int = 50261,
+                       top_n: int = 20) -> DataFrame:
+    """Top-N token bigrams with integer-scaled PMI — the co-occurrence
+    statistic a corpus-analysis pass feeds to tokenizer/quality tooling.
+
+    Bigram key packs the adjacent pair into one bigint (a*tok_mod + b,
+    injective for token ids < tok_mod), so the heavy path is explode →
+    map-side-combined count — one shuffle keyed by bigram. PMI is kept
+    ORACLE-EXACT by reporting floor(c_ab * N * 1e6 / (c_a * c_b)) in
+    pure bigint arithmetic instead of a float log (at web scale swap the
+    bigint products for decimal(38,0) — same plan). Top-N ties break by
+    bigram key, so the cut is deterministic.
+    """
+    bg_expr = (
+        f"if(n_tok >= 2, transform(sequence(0, n_tok - 2), "
+        f"i -> cast(tokens[i] as bigint) * {tok_mod} + cast(tokens[i+1] as bigint)), "
+        f"cast(array() as array<bigint>))"
+    )
+    bi = tokens.select(F.explode(F.expr(bg_expr)).alias("bg"))
+    bc = bi.groupBy("bg").agg(F.count("*").alias("c_bigram"))
+    uc = (tokens.select(F.explode("tokens").alias("t"))
+          .groupBy("t").agg(F.count("*").alias("c")))
+    tot = bi.agg(F.count("*").alias("n"))
+    top = (bc.orderBy(F.desc("c_bigram"), F.asc("bg")).limit(top_n)
+           .withColumn("tok_a", F.expr(f"cast(bg div {tok_mod} as int)"))
+           .withColumn("tok_b", (F.col("bg") % tok_mod).cast("int")))
+    ua = uc.select(F.col("t").alias("tok_a"), F.col("c").alias("c_a"))
+    ub = uc.select(F.col("t").alias("tok_b"), F.col("c").alias("c_b"))
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(ua), "tok_a")
+        .join(F.broadcast(ub), "tok_b")
+        .select("tok_a", "tok_b", "c_bigram", "c_a", "c_b",
+                F.expr(f"(c_bigram * n * {BIGRAM_PMI_SCALE}L) div (c_a * c_b)")
+                .alias("pmi_scaled"))
+    )

@@ -1555,6 +1555,87 @@ def q_multimodal(spark, sf_dir):
     return multimodal.media_feature_stats(load_table(spark, sf_dir, "documents"))
 
 
+@register("dataset_split_stats", f"""
+SELECT source,
+       CASE WHEN ((doc_id * 1103515245 + 12345) % {(1 << 31) - 1}) % 100 < 80 THEN 'train'
+            WHEN ((doc_id * 1103515245 + 12345) % {(1 << 31) - 1}) % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY 1, 2
+""")
+def q_dataset_split(spark, sf_dir):
+    """Deterministic train/val/test assignment by pure-arithmetic hash
+    bucket (a*x+b mod p — stable across engines and re-runs, so a doc
+    can never leak between splits when the pipeline is re-executed):
+    the split-manifest step of a pretraining data pipeline."""
+    from movement_spark.operators.dataset import dataset_split_stats
+    return dataset_split_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register("sequence_packing_stats", with_token_cte("""
+, per_doc AS (
+  SELECT source, doc_id, CAST(SUM(n_tok) AS BIGINT) AS doc_tok
+  FROM token_sequences GROUP BY 1, 2),
+placed AS (
+  SELECT source, doc_tok,
+         SUM(doc_tok) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum_end
+  FROM per_doc),
+p2 AS (
+  SELECT source, doc_tok, cum_end, cum_end - doc_tok AS cum_start
+  FROM placed),
+agg AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(doc_tok) AS BIGINT) AS total_tok,
+         CAST(SUM(CASE WHEN cum_start // 2048 <> (cum_end - 1) // 2048
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary_docs
+  FROM p2 GROUP BY source)
+SELECT source, n_docs, total_tok,
+       CAST((total_tok + 2047) // 2048 AS BIGINT) AS n_windows,
+       n_boundary_docs,
+       CAST((total_tok + 2047) // 2048 * 2048 - total_tok AS BIGINT)
+         AS tail_waste_tok
+FROM agg
+"""))
+def q_packing(spark, sf_dir):
+    """Sequence packing plan (concatenate-then-chunk into 2048-token
+    context windows — the GPT-style training layout): per-source window
+    count, boundary-crossing docs (attention-mask seams), tail waste.
+    Prefix sums run INSIDE each source partition — no global order."""
+    from movement_spark.operators.dataset import sequence_packing_stats
+    return sequence_packing_stats(token_sequences(spark, sf_dir))
+
+
+@register("token_bigram_pmi", with_token_cte(f"""
+, bi AS (
+  SELECT unnest(CASE WHEN n_tok >= 2 THEN
+    list_transform(range(0, n_tok - 1), i ->
+      CAST(tokens[i + 1] AS BIGINT) * {TOK_MOD} + CAST(tokens[i + 2] AS BIGINT))
+    ELSE CAST([] AS BIGINT[]) END) AS bg
+  FROM token_sequences),
+bc AS (SELECT bg, COUNT(*) AS c_bigram FROM bi GROUP BY bg),
+uni AS (SELECT unnest(tokens) AS t FROM token_sequences),
+uc AS (SELECT t, COUNT(*) AS c FROM uni GROUP BY t),
+tot AS (SELECT COUNT(*) AS n FROM bi),
+top AS (SELECT bg, c_bigram FROM bc
+        ORDER BY c_bigram DESC, bg ASC LIMIT 20)
+SELECT CAST(bg // {TOK_MOD} AS INT) AS tok_a,
+       CAST(bg % {TOK_MOD} AS INT) AS tok_b,
+       c_bigram, ua.c AS c_a, ub.c AS c_b,
+       CAST((c_bigram * n * 1000000) // (ua.c * ub.c) AS BIGINT) AS pmi_scaled
+FROM top CROSS JOIN tot
+JOIN uc ua ON ua.t = bg // {TOK_MOD}
+JOIN uc ub ON ub.t = bg % {TOK_MOD}
+"""))
+def q_bigram_pmi(spark, sf_dir):
+    """Top-20 token bigrams with integer-scaled PMI (floor(c_ab * N *
+    1e6 / (c_a * c_b)) — no float log, oracle-exact): the co-occurrence
+    profile a tokenizer/corpus-drift monitor watches."""
+    return text.token_bigram_stats(token_sequences(spark, sf_dir),
+                                   tok_mod=TOK_MOD)
+
+
 _SIMHASH_PAIRS_SQL = with_token_cte(f"""
 , shingles AS (
   SELECT DISTINCT doc_id, unnest(tokens) % {dedup.SHINGLE_MOD} AS sh
@@ -1747,6 +1828,9 @@ _FRONT = [
     "lsh_candidate_jaccard",
     "simhash_neardup_pairs",
     "ann_ivf_topk",
+    "dataset_split_stats",
+    "sequence_packing_stats",
+    "token_bigram_pmi",
     "streaming_ordered_merge_jvm",
     "cyclic_replay_odometer",
     "lineage_partition_audit",
