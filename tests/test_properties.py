@@ -89,3 +89,54 @@ def test_merge_digest_invariant_under_shuffle(spark, sf_dir, seed):
     base = merged_doc_check(t).orderBy("doc_id").collect()
     perm = merged_doc_check(shuffled).orderBy("doc_id").collect()
     assert [tuple(r) for r in base] == [tuple(r) for r in perm]
+
+
+@SET
+@given(size=st.integers(1, 9), consumed=st.integers(1, 40))
+def test_cyclic_replay_matches_model(spark, size, consumed):
+    """CyclicReplay.take(n) must equal the pure-Python endless repetition
+    (CyclicStream.java:46-58), and the odometer must follow the
+    startCounter law (completedRotations = starts - 1)."""
+    from movement_spark.operators.mechanics import CyclicReplay
+    vals = [10 + i for i in range(size)]
+    rep = CyclicReplay(_gear(spark, vals, "v"), "v")
+    got = [r.v for r in rep.take(consumed).orderBy("tick").collect()]
+    assert got == [vals[i % size] for i in range(consumed)]
+    starts = -(-consumed // size)  # ceil
+    assert rep.starts(consumed) == starts
+    assert rep.completed_rotations(consumed) == max(0, starts - 1)
+
+
+@SET
+@given(n=st.integers(1, 200), ctx=st.sampled_from([4, 16, 64]))
+def test_packing_invariants(spark, n, ctx):
+    """Packing laws over random doc-length mixes: windows cover exactly
+    total_tok + tail_waste tokens; waste < one window; boundary docs
+    cannot exceed windows - 1 (a seam needs two windows) or n_docs."""
+    from movement_spark.operators.dataset import sequence_packing_stats
+    docs = spark.range(n).select(
+        F.lit("s").alias("source"),
+        F.concat(F.lit("d"), F.format_string("%06d", F.col("id"))).alias("doc_id"),
+        F.lit(0).alias("seq"),
+        (1 + F.pmod(F.xxhash64("id"), F.lit(3 * ctx))).cast("int").alias("n_tok"))
+    stats = sequence_packing_stats(docs, context_len=ctx).collect()[0]
+    assert stats.n_windows * ctx == stats.total_tok + stats.tail_waste_tok
+    assert 0 <= stats.tail_waste_tok < ctx
+    assert stats.n_docs == n
+    assert 0 <= stats.n_boundary_docs <= min(n, max(stats.n_windows - 1, 0))
+
+
+@SET
+@given(n=st.integers(50, 400))
+def test_split_is_stable_partition(spark, n):
+    """The split assignment is a PARTITION (every doc in exactly one
+    split) and a pure function of doc_id — two independent evaluations
+    over different row layouts agree exactly."""
+    from movement_spark.operators.dataset import split_column
+    docs = spark.range(n).select(F.col("id").alias("doc_id"))
+    a = docs.repartition(7).withColumn("split", split_column(F.col("doc_id")))
+    b = docs.repartition(3).withColumn("split", split_column(F.col("doc_id")))
+    assert a.count() == n
+    joined = a.join(b.withColumnRenamed("split", "split_b"), "doc_id")
+    assert joined.where(F.col("split") != F.col("split_b")).count() == 0
+    assert joined.count() == n
