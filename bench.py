@@ -19,7 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from movement_spark import queries as Q                     # noqa: E402
 from movement_spark.benchmarks import (                     # noqa: E402
-    HEADLINE, streaming_throughput, time_query,
+    HEADLINE, cep_assembler_throughput, streaming_throughput, time_query,
 )
 from movement_spark.session import get_spark                # noqa: E402
 from movement_spark.sources.synth import stage_synth_stream  # noqa: E402
@@ -79,6 +79,28 @@ def main() -> None:
     stream_small = _stream_run(max(int(800_000 * sf), 20_000))
     stream = _stream_run(max(int(8_000_000 * sf), 100_000))
 
+    # CEP assembler sub-metric: the flagship stateful stage in both
+    # implementations. The JVM session-window path runs at the headline
+    # input; the Python applyInPandasWithState path runs on a small
+    # input (its per-group invocation cost makes big inputs minutes —
+    # the A/B analysis lives in BENCH/BASELINE.md).
+    def _cep_run(mode: str, n_docs: int) -> dict:
+        work = tempfile.mkdtemp(prefix="ms_cepbench_")
+        stage = os.path.join(work, "stage")
+        n_rows = stage_synth_stream(spark, n_docs, stage, n_files=64)
+        out = cep_assembler_throughput(
+            spark, stage, n_rows,
+            sink_dir=os.path.join(work, "sink"),
+            checkpoint_dir=os.path.join(work, "ck"),
+            mode=mode)
+        shutil.rmtree(work, ignore_errors=True)
+        return out
+
+    cep = {
+        "jvm": _cep_run("jvm", max(int(8_000_000 * sf), 100_000)),
+        "python_small": _cep_run("python", max(int(200_000 * sf), 5_000)),
+    }
+
     result = {
         "metric": "headline_suite_sec",
         "value": round(sum(timings.values()), 3),
@@ -88,6 +110,7 @@ def main() -> None:
         "cpus": cpus,
         "streaming": stream,
         "streaming_r01_comparable": stream_small,
+        "cep": cep,
     }
     spark.stop()
     print(json.dumps(result))

@@ -45,6 +45,63 @@ def time_query(fn, spark: SparkSession, sf_dir: str, runs: int = 2) -> float:
     return best
 
 
+def cep_assembler_throughput(spark: SparkSession, stage_dir: str,
+                             n_rows: int, sink_dir: str,
+                             checkpoint_dir: str, mode: str = "jvm",
+                             files_per_trigger: int = 16,
+                             state_partitions: int = 8) -> dict:
+    """Throughput of the per-doc ordered-assembly stage (the PHASE
+    barrier) over a staged stream, in either implementation:
+    ``mode="python"`` = applyInPandasWithState emit-on-complete CEP;
+    ``mode="jvm"`` = session-window streaming aggregate (the zero-Python
+    throughput path). Same sink/checkpoint discipline as the main
+    streaming bench; used by bench.py (per-round sub-metric) and
+    bench/cep_throughput.py (standalone A/B)."""
+    import os as _os
+
+    from movement_spark.operators.ordering import (
+        ordered_doc_assembler, ordered_doc_assembler_jvm)
+    from movement_spark.sources.tokens import EPOCH_2026 as _EPOCH
+    from movement_spark.streaming.pipeline import (
+        SENTINEL, read_token_stream)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    src = read_token_stream(spark, stage_dir, files_per_trigger)
+    if mode == "jvm":
+        flush_cut = F.timestamp_seconds(F.lit(_EPOCH + TS_MOD + 3600))
+        merged = (
+            ordered_doc_assembler_jvm(
+                src.select("doc_id", "seq", "tokens", "ts"))
+            .where(F.col("w.start") < flush_cut)
+            .drop("w")
+        )
+    else:
+        merged = (
+            ordered_doc_assembler(
+                src.select("doc_id", "seq", "tokens", "n_shards", "ts"),
+                watermark="10 minutes", timeout_ms=(TS_MOD + 120) * 1000)
+            .where(F.col("doc_id") != SENTINEL)
+        )
+    sink = IdempotentKeyedSink(sink_dir, ["doc_id"])
+    t0 = time.perf_counter()
+    q = (merged.writeStream.outputMode("append")
+         .foreachBatch(sink.foreach_batch)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    elapsed = time.perf_counter() - t0
+    spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    docs_out = sink.read(spark).count()
+    return {
+        "mode": mode,
+        "elapsed_sec": round(elapsed, 3),
+        "rows_in": n_rows,
+        "docs_out": docs_out,
+        "rows_per_sec": round(n_rows / elapsed, 1),
+    }
+
+
 def streaming_throughput(spark: SparkSession, stage_dir: str, n_rows: int,
                          sink_dir: str, checkpoint_dir: str,
                          files_per_trigger: int = 8,

@@ -193,8 +193,17 @@ def lsh_verified_neardups(tokens: DataFrame,
     runs solely over candidate docs (semi-join pushdown), and the
     intersection join is keyed (doc, gram) — every stage's row count is
     bounded by the LSH collisions, never the corpus squared. This is the
-    at-scale wiring of ngram_jaccard_pairs' sampled shape."""
-    cands = lsh_candidate_pairs(tokens)
+    at-scale wiring of ngram_jaccard_pairs' sampled shape.
+
+    The candidate set is consumed three times (doc_a extraction, doc_b
+    extraction, the intersection join), so it is persisted — otherwise
+    the whole MinHash/banding chain re-executes per consumer. Candidates
+    are LSH-bounded (collisions, not corpus²), so the cache is small by
+    construction; Spark's LRU reclaims it.
+    """
+    from pyspark import StorageLevel
+
+    cands = lsh_candidate_pairs(tokens).persist(StorageLevel.MEMORY_AND_DISK)
     cand_docs = (
         cands.select(F.col("doc_a").alias("doc_id"))
         .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
