@@ -57,41 +57,40 @@ def cep_assembler_throughput(spark: SparkSession, stage_dir: str,
     throughput path). Same sink/checkpoint discipline as the main
     streaming bench; used by bench.py (per-round sub-metric) and
     bench/cep_throughput.py (standalone A/B)."""
-    import os as _os
-
     from movement_spark.operators.ordering import (
         ordered_doc_assembler, ordered_doc_assembler_jvm)
-    from movement_spark.sources.tokens import EPOCH_2026 as _EPOCH
     from movement_spark.streaming.pipeline import (
         SENTINEL, read_token_stream)
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    src = read_token_stream(spark, stage_dir, files_per_trigger)
-    if mode == "jvm":
-        flush_cut = F.timestamp_seconds(F.lit(_EPOCH + TS_MOD + 3600))
-        merged = (
-            ordered_doc_assembler_jvm(
-                src.select("doc_id", "seq", "tokens", "ts"))
-            .where(F.col("w.start") < flush_cut)
-            .drop("w")
-        )
-    else:
-        merged = (
-            ordered_doc_assembler(
-                src.select("doc_id", "seq", "tokens", "n_shards", "ts"),
-                watermark="10 minutes", timeout_ms=(TS_MOD + 120) * 1000)
-            .where(F.col("doc_id") != SENTINEL)
-        )
-    sink = IdempotentKeyedSink(sink_dir, ["doc_id"])
-    t0 = time.perf_counter()
-    q = (merged.writeStream.outputMode("append")
-         .foreachBatch(sink.foreach_batch)
-         .option("checkpointLocation", checkpoint_dir)
-         .trigger(availableNow=True).start())
-    q.awaitTermination()
-    elapsed = time.perf_counter() - t0
-    spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    try:
+        src = read_token_stream(spark, stage_dir, files_per_trigger)
+        if mode == "jvm":
+            flush_cut = F.timestamp_seconds(F.lit(EPOCH_2026 + TS_MOD + 3600))
+            merged = (
+                ordered_doc_assembler_jvm(
+                    src.select("doc_id", "seq", "tokens", "ts"))
+                .where(F.col("w.start") < flush_cut)
+                .drop("w")
+            )
+        else:
+            merged = (
+                ordered_doc_assembler(
+                    src.select("doc_id", "seq", "tokens", "n_shards", "ts"),
+                    watermark="10 minutes", timeout_ms=(TS_MOD + 120) * 1000)
+                .where(F.col("doc_id") != SENTINEL)
+            )
+        sink = IdempotentKeyedSink(sink_dir, ["doc_id"])
+        t0 = time.perf_counter()
+        q = (merged.writeStream.outputMode("append")
+             .foreachBatch(sink.foreach_batch)
+             .option("checkpointLocation", checkpoint_dir)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        elapsed = time.perf_counter() - t0
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     docs_out = sink.read(spark).count()
     return {
         "mode": mode,
@@ -128,6 +127,22 @@ def streaming_throughput(spark: SparkSession, stage_dir: str, n_rows: int,
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        return _streaming_throughput_inner(
+            spark, stage_dir, n_rows, sink_dir, checkpoint_dir,
+            files_per_trigger, watermark, width, sig_probes, listener)
+    finally:
+        # restore shared-session state even when the query dies —
+        # a leaked 8-partition layout would skew every later measurement
+        spark.streams.removeListener(listener)
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _streaming_throughput_inner(spark, stage_dir, n_rows, sink_dir,
+                                checkpoint_dir, files_per_trigger,
+                                watermark, width, sig_probes,
+                                listener) -> dict:
     src = (
         spark.readStream.schema(STREAM_SCHEMA)
         .option("maxFilesPerTrigger", files_per_trigger)
@@ -157,9 +172,6 @@ def streaming_throughput(spark: SparkSession, stage_dir: str, n_rows: int,
     )
     q.awaitTermination()
     elapsed = time.perf_counter() - t0
-    spark.streams.removeListener(listener)
-    if state_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     out = sink.read(spark)
     emitted = out.count()
     total_tok = out.agg(F.sum("sum_tok")).collect()[0][0]

@@ -43,7 +43,7 @@ def main(argv: list[str] | None = None) -> int:
 
     args = ap.parse_args(argv)
 
-    from movement_spark.jobs import JOBS, run_job
+    from movement_spark.jobs import JOBS
 
     if args.cmd == "list-tasks":
         for name in sorted(JOBS):

@@ -172,7 +172,15 @@ def run_job_async(name: str, spark: SparkSession | None = None,
     handle = _TaskHandle(task_id, name, None, time.time())  # type: ignore[arg-type]
 
     def _target() -> None:
-        handle.result = run_job(name, spark, **conf)
+        # run_job reports job failures as FAILED results, but anything
+        # escaping it (e.g. session construction itself failing) must
+        # still resolve the future — otherwise task_status reports
+        # RUNNING forever for a dead thread.
+        t0 = time.time()
+        try:
+            handle.result = run_job(name, spark, **conf)
+        except Exception as e:  # noqa: BLE001
+            handle.result = JobResult(name, f"FAILED: {e}", t0, time.time())
 
     handle.thread = threading.Thread(
         target=_target, daemon=True, name=f"ms-task-{task_id[:8]}")

@@ -115,16 +115,35 @@ class IdempotentKeyedSink:
                 f"time travel to epoch {as_of_epoch} predates the "
                 f"compaction watermark {wm}: that snapshot was collapsed "
                 f"by compact() and no longer exists")
-        has_epochs = os.path.isdir(self.path) and any(
-            d.startswith("epoch=") for d in os.listdir(self.path))
-        if not has_epochs:
+        snap_dir = os.path.join(self.path, "_snapshot")
+        has_snapshot = wm is not None and os.path.isdir(snap_dir)
+        live_epochs = []
+        if os.path.isdir(self.path):
+            for d in os.listdir(self.path):
+                if d.startswith("epoch="):
+                    eid = int(d.split("=", 1)[1])
+                    # epochs at/below the watermark are replay residue:
+                    # their rows are already folded into the snapshot
+                    # (ignoring them is what makes replays harmless
+                    # after a compaction)
+                    if wm is None or eid > wm:
+                        live_epochs.append(d)
+        frames = []
+        if has_snapshot:
+            frames.append(spark.read.parquet(snap_dir)
+                          .withColumn("epoch", F.lit(wm).cast("int")))
+        if live_epochs:
+            frames.append(spark.read.option("basePath", self.path).parquet(
+                *[os.path.join(self.path, d) for d in live_epochs]))
+        if not frames:
             schema = self._load_schema()
             if schema is None:
                 raise ValueError(
                     f"sink at {self.path} has no data and no recorded schema")
             return spark.createDataFrame([], schema)
-        df = spark.read.option("basePath", self.path).parquet(
-            os.path.join(self.path, "epoch=*"))
+        df = frames[0]
+        for extra in frames[1:]:
+            df = df.unionByName(extra)
         if as_of_epoch is not None:
             df = df.where(F.col("epoch") <= as_of_epoch)
         w = Window.partitionBy(*self.keys).orderBy(F.desc("epoch"))
@@ -138,22 +157,32 @@ class IdempotentKeyedSink:
         """MERGE-on-write: collapse epochs into one deduped snapshot and
         reclaim the replaced epoch directories (the transaction-log
         truncation step — without it MERGE-on-read cost grows with
-        replay history). The snapshot lands in epoch=<max_epoch> and the
-        compaction watermark is recorded, so ``epoch <= as_of`` reads
-        stay meaningful afterwards and time travel BELOW the watermark
-        raises instead of silently answering from collapsed history."""
+        replay history).
+
+        The snapshot lives OUT-OF-BAND in ``_snapshot/`` (never in an
+        ``epoch=`` directory): epoch ids are owned by the streaming
+        checkpoint, and a crash-replayed micro-batch may legally rewrite
+        its own epoch path — if the snapshot sat there, the replay would
+        overwrite it and silently drop every other key's history.
+        Instead the watermark records the highest folded epoch; read()
+        treats the snapshot as that epoch and IGNORES epoch dirs at or
+        below it, so replayed stale epochs land harmlessly.
+        """
         import shutil
-        snap = self.read(spark)
-        tmp = os.path.join(self.path, "_compacted")
-        snap.write.mode("overwrite").parquet(tmp)
         old = [d for d in os.listdir(self.path) if d.startswith("epoch=")]
+        if not old:
+            return  # nothing to fold (all-empty sink is a valid state)
+        prev_wm = self.compaction_watermark()
         max_epoch = max(int(d.split("=", 1)[1]) for d in old)
-        final = spark.read.parquet(tmp)
-        final.write.mode("overwrite").parquet(
-            os.path.join(self.path, f"epoch={max_epoch}"))
+        if prev_wm is not None:
+            max_epoch = max(max_epoch, prev_wm)
+        snap = self.read(spark)
+        tmp = os.path.join(self.path, "_compacting")
+        snap.write.mode("overwrite").parquet(tmp)
+        final_dir = os.path.join(self.path, "_snapshot")
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(final_dir)
         for d in old:
-            if d != f"epoch={max_epoch}":
-                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+            shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
         shutil.rmtree(tmp, ignore_errors=True)
         with open(self._watermark_file(), "w") as f:
             json.dump({"compacted_through": max_epoch}, f)

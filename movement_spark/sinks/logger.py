@@ -36,9 +36,10 @@ class DirectoryOutputLogger:
     """Logger → Encoder → Output, over the directory sink.
 
     ``clock`` is injectable so tests (and deterministic replays) can pin
-    timestamps; ``seq`` gives a total order independent of clock
-    resolution, like the reference's single synchronized writer does by
-    construction.
+    timestamps; (``flush``, ``seq``) gives a total order independent of
+    clock resolution, like the reference's single synchronized writer
+    does by construction (``seq`` restarts per logger instance; the
+    ``flush`` partition column disambiguates across instances).
     """
 
     def __init__(self, spark: SparkSession, base_dir: str,
@@ -50,8 +51,20 @@ class DirectoryOutputLogger:
         self.clock = clock
         self._buffer: list[tuple] = []
         self._seq = 0
-        self._flushes = 0
+        # resume numbering after any flushes already on disk — a fresh
+        # logger over an existing base_dir must append, never clobber
+        self._flushes = self._next_flush_idx()
         self.io_ops = 0  # OutputWriter counter analog
+
+    def _next_flush_idx(self) -> int:
+        import os
+        root = os.path.join(self.base_dir, LOG_PHASE)
+        try:
+            existing = [int(d.split("=", 1)[1]) for d in os.listdir(root)
+                        if d.startswith("flush=")]
+        except OSError:
+            return 0
+        return max(existing, default=-1) + 1
 
     # -- Logger surface (OutputLogger.java:41-58) -------------------------
     def debug(self, message: Any, **context: Any) -> None:

@@ -206,6 +206,22 @@ def _tmp(prefix: str) -> str:
 _SHARED_STAGES: dict[tuple[str, str], str] = {}
 
 
+def _stage_variant(spark: SparkSession, sf_dir: str, dest: str,
+                   variant: str) -> None:
+    if variant == "base":
+        stage_token_stream(spark, sf_dir, dest)
+    elif variant == "dedup":
+        stage_token_stream(spark, sf_dir, dest, duplicate_factor=2)
+    elif variant == "nosentinel":
+        stage_token_stream(spark, sf_dir, dest, sentinel=False)
+    elif variant == "events":
+        stage_events_stream(spark, sf_dir, dest)
+    elif variant == "union":
+        _stage_union_dirs(spark, sf_dir, dest)
+    else:
+        raise ValueError(f"unknown stage variant {variant!r}")
+
+
 def shared_stage(spark: SparkSession, sf_dir: str,
                  variant: str = "base") -> str:
     key = (os.path.abspath(sf_dir), variant)
@@ -213,20 +229,26 @@ def shared_stage(spark: SparkSession, sf_dir: str,
     if cached and os.path.isdir(cached) and os.listdir(cached):
         return cached
     stage = _tmp(f"ms_shared_{variant}_")
-    if variant == "base":
-        stage_token_stream(spark, sf_dir, stage)
-    elif variant == "dedup":
-        stage_token_stream(spark, sf_dir, stage, duplicate_factor=2)
-    elif variant == "nosentinel":
-        stage_token_stream(spark, sf_dir, stage, sentinel=False)
-    elif variant == "events":
-        stage_events_stream(spark, sf_dir, stage)
-    elif variant == "union":
-        _stage_union_dirs(spark, sf_dir, stage)
-    else:
-        raise ValueError(f"unknown stage variant {variant!r}")
+    _stage_variant(spark, sf_dir, stage, variant)
     _SHARED_STAGES[key] = stage
     return stage
+
+
+def _resolve_stage(spark: SparkSession, sf_dir: str,
+                   stage_dir: str | None, variant: str = "base") -> str:
+    """Stage resolution shared by every pipeline runner: no explicit dir
+    → the per-process shared drop for the variant; an explicit dir is
+    staged into only when it has no content yet (resume tests populate
+    dirs incrementally on purpose)."""
+    if stage_dir is None:
+        return shared_stage(spark, sf_dir, variant)
+    populated = (
+        os.path.isdir(os.path.join(stage_dir, "a"))
+        if variant == "union"
+        else os.path.isdir(stage_dir) and bool(os.listdir(stage_dir)))
+    if not populated:
+        _stage_variant(spark, sf_dir, stage_dir, variant)
+    return stage_dir
 
 
 def _stage_union_dirs(spark: SparkSession, sf_dir: str, stage: str) -> None:
@@ -261,12 +283,7 @@ def run_streaming_tumbling(spark: SparkSession, sf_dir: str,
     """Streaming flagship: watermarked tumbling per-source token
     throughput through the exactly-once sink; returns final sink table
     (same shape/oracle as the batch tumbling query)."""
-    if stage_dir is None:
-        stage = shared_stage(spark, sf_dir)
-    else:
-        stage = stage_dir
-        if not (os.path.isdir(stage) and os.listdir(stage)):
-            stage_token_stream(spark, sf_dir, stage)
+    stage = _resolve_stage(spark, sf_dir, stage_dir)
     src = read_token_stream(spark, stage, files_per_trigger)
     # NOTE: the sentinel must be dropped by a predicate on the WINDOW
     # column. A filter on any other column (e.g. source) is pushed by the
@@ -305,12 +322,7 @@ def run_streaming_dedup(spark: SparkSession, sf_dir: str,
     so the final sink equals the batch oracle over the UN-duplicated
     table. State for seen keys is evicted as the watermark passes.
     """
-    if stage_dir is None:
-        stage = shared_stage(spark, sf_dir, "dedup")
-    else:
-        stage = stage_dir
-        if not (os.path.isdir(stage) and os.listdir(stage)):
-            stage_token_stream(spark, sf_dir, stage, duplicate_factor=2)
+    stage = _resolve_stage(spark, sf_dir, stage_dir, "dedup")
     src = read_token_stream(spark, stage)
     flush_cut = F.timestamp_seconds(F.lit(EPOCH_2026 + TS_MOD + 3600))
     agg = (
@@ -373,12 +385,7 @@ def run_streaming_union(spark: SparkSession, sf_dir: str,
     streams, so one slow gear holds results for all (exactly GearBox's
     isComplete = all members complete). Sentinels are staged into BOTH
     directories so both watermarks advance."""
-    if stage_dir is None:
-        stage = shared_stage(spark, sf_dir, "union")
-    else:
-        stage = stage_dir
-        if not os.path.isdir(os.path.join(stage, "a")):
-            _stage_union_dirs(spark, sf_dir, stage)
+    stage = _resolve_stage(spark, sf_dir, stage_dir, "union")
     a_dir, b_dir = os.path.join(stage, "a"), os.path.join(stage, "b")
     src = read_token_stream(spark, a_dir).unionByName(
         read_token_stream(spark, b_dir))
@@ -408,12 +415,7 @@ def run_streaming_events(spark: SparkSession, sf_dir: str,
     over the events table (min/max are order-independent, so the
     float column stays oracle-exact where a streamed SUM of doubles
     would not be)."""
-    if stage_dir is None:
-        stage = shared_stage(spark, sf_dir, "events")
-    else:
-        stage = stage_dir
-        if not (os.path.isdir(stage) and os.listdir(stage)):
-            stage_events_stream(spark, sf_dir, stage)
+    stage = _resolve_stage(spark, sf_dir, stage_dir, "events")
     src = (spark.readStream.schema(EVENTS_SCHEMA)
            .option("maxFilesPerTrigger", _auto_trigger(stage))
            .parquet(stage))
@@ -450,12 +452,7 @@ def run_streaming_update_mode(spark: SparkSession, sf_dir: str,
     re-emits hot windows every trigger (more sink I/O), append emits
     exactly once per window (more latency) — both end states are
     oracle-equal, which this query proves."""
-    if stage_dir is None:
-        stage = shared_stage(spark, sf_dir, "nosentinel")
-    else:
-        stage = stage_dir
-        if not (os.path.isdir(stage) and os.listdir(stage)):
-            stage_token_stream(spark, sf_dir, stage, sentinel=False)
+    stage = _resolve_stage(spark, sf_dir, stage_dir, "nosentinel")
     src = read_token_stream(spark, stage)
     agg = (
         src.withWatermark("ts", watermark)
@@ -499,12 +496,7 @@ def run_streaming_enriched(spark: SparkSession, sf_dir: str,
     join. LEFT join so the watermark sentinel (which matches no dim row)
     still reaches the aggregate's watermark accounting; its windows are
     cut by the window-column predicate as usual."""
-    if stage_dir is None:
-        stage = shared_stage(spark, sf_dir)
-    else:
-        stage = stage_dir
-        if not (os.path.isdir(stage) and os.listdir(stage)):
-            stage_token_stream(spark, sf_dir, stage)
+    stage = _resolve_stage(spark, sf_dir, stage_dir)
     dim = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .select(F.concat(F.lit("d"), F.col("doc_id").cast("string"))
@@ -541,12 +533,7 @@ def run_streaming_sliding(spark: SparkSession, sf_dir: str,
     its end. Same sentinel-flush discipline as run_streaming_tumbling;
     sink keyed (ws, source) so replays of overlapping windows stay
     idempotent."""
-    if stage_dir is None:
-        stage = shared_stage(spark, sf_dir)
-    else:
-        stage = stage_dir
-        if not (os.path.isdir(stage) and os.listdir(stage)):
-            stage_token_stream(spark, sf_dir, stage)
+    stage = _resolve_stage(spark, sf_dir, stage_dir)
     src = read_token_stream(spark, stage)
     flush_cut = F.timestamp_seconds(F.lit(EPOCH_2026 + TS_MOD + 3600))
     agg = (
@@ -578,12 +565,7 @@ def run_streaming_session(spark: SparkSession, sf_dir: str,
     far-future sessions and are cut by a predicate on the WINDOW column
     (a non-window predicate would be pushed below the watermark node and
     stall the flush — see run_streaming_tumbling's NOTE)."""
-    if stage_dir is None:
-        stage = shared_stage(spark, sf_dir)
-    else:
-        stage = stage_dir
-        if not (os.path.isdir(stage) and os.listdir(stage)):
-            stage_token_stream(spark, sf_dir, stage)
+    stage = _resolve_stage(spark, sf_dir, stage_dir)
     src = read_token_stream(spark, stage)
     flush_cut = F.timestamp_seconds(F.lit(EPOCH_2026 + TS_MOD + 3600))
     sess = (
@@ -614,12 +596,7 @@ def run_streaming_ordered_merge(spark: SparkSession, sf_dir: str,
     applyInPandasWithState assembles each doc's shards in seq order; the
     sink is keyed by doc_id; the returned frame carries the same
     order-sensitive digest as the batch merged_doc_check oracle."""
-    if stage_dir is None:
-        stage = shared_stage(spark, sf_dir)
-    else:
-        stage = stage_dir
-        if not (os.path.isdir(stage) and os.listdir(stage)):
-            stage_token_stream(spark, sf_dir, stage)
+    stage = _resolve_stage(spark, sf_dir, stage_dir)
     src = read_token_stream(spark, stage)
     # Sentinel rows flow through the stateful stage (their doc completes
     # immediately) and are dropped after it — filtering earlier would be
@@ -662,12 +639,7 @@ def run_streaming_ordered_merge_jvm(spark: SparkSession, sf_dir: str,
     assembler implementations interchangeable."""
     from movement_spark.operators.ordering import ordered_doc_assembler_jvm
 
-    if stage_dir is None:
-        stage = shared_stage(spark, sf_dir)
-    else:
-        stage = stage_dir
-        if not (os.path.isdir(stage) and os.listdir(stage)):
-            stage_token_stream(spark, sf_dir, stage)
+    stage = _resolve_stage(spark, sf_dir, stage_dir)
     src = read_token_stream(spark, stage)
     shards = src.select("doc_id", "seq", "tokens", "ts")
     flush_cut = F.timestamp_seconds(F.lit(EPOCH_2026 + TS_MOD + 3600))
@@ -699,12 +671,7 @@ def run_streaming_shard_join(spark: SparkSession, sf_dir: str,
     """Watermarked stream-stream join correlating shard streams on doc_id
     (PinionSystem/SlipWheel keyed analog); per-doc aggregate of the joined
     pairs matches the batch shard_pair_join oracle."""
-    if stage_dir is None:
-        stage = shared_stage(spark, sf_dir)
-    else:
-        stage = stage_dir
-        if not (os.path.isdir(stage) and os.listdir(stage)):
-            stage_token_stream(spark, sf_dir, stage)
+    stage = _resolve_stage(spark, sf_dir, stage_dir)
     src = read_token_stream(spark, stage).where(F.col("source") != SENTINEL)
     even = (
         src.select("doc_id", F.col("seq").alias("seq_a"),

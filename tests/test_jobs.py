@@ -135,3 +135,21 @@ def test_cli_task_prints_live_status(spark, sf_dir, tmp_path, capsys):
     out = _json.loads(captured.out.strip().splitlines()[-1])
     assert out["status"] == "SUCCEEDED"
     assert "issued" in captured.err and "io operations" in captured.err
+
+
+def test_async_task_resolves_when_thread_crashes(monkeypatch):
+    """An exception escaping run_job itself (e.g. session construction
+    failing before its try block) must still resolve the task to FAILED —
+    never leave task_status reporting RUNNING for a dead thread (r02
+    review finding)."""
+    import movement_spark.jobs as J
+
+    def boom(name, spark=None, **conf):
+        raise RuntimeError("session construction failed")
+
+    monkeypatch.setattr(J, "run_job", boom)
+    task_id = J.run_job_async("Export")
+    res = J.wait_task(task_id, timeout=30)
+    assert res.status.startswith("FAILED")
+    assert "session construction failed" in res.status
+    assert J.task_status(task_id)["status"].startswith("FAILED")

@@ -44,3 +44,20 @@ def test_logger_per_level_directory_layout(spark, tmp_path):
     flush0 = os.path.join(tmp_path, "logs", "flush=0")
     labels = sorted(d for d in os.listdir(flush0) if d.startswith("level="))
     assert labels == ["level=ERROR", "level=INFO"]
+
+
+def test_second_logger_instance_appends_not_clobbers(spark, tmp_path):
+    """A fresh logger over an existing base_dir (new process / second
+    job) must APPEND to the log storage — flush numbering resumes from
+    disk instead of overwriting flush=0 (r02 review finding)."""
+    a = DirectoryOutputLogger(spark, str(tmp_path), name="job_a",
+                              clock=lambda: 1.0)
+    a.info("first process")
+    a.close()
+    b = DirectoryOutputLogger(spark, str(tmp_path), name="job_b",
+                              clock=lambda: 2.0)
+    b.info("second process")
+    b.close()
+    back = b.read(spark)
+    assert back.count() == 2
+    assert {r.logger for r in back.collect()} == {"job_a", "job_b"}

@@ -166,8 +166,10 @@ def test_sink_compact_preserves_merge_on_read_view(spark):
     assert after == before
     import os as _os
     epochs = [d for d in _os.listdir(sink.path) if d.startswith("epoch=")]
-    assert epochs == ["epoch=1"], \
-        "compaction must land in epoch=<max> and reclaim replaced epochs"
+    # the snapshot must live OUT-OF-BAND: epoch ids belong to the
+    # checkpoint and a crash-replay may rewrite its own epoch path
+    assert epochs == [], "compaction must reclaim every epoch directory"
+    assert _os.path.isdir(_os.path.join(sink.path, "_snapshot"))
     # time travel below the compaction watermark must REFUSE, not
     # silently return the collapsed snapshot (ADVICE r01)
     assert sink.compaction_watermark() == 1
@@ -175,6 +177,21 @@ def test_sink_compact_preserves_merge_on_read_view(spark):
         sink.read(spark, as_of_epoch=0)
     # at/after the watermark still reads
     assert {(r.k, r.v) for r in sink.read(spark, as_of_epoch=1).collect()} == before
+    # CRASH-REPLAY AFTER COMPACTION: the checkpoint may re-deliver the
+    # last pre-compaction micro-batch; its rows are already folded into
+    # the snapshot, so the replayed epoch must be ignored — never allowed
+    # to shadow other keys' history (r02 review finding)
+    sink.foreach_batch(df2, 1)
+    assert {(r.k, r.v) for r in sink.read(spark).collect()} == before
+    # ...while genuinely NEW epochs beyond the watermark still apply
+    sink.foreach_batch(spark.createDataFrame([(1, 77)], "k INT, v INT"), 2)
+    assert {(r.k, r.v) for r in sink.read(spark).collect()} == \
+        {(1, 77), (2, 99), (3, 30)}
+    # and a second compaction folds snapshot + new epochs cleanly
+    sink.compact(spark)
+    assert sink.compaction_watermark() == 2
+    assert {(r.k, r.v) for r in sink.read(spark).collect()} == \
+        {(1, 77), (2, 99), (3, 30)}
 
 
 def test_sink_schema_survives_process_restart(spark):
