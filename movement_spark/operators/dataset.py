@@ -88,3 +88,78 @@ def sequence_packing_stats(tokens: DataFrame,
         .select("source", "n_docs", "total_tok", "n_windows",
                 "n_boundary_docs", "tail_waste_tok")
     )
+
+
+def stratified_sample_stats(documents: DataFrame) -> DataFrame:
+    """Per-source quota sampling by deterministic hash threshold — the
+    corpus-mixing step (up/down-weight sources) of a pretraining
+    pipeline, reproducible across engines and re-runs. Quota is a pure
+    function of the source id (demo rule: 100 + 45·(n mod 20) permille);
+    a doc is kept iff its split-hash bucket falls under the quota, so
+    sampled subsets are NESTED as quotas grow (raising a source's quota
+    only ADDS docs — the property that makes mixture sweeps cheap)."""
+    src_num = F.substring("source", 4, 10).cast("int")
+    quota = (100 + 45 * (src_num % 20)).cast("int")
+    bucket = ((F.col("doc_id") * SPLIT_A + SPLIT_B) % SPLIT_P) % 1000
+    return (
+        documents
+        .withColumn("quota_permille", quota)
+        .withColumn("keep", (bucket < F.col("quota_permille")).cast("int"))
+        .groupBy("source")
+        .agg(F.max("quota_permille").alias("quota_permille"),
+             F.count("*").alias("n_total"),
+             F.sum("keep").cast("bigint").alias("n_sampled"),
+             F.sum(F.col("keep") * F.col("n_chars")).cast("bigint")
+             .alias("sampled_chars"))
+    )
+
+
+PROBE_COUNT = 64
+
+
+def contamination_probe_keys(tok_mod: int = 50261) -> list[int]:
+    """Deterministic benchmark-probe bigrams: even probes follow the
+    corpus bigram structure (guaranteed-present pattern), odd probes
+    are off-pattern (guaranteed-absent) — so the scan provably detects
+    both contamination and its absence."""
+    keys = []
+    for j in range(PROBE_COUNT):
+        a = (j * 2654435761 + 13) % tok_mod
+        off = 97 if j % 2 == 0 else 98
+        keys.append(a * tok_mod + (a + off) % tok_mod)
+    return keys
+
+
+def benchmark_contamination(tokens: DataFrame,
+                            tok_mod: int = 50261) -> DataFrame:
+    """Eval-set contamination scan: count docs (and hits) whose token
+    bigrams intersect a broadcast probe set — the n-gram-overlap
+    decontamination check run before training. The probe side is tiny
+    and broadcast; the corpus side is one explode + one map-side join,
+    no shuffle of the corpus beyond the per-source aggregate."""
+    spark = tokens.sparkSession
+    probes = spark.createDataFrame(
+        [(k,) for k in contamination_probe_keys(tok_mod)], "g BIGINT")
+    bg_expr = (
+        f"if(n_tok >= 2, transform(sequence(0, n_tok - 2), "
+        f"i -> cast(tokens[i] as bigint) * {tok_mod} + cast(tokens[i+1] as bigint)), "
+        f"cast(array() as array<bigint>))"
+    )
+    bg = tokens.select("source", "doc_id",
+                       F.explode(F.expr(bg_expr)).alias("g"))
+    hits = (
+        bg.join(F.broadcast(probes), "g")
+        .groupBy("source")
+        .agg(F.countDistinct("doc_id").alias("n_contaminated"),
+             F.count("*").alias("n_hits"))
+    )
+    totals = (tokens.groupBy("source")
+              .agg(F.countDistinct("doc_id").alias("n_docs")))
+    return (
+        totals.join(hits, "source", "left")
+        .select("source", "n_docs",
+                F.coalesce("n_contaminated", F.lit(0)).cast("bigint")
+                .alias("n_contaminated"),
+                F.coalesce("n_hits", F.lit(0)).cast("bigint")
+                .alias("n_hits"))
+    )

@@ -137,3 +137,34 @@ def token_bigram_stats(tokens: DataFrame, tok_mod: int = 50261,
                 F.expr(f"(c_bigram * n * {BIGRAM_PMI_SCALE}L) div (c_a * c_b)")
                 .alias("pmi_scaled"))
     )
+
+
+def intra_doc_repetition(tokens: DataFrame, tok_mod: int = 50261,
+                         flag_x1000: int = 200) -> DataFrame:
+    """Intra-document repetition filter (the duplicate-n-gram-fraction
+    quality signal): per doc, rep = (total_bigrams - distinct_bigrams) /
+    total_bigrams over all shards, reported as an exact floor(×1000)
+    integer; per-source counts of docs over the flag threshold. Docs
+    with fewer than two tokens have no bigrams and are out of scope by
+    definition. One shuffle keyed (source, doc_id)."""
+    bg_expr = (
+        f"if(n_tok >= 2, transform(sequence(0, n_tok - 2), "
+        f"i -> cast(tokens[i] as bigint) * {tok_mod} + cast(tokens[i+1] as bigint)), "
+        f"cast(array() as array<bigint>))"
+    )
+    per_doc = (
+        tokens.select("source", "doc_id",
+                      F.explode(F.expr(bg_expr)).alias("g"))
+        .groupBy("source", "doc_id")
+        .agg(F.count("*").alias("total"),
+             F.countDistinct("g").alias("n_distinct"))
+        .withColumn("rep_x1000",
+                    F.expr("((total - n_distinct) * 1000) div total"))
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum((F.col("rep_x1000") >= flag_x1000).cast("int"))
+             .cast("bigint").alias("n_flagged"),
+             F.sum("rep_x1000").cast("bigint").alias("sum_rep_x1000"))
+    )

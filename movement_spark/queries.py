@@ -1636,6 +1636,91 @@ def q_bigram_pmi(spark, sf_dir):
                                    tok_mod=TOK_MOD)
 
 
+@register("stratified_sample_stats", f"""
+WITH q AS (
+  SELECT source, doc_id, n_chars,
+         CAST(100 + 45 * (CAST(substring(source, 4) AS INT) % 20) AS INT)
+           AS quota_permille,
+         ((doc_id * 1103515245 + 12345) % {(1 << 31) - 1}) % 1000 AS bucket
+  FROM documents)
+SELECT source,
+       MAX(quota_permille) AS quota_permille,
+       COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN bucket < quota_permille THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sampled,
+       CAST(SUM(CASE WHEN bucket < quota_permille THEN n_chars ELSE 0 END) AS BIGINT)
+         AS sampled_chars
+FROM q GROUP BY source
+""")
+def q_stratified(spark, sf_dir):
+    """Corpus mixing: per-source quota sampling by deterministic hash
+    threshold; nested subsets as quotas grow (mixture sweeps only ADD
+    docs). The sampling decision is pure arithmetic — reproducible in
+    any engine and across re-runs."""
+    from movement_spark.operators.dataset import stratified_sample_stats
+    return stratified_sample_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register("benchmark_contamination", with_token_cte(f"""
+, probes AS (
+  SELECT ((j * 2654435761 + 13) % {TOK_MOD}) * {TOK_MOD}
+         + (((j * 2654435761 + 13) % {TOK_MOD})
+            + CASE WHEN j % 2 = 0 THEN 97 ELSE 98 END) % {TOK_MOD} AS g
+  FROM (SELECT unnest(range(0, 64)) AS j)),
+bg AS (
+  SELECT source, doc_id,
+         unnest(CASE WHEN n_tok >= 2 THEN
+           list_transform(range(0, n_tok - 1), i ->
+             CAST(tokens[i + 1] AS BIGINT) * {TOK_MOD} + CAST(tokens[i + 2] AS BIGINT))
+           ELSE CAST([] AS BIGINT[]) END) AS g
+  FROM token_sequences),
+hits AS (
+  SELECT source, COUNT(DISTINCT doc_id) AS n_contaminated,
+         COUNT(*) AS n_hits
+  FROM bg JOIN probes USING (g) GROUP BY source),
+totals AS (
+  SELECT source, COUNT(DISTINCT doc_id) AS n_docs
+  FROM token_sequences GROUP BY source)
+SELECT t.source AS source, t.n_docs AS n_docs,
+       CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits
+FROM totals t LEFT JOIN hits h ON t.source = h.source
+"""))
+def q_contamination(spark, sf_dir):
+    """Eval-set decontamination scan: docs whose bigrams intersect a
+    broadcast probe set (even probes follow the corpus bigram structure
+    and hit; odd probes are off-pattern and provably miss)."""
+    from movement_spark.operators.dataset import benchmark_contamination
+    return benchmark_contamination(token_sequences(spark, sf_dir),
+                                   tok_mod=TOK_MOD)
+
+
+@register("intra_doc_repetition", with_token_cte(f"""
+, bg AS (
+  SELECT source, doc_id,
+         unnest(CASE WHEN n_tok >= 2 THEN
+           list_transform(range(0, n_tok - 1), i ->
+             CAST(tokens[i + 1] AS BIGINT) * {TOK_MOD} + CAST(tokens[i + 2] AS BIGINT))
+           ELSE CAST([] AS BIGINT[]) END) AS g
+  FROM token_sequences),
+per_doc AS (
+  SELECT source, doc_id, COUNT(*) AS total, COUNT(DISTINCT g) AS n_distinct,
+         ((COUNT(*) - COUNT(DISTINCT g)) * 1000) // COUNT(*) AS rep_x1000
+  FROM bg GROUP BY 1, 2)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN rep_x1000 >= 200 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged,
+       CAST(SUM(rep_x1000) AS BIGINT) AS sum_rep_x1000
+FROM per_doc GROUP BY source
+"""))
+def q_repetition(spark, sf_dir):
+    """Intra-document repetition quality filter (duplicate-bigram
+    fraction per doc, exact integer permille): the Gopher-style
+    repetition signal over the merged shard stream."""
+    return text.intra_doc_repetition(token_sequences(spark, sf_dir),
+                                     tok_mod=TOK_MOD)
+
+
 _SIMHASH_PAIRS_SQL = with_token_cte(f"""
 , shingles AS (
   SELECT DISTINCT doc_id, unnest(tokens) % {dedup.SHINGLE_MOD} AS sh
@@ -1831,6 +1916,9 @@ _FRONT = [
     "dataset_split_stats",
     "sequence_packing_stats",
     "token_bigram_pmi",
+    "stratified_sample_stats",
+    "benchmark_contamination",
+    "intra_doc_repetition",
     "streaming_ordered_merge_jvm",
     "cyclic_replay_odometer",
     "lineage_partition_audit",
