@@ -163,3 +163,50 @@ def benchmark_contamination(tokens: DataFrame,
                 F.coalesce("n_hits", F.lit(0)).cast("bigint")
                 .alias("n_hits"))
     )
+
+
+MIX_SCALE = 1_000_000
+
+
+def _isqrt_expr(x: str) -> str:
+    """Exact floor(sqrt(x)) for bigint x as a SQL expression valid in
+    both Spark and DuckDB: start from the float sqrt and correct the
+    possible ±1 ulp rounding with integer comparisons, so the result
+    never depends on float rounding behavior."""
+    s = f"cast(floor(sqrt({x})) as bigint)"
+    return (f"(case when {s} * {s} > {x} then {s} - 1 "
+            f"when ({s} + 1) * ({s} + 1) <= {x} then {s} + 1 "
+            f"else {s} end)")
+
+
+def temperature_mix_stats(documents: DataFrame) -> DataFrame:
+    """Temperature-scaled corpus mixing weights (τ = 0.5): each source's
+    sampling weight ∝ size^τ — the standard multi-source pretraining
+    mix that upsamples small high-quality sources relative to raw
+    proportional sampling. τ = 0.5 makes the power exact integer math
+    (isqrt), so weights, per-source char targets, and effective epoch
+    counts are bit-reproducible in any engine — a mixing manifest must
+    never drift between the planner and the sampler.
+
+    Shape at scale: one map-side-combined per-source aggregate (sources
+    number in the hundreds), then scalar broadcast normalization — the
+    fact table is scanned once.
+    """
+    per_src = documents.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars_src"))
+    sq = per_src.withColumn(
+        "sqrt_chars", F.expr(_isqrt_expr("n_chars_src")))
+    tot = sq.agg(F.sum("sqrt_chars").cast("bigint").alias("sum_sqrt"),
+                 F.sum("n_chars_src").cast("bigint").alias("total_chars"))
+    return (
+        sq.crossJoin(F.broadcast(tot))
+        .withColumn("weight_ppm",
+                    F.expr(f"(sqrt_chars * {MIX_SCALE}L) div sum_sqrt"))
+        .withColumn("target_chars",
+                    F.expr(f"(weight_ppm * total_chars) div {MIX_SCALE}"))
+        .withColumn("epochs_x1000",
+                    F.expr("(target_chars * 1000) div n_chars_src"))
+        .select("source", "n_docs", "n_chars_src", "sqrt_chars",
+                "weight_ppm", "target_chars", "epochs_x1000")
+    )

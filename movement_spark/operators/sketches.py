@@ -1,0 +1,139 @@
+"""Probabilistic-sketch operators with DETERMINISTIC arithmetic hashes.
+
+Companion to the KMV distinct-count sketch in queries.py: every hash is
+plain a*x+b mod p integer arithmetic (never an engine hash builtin), so
+the sketches themselves — not just their inputs — are bit-reproducible
+in any engine and the DuckDB oracle can recompute them exactly.
+
+Scale shapes:
+- Count-min: the sketch is an ADDITIVE d×w counter grid, so it is built
+  from per-key partial counts with ordinary map-side-combined
+  aggregation — the grid (d*w rows) is tiny no matter how many keys
+  stream through, which is the whole point at 10^12 keys.
+- Bloom pruning: the filter is built once from the (small) build side,
+  packed into a 64-long bitmap literal that ships inside the plan to
+  every executor — the probe side is tested per-row with two shifts and
+  a mask, ZERO shuffle added to the probe scan. This is the manual form
+  of the runtime-filter pushdown a warehouse engine injects before an
+  expensive shuffle join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+CMS_P = (1 << 31) - 1
+CMS_W = 512               # counters per hash row
+CMS_D = 4                 # hash rows
+# multipliers wrap CMS_P many times even for small consecutive key
+# ranges (same requirement as the KMV note in queries.py)
+CMS_AB = ((1_103_515_245, 12_345), (1_337_888_347, 54_321),
+          (2_027_485_571, 98_765), (746_959_771, 42_424))
+
+BLOOM_M = 4096            # bits
+BLOOM_K = 3               # hashes per key
+BLOOM_AB = ((1_103_515_245, 17), (2_027_485_571, 8_191),
+            (1_337_888_347, 524_287))
+
+
+def _cms_cell(key: Column, j: int) -> Column:
+    a, b = CMS_AB[j]
+    return ((F.lit(a) * key + F.lit(b)) % CMS_P) % CMS_W
+
+
+def cms_heavy_hitters(df: DataFrame, key: str, top_n: int = 10) -> DataFrame:
+    """Count-min-sketch frequency estimates for the exact top-N keys.
+
+    Builds the d×w counter grid from per-key partial counts (additivity
+    makes that identical to per-row updates), then reports, for the N
+    most frequent keys, the exact count next to the sketch's estimate
+    min_j(cell[j][h_j(k)]) and its (always ≥ 0) overestimate — the
+    accuracy audit a heavy-hitters monitor runs before trusting the
+    sketch at a scale where exact counting is unaffordable.
+    One key-shuffle for the exact counts; the grid and top-N are tiny
+    and broadcast.
+    """
+    k = F.col(key)
+    counts = df.groupBy(key).agg(F.count("*").alias("cnt"))
+    probe = F.array(*[
+        F.struct(F.lit(j).alias("j"), _cms_cell(k, j).alias("cell"))
+        for j in range(CMS_D)])
+    hashed = counts.select(key, "cnt", F.explode(probe).alias("h")) \
+                   .select(key, "cnt", "h.j", "h.cell")
+    cells = hashed.groupBy("j", "cell").agg(
+        F.sum("cnt").cast("bigint").alias("cell_cnt"))
+    top = counts.orderBy(F.desc("cnt"), F.asc(key)).limit(top_n)
+    top_hashed = top.select(key, "cnt", F.explode(probe).alias("h")) \
+                    .select(key, "cnt", "h.j", "h.cell")
+    return (
+        top_hashed.join(F.broadcast(cells), ["j", "cell"])
+        .groupBy(key, "cnt")
+        .agg(F.min("cell_cnt").alias("cms_est"))
+        .select(k.cast("bigint").alias("key"),
+                F.col("cnt").cast("bigint").alias("exact_cnt"),
+                F.col("cms_est"),
+                (F.col("cms_est") - F.col("cnt")).cast("bigint")
+                .alias("overestimate"))
+    )
+
+
+def _bloom_pos(key: Column, j: int) -> Column:
+    a, b = BLOOM_AB[j]
+    return ((F.lit(a) * key + F.lit(b)) % CMS_P) % BLOOM_M
+
+
+def bloom_bitmap(build: DataFrame, key: str) -> list[int]:
+    """Pack the build side's BLOOM_K bit positions into BLOOM_M/64
+    signed 64-bit words. The collect is control-plane only — it moves
+    at most BLOOM_M distinct positions (the filter itself), never rows;
+    production would use the identical bytes as a broadcast variable."""
+    k = F.col(key)
+    pos_rows = (
+        build.select(F.explode(F.array(
+            *[_bloom_pos(k, j) for j in range(BLOOM_K)])).alias("pos"))
+        .distinct().collect())
+    words = [0] * (BLOOM_M // 64)
+    for r in pos_rows:
+        words[r.pos // 64] |= 1 << (r.pos % 64)
+    # to signed 64-bit for LongType literals
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_prune_stats(probe: DataFrame, probe_key: str,
+                      build: DataFrame, build_key: str) -> DataFrame:
+    """Bloom-filter join pruning audit: how many probe rows the filter
+    passes vs the exact semi join — the decision data for injecting a
+    runtime pre-filter ahead of a shuffle join (rows the bloom rejects
+    never enter the exchange). Probe-side test is two shifts + a mask
+    against an in-plan bitmap literal (zero added shuffle); n_false_neg
+    is structurally 0 and reported so the oracle proves it.
+    """
+    keys = build.select(F.col(build_key).alias("bk")).distinct()
+    words = bloom_bitmap(keys, "bk")
+    arr = "array(" + ", ".join(f"{w}L" for w in words) + ")"
+    tests = []
+    for j in range(BLOOM_K):
+        a, b = BLOOM_AB[j]
+        pos = f"((({a}L * {probe_key} + {b}) % {CMS_P}) % {BLOOM_M})"
+        tests.append(
+            f"(shiftright(element_at({arr}, cast({pos} div 64 as int) + 1), "
+            f"cast({pos} % 64 as int)) & 1) = 1")
+    passes = F.expr(" AND ".join(tests))
+    pk = F.col(probe_key)
+    flagged = (
+        probe.join(F.broadcast(keys), pk == F.col("bk"), "left")
+        .select(passes.cast("int").alias("all_hit"),
+                F.col("bk").isNotNull().cast("int").alias("is_true"))
+    )
+    n_build = keys.count()
+    return (
+        flagged.agg(
+            F.count("*").alias("n_probe"),
+            F.sum("all_hit").cast("bigint").alias("n_passed"),
+            F.sum("is_true").cast("bigint").alias("n_true"),
+            F.sum(((F.col("all_hit") == 1) & (F.col("is_true") == 0))
+                  .cast("int")).cast("bigint").alias("n_false_pos"),
+            F.sum(((F.col("is_true") == 1) & (F.col("all_hit") == 0))
+                  .cast("int")).cast("bigint").alias("n_false_neg"))
+        .withColumn("n_build", F.lit(n_build).cast("bigint"))
+    )

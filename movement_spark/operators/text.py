@@ -168,3 +168,42 @@ def intra_doc_repetition(tokens: DataFrame, tok_mod: int = 50261,
              .cast("bigint").alias("n_flagged"),
              F.sum("rep_x1000").cast("bigint").alias("sum_rep_x1000"))
     )
+
+
+IDF_SCALE = 1_000_000
+
+
+def tfidf_top_terms(documents: DataFrame, top_n: int = 5) -> DataFrame:
+    """Top-N characteristic terms per source by integer-scaled TF-IDF —
+    the vocabulary-profile pass a corpus monitor runs per data source.
+
+    IDF is kept oracle-exact by using the log-free integral form
+    floor(N * 1e6 / df) (monotone in 1/df, which is all ranking needs),
+    so score = tf * idf is pure bigint arithmetic in both engines — at
+    web scale swap the bigint products for decimal(38,0), same plan.
+    The heavy path is one explode + two map-side-combined aggregates;
+    the vocabulary (term → df) is small by Heaps' law and broadcast.
+    Top-N ties break on the term string, so the cut is deterministic.
+    """
+    from pyspark.sql.window import Window
+
+    words = documents.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("term"))
+    tf = words.groupBy("source", "term").agg(F.count("*").alias("tf"))
+    dfreq = words.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = documents.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score",
+                    F.expr(f"tf * ((n_docs * {IDF_SCALE}L) div df)"))
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.desc("score"), F.asc("term")))
+    return (
+        scored.withColumn("rnk", rnk.cast("int"))
+        .where(F.col("rnk") <= top_n)
+        .select("source", "term", F.col("tf").cast("bigint").alias("tf"),
+                F.col("df").cast("bigint").alias("df"),
+                F.col("score").cast("bigint").alias("score"), "rnk")
+    )

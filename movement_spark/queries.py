@@ -1900,6 +1900,157 @@ def q_cyclic(spark, sf_dir):
     )
 
 
+@register("tfidf_top_terms", """
+WITH words AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+  FROM documents),
+tf AS (SELECT source, term, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT source, tf.term, tf, df,
+         tf * ((n_docs * 1000000) // df) AS score
+  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                               ORDER BY score DESC, term ASC) AS rnk
+  FROM scored)
+SELECT source, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(score AS BIGINT) AS score, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= 5
+""")
+def q_tfidf(spark, sf_dir):
+    """Per-source characteristic-vocabulary profile: top-5 terms by
+    integer-scaled TF-IDF (log-free floor(N*1e6/df) — exact in both
+    engines). One corpus explode, two map-side-combined aggregates, the
+    small vocabulary broadcast back."""
+    return text.tfidf_top_terms(load_table(spark, sf_dir, "documents"))
+
+
+@register("corpus_temperature_mix", """
+WITH per_src AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS n_chars_src
+  FROM documents GROUP BY source),
+sq AS (
+  SELECT source, n_docs, n_chars_src,
+         CASE WHEN s * s > n_chars_src THEN s - 1
+              WHEN (s + 1) * (s + 1) <= n_chars_src THEN s + 1
+              ELSE s END AS sqrt_chars
+  FROM (SELECT *, CAST(FLOOR(SQRT(n_chars_src)) AS BIGINT) AS s
+        FROM per_src)),
+tot AS (SELECT CAST(SUM(sqrt_chars) AS BIGINT) AS sum_sqrt,
+               CAST(SUM(n_chars_src) AS BIGINT) AS total_chars FROM sq),
+w AS (
+  SELECT source, n_docs, n_chars_src, sqrt_chars,
+         (sqrt_chars * 1000000) // sum_sqrt AS weight_ppm, total_chars
+  FROM sq CROSS JOIN tot),
+t AS (
+  SELECT *, (weight_ppm * total_chars) // 1000000 AS target_chars FROM w)
+SELECT source, n_docs, n_chars_src,
+       CAST(sqrt_chars AS BIGINT) AS sqrt_chars,
+       CAST(weight_ppm AS BIGINT) AS weight_ppm,
+       CAST(target_chars AS BIGINT) AS target_chars,
+       CAST((target_chars * 1000) // n_chars_src AS BIGINT) AS epochs_x1000
+FROM t
+""")
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-scaled (τ=0.5) corpus-mixing manifest: per-source
+    sampling weight ∝ isqrt(chars), char targets and effective epochs —
+    exact integer math so planner and sampler can never drift. One
+    scan, one tiny aggregate, scalar broadcast normalization."""
+    from movement_spark.operators.dataset import temperature_mix_stats
+    return temperature_mix_stats(load_table(spark, sf_dir, "documents"))
+
+
+_CMS_CASE_CELL = """CASE j
+  WHEN 0 THEN ((1103515245 * k + 12345) % 2147483647) % 512
+  WHEN 1 THEN ((1337888347 * k + 54321) % 2147483647) % 512
+  WHEN 2 THEN ((2027485571 * k + 98765) % 2147483647) % 512
+  ELSE ((746959771 * k + 42424) % 2147483647) % 512 END"""
+
+
+@register("cms_heavy_hitters", f"""
+WITH counts AS (
+  SELECT o_custkey AS k, COUNT(*) AS cnt FROM orders GROUP BY 1),
+js AS (SELECT unnest(range(0, 4)) AS j),
+hashed AS (
+  SELECT k, cnt, j, {_CMS_CASE_CELL} AS cell
+  FROM counts CROSS JOIN js),
+cells AS (
+  SELECT j, cell, CAST(SUM(cnt) AS BIGINT) AS cell_cnt
+  FROM hashed GROUP BY 1, 2),
+top AS (SELECT k, cnt FROM counts ORDER BY cnt DESC, k ASC LIMIT 10),
+est AS (
+  SELECT h.k, h.cnt, MIN(c.cell_cnt) AS cms_est
+  FROM hashed h JOIN top USING (k) JOIN cells c USING (j, cell)
+  GROUP BY 1, 2)
+SELECT k AS key, CAST(cnt AS BIGINT) AS exact_cnt,
+       CAST(cms_est AS BIGINT) AS cms_est,
+       CAST(cms_est - cnt AS BIGINT) AS overestimate
+FROM est
+""")
+def q_cms(spark, sf_dir):
+    """Count-min-sketch accuracy audit for the exact top-10 customers
+    by order count: the sketch's d×w additive counter grid is built with
+    deterministic a*x+b mod p hashes, so estimate and overestimate are
+    oracle-exact. The grid stays d*w rows however many keys stream
+    through — the bounded-memory frequency path at 10^12 keys."""
+    from movement_spark.operators.sketches import cms_heavy_hitters
+    return cms_heavy_hitters(load_table(spark, sf_dir, "orders"),
+                             "o_custkey")
+
+
+_BLOOM_CASE_POS = """CASE j
+  WHEN 0 THEN ((1103515245 * k + 17) % 2147483647) % 4096
+  WHEN 1 THEN ((2027485571 * k + 8191) % 2147483647) % 4096
+  ELSE ((1337888347 * k + 524287) % 2147483647) % 4096 END"""
+
+
+@register("bloom_join_prune", f"""
+WITH build AS (
+  SELECT DISTINCT c_custkey AS bk FROM customer
+  WHERE c_mktsegment = 'BUILDING'),
+js AS (SELECT unnest(range(0, 3)) AS j),
+bits AS (
+  SELECT DISTINCT {_BLOOM_CASE_POS} AS pos
+  FROM (SELECT bk AS k FROM build) CROSS JOIN js),
+ph AS (
+  SELECT o_orderkey, o_custkey, {_BLOOM_CASE_POS} AS pos
+  FROM (SELECT o_orderkey, o_custkey, o_custkey AS k FROM orders)
+  CROSS JOIN js),
+hits AS (
+  SELECT o_orderkey, MIN(CASE WHEN b.pos IS NULL THEN 0 ELSE 1 END)
+         AS all_hit
+  FROM ph LEFT JOIN bits b USING (pos) GROUP BY o_orderkey),
+flags AS (
+  SELECT h.all_hit,
+         CASE WHEN bu.bk IS NULL THEN 0 ELSE 1 END AS is_true
+  FROM hits h JOIN orders o USING (o_orderkey)
+  LEFT JOIN build bu ON o.o_custkey = bu.bk)
+SELECT COUNT(*) AS n_probe,
+       CAST(SUM(all_hit) AS BIGINT) AS n_passed,
+       CAST(SUM(is_true) AS BIGINT) AS n_true,
+       CAST(SUM(CASE WHEN all_hit = 1 AND is_true = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_pos,
+       CAST(SUM(CASE WHEN is_true = 1 AND all_hit = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_neg,
+       (SELECT COUNT(*) FROM build) AS n_build
+FROM flags
+""")
+def q_bloom_prune(spark, sf_dir):
+    """Bloom-filter join-pruning audit (manual runtime filter): a
+    4096-bit filter over BUILDING-segment customers ships as an in-plan
+    bitmap literal; every order is tested with shifts+mask (zero added
+    shuffle) and scored against the exact semi join — pass rate, false
+    positives, and the structural n_false_neg = 0 guarantee."""
+    from movement_spark.operators.sketches import bloom_prune_stats
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING")
+    return bloom_prune_stats(load_table(spark, sf_dir, "orders"),
+                             "o_custkey", cust, "c_custkey")
+
+
 # ---------------------------------------------------------------------
 # Driver-gate ordering. The correctness sweep evaluates the registry in
 # insertion order, and round 1's sweep was cut off after ~49 entries —
@@ -1910,6 +2061,10 @@ def q_cyclic(spark, sf_dir):
 # rows that were already verified in a previous round.
 # ---------------------------------------------------------------------
 _FRONT = [
+    "tfidf_top_terms",
+    "corpus_temperature_mix",
+    "cms_heavy_hitters",
+    "bloom_join_prune",
     "lsh_candidate_jaccard",
     "simhash_neardup_pairs",
     "ann_ivf_topk",

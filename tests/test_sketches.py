@@ -54,3 +54,28 @@ def test_minhash_bands_find_true_near_dups(spark, sf_dir):
     collisions = (buckets.groupBy("band", "bucket")
                   .count().where(F.col("count") > 1).count())
     assert collisions > 0
+
+
+def test_cms_never_underestimates(spark, sf_dir):
+    """Count-min's structural guarantee: est >= exact for every probed
+    key (cells only ever ADD counts), and at least one estimate should
+    be exact when the grid is sparse relative to the key count."""
+    from movement_spark.operators.sketches import cms_heavy_hitters
+    rows = cms_heavy_hitters(
+        load_table(spark, sf_dir, "orders"), "o_custkey").collect()
+    assert rows, "top-k must be non-empty"
+    assert all(r.overestimate >= 0 for r in rows)
+    assert all(r.cms_est >= r.exact_cnt for r in rows)
+
+
+def test_bloom_has_no_false_negatives(spark, sf_dir):
+    """Bloom membership is one-sided: every true build-side match must
+    pass the filter; pruning power = rows rejected before the join."""
+    from movement_spark.operators.sketches import bloom_prune_stats
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING")
+    row = bloom_prune_stats(load_table(spark, sf_dir, "orders"),
+                            "o_custkey", cust, "c_custkey").collect()[0]
+    assert row.n_false_neg == 0
+    assert row.n_passed >= row.n_true
+    assert row.n_passed <= row.n_probe
