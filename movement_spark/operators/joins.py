@@ -66,6 +66,51 @@ def streaming_shard_join(tokens_stream: DataFrame,
     return even.join(odd, cond, "inner").drop(odd.doc_id)
 
 
+def incident_attribution(events: DataFrame,
+                         window_sec: int = 120) -> DataFrame:
+    """Interval-containment join via time bucketing (bin join): every
+    ``error`` event opens an incident window [ts, ts + window_sec); all
+    events falling inside a window are attributed to that incident.
+
+    A naive implementation is a non-equi theta join (cross product +
+    range filter) — the classic 100 TB killer. Instead both sides get an
+    equi-join key: intervals are exploded to the (at most two)
+    ``window_sec``-wide time bins they overlap, probe events carry their
+    single bin, and the exact containment predicate runs AFTER the
+    equi-join. Each (incident, event) pair meets exactly once (the event
+    lives in one bin), so no dedup pass is needed; shuffle volume is
+    O(rows), never O(rows²). This is the same bin-join rewrite Spark's
+    own range-join hints perform.
+    """
+    err = events.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        F.unix_timestamp("ts").alias("w_start"))
+    err = err.withColumn("w_end", F.col("w_start") + window_sec)
+    # an interval of width window_sec overlaps exactly bin(start) and,
+    # if it crosses the boundary, bin(start)+1
+    spans = err.select(
+        "incident_id", "w_start", "w_end",
+        F.explode(F.array_distinct(F.array(
+            F.expr(f"w_start div {window_sec}"),
+            F.expr(f"(w_end - 1) div {window_sec}")))).alias("bin"))
+    probe = events.select(
+        "event_id", "user_id", "value",
+        F.unix_timestamp("ts").alias("ets"))
+    probe = probe.withColumn("bin", F.expr(f"ets div {window_sec}"))
+    pairs = (
+        spans.join(probe, "bin")
+        .where((F.col("ets") >= F.col("w_start"))
+               & (F.col("ets") < F.col("w_end")))
+    )
+    return (
+        pairs.groupBy("incident_id")
+        .agg(F.count("*").alias("n_attributed"),
+             F.countDistinct("user_id").alias("n_users"),
+             F.sum(F.col("value").cast("decimal(18,2)"))
+             .cast("decimal(18,2)").cast("double").alias("sum_value"))
+    )
+
+
 def top_customers_by_revenue(customer: DataFrame, orders: DataFrame,
                              k: int = 10) -> DataFrame:
     """Relational join + top-k. Catalyst broadcasts the small side under

