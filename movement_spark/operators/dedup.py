@@ -373,3 +373,46 @@ def simhash_docs(tokens: DataFrame, sample_mod: int = 50) -> DataFrame:
     for t in bit_terms[1:]:
         total = total + t
     return votes.select("doc_id", total.cast("bigint").alias("simhash"))
+
+
+SEG_W = 8  # words per dedup segment
+
+
+def segment_dedup_stats(documents: DataFrame) -> DataFrame:
+    """Sub-document (segment-level) dedup profile: each doc is cut into
+    fixed-width SEG_W-word segments and a segment occurring more than
+    once ANYWHERE in the corpus marks boilerplate — the pass that
+    catches repeated headers/footers exact whole-doc dedup misses.
+
+    Per source: segment volume, occurrences of corpus-duplicated
+    segments, distinct segments, and an integer-permille dup rate.
+
+    Scale shape: the segment explode is one projection (no shuffle); the
+    frequency count and the attribution join both shuffle on the segment
+    key. Duplicate detection is global across sources by design. At
+    100 TB the join key would be a 128-bit digest of the segment rather
+    than the string itself (hash builtins are fine INSIDE a plan — they
+    are kept out of checked output values only), cutting shuffle bytes
+    ~5×; the string key here keeps the oracle engine-exact. Docs shorter
+    than one segment are excluded in both engines.
+    """
+    words = documents.select(
+        "doc_id", "source", F.split("text", " ").alias("w"))
+    eligible = words.where(F.size("w") >= SEG_W)
+    segs = eligible.select(
+        "doc_id", "source",
+        F.explode(F.expr(
+            f"transform(sequence(0, int(size(w) div {SEG_W}) - 1), "
+            f"i -> array_join(slice(w, i * {SEG_W} + 1, {SEG_W}), ' '))"
+        )).alias("seg"))
+    seg_counts = segs.groupBy("seg").agg(F.count("*").alias("n_occ"))
+    return (
+        segs.join(seg_counts, "seg")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_segs"),
+             F.sum((F.col("n_occ") > 1).cast("int")).cast("bigint")
+             .alias("n_dup_occ"),
+             F.countDistinct("seg").alias("n_distinct_segs"))
+        .withColumn("dup_permille",
+                    F.expr("(n_dup_occ * 1000) div n_segs"))
+    )

@@ -137,3 +137,43 @@ def bloom_prune_stats(probe: DataFrame, probe_key: str,
                   .cast("int")).cast("bigint").alias("n_false_neg"))
         .withColumn("n_build", F.lit(n_build).cast("bigint"))
     )
+
+
+LL_M = 64  # registers
+
+
+def loglog_register_profile(df: DataFrame, key: str) -> DataFrame:
+    """LogLog register-grid distinct sketch audit — the register-family
+    counterpart to the KMV sketch in queries.py (HyperLogLog's layout,
+    kept integer-exact): hash each distinct key with a*x+b mod p, route
+    it to one of LL_M registers (h % m), record the BIT LENGTH of the
+    remaining hash bits, and keep each register's max.
+
+    The m-register grid is fixed-size however many keys stream through —
+    the bounded-memory distinct path at 10^12 keys — and max() is what
+    makes the build a plain map-side-combined aggregate. The estimate
+    here is the uncorrected integral LogLog form m * 2^(mean max
+    bitlen); HLL's harmonic mean + alpha bias correction are float
+    post-processing deliberately left out so sketch AND estimate are
+    bit-reproducible cross-engine. The audit emits exact_distinct next
+    to the sketch, which is the calibration a deployment does before
+    trusting it.
+    """
+    a, b = CMS_AB[0]
+    keys = df.select(F.col(key).alias("k")).distinct()
+    regs = keys.selectExpr(
+        f"(({a}L * k + {b}) % {CMS_P}) % {LL_M} AS reg",
+        f"length(bin((({a}L * k + {b}) % {CMS_P}) div {LL_M})) AS bl")
+    grid = regs.groupBy("reg").agg(F.max("bl").alias("max_bl"))
+    summary = grid.agg(
+        F.count("*").alias("registers_used"),
+        F.sum("max_bl").cast("bigint").alias("sum_max_bitlen"),
+        F.max("max_bl").cast("bigint").alias("max_bitlen"))
+    n = keys.agg(F.count("*").alias("exact_distinct"))
+    return (
+        summary.crossJoin(F.broadcast(n))
+        .withColumn(
+            "sketch_estimate",
+            F.expr(f"shiftleft(cast({LL_M} as bigint), "
+                   f"cast(sum_max_bitlen div {LL_M} as int))"))
+    )

@@ -207,3 +207,35 @@ def tfidf_top_terms(documents: DataFrame, top_n: int = 5) -> DataFrame:
                 F.col("df").cast("bigint").alias("df"),
                 F.col("score").cast("bigint").alias("score"), "rnk")
     )
+
+
+SCRUB_PATTERN = "[0-9]+"  # digit runs: the synthetic PII stand-in
+
+
+def scrub_audit(events: DataFrame, pattern: str = SCRUB_PATTERN) -> DataFrame:
+    """Redaction (PII-scrub) audit over the raw ``props`` payload:
+    per event_type, how many records carry at least one match of the
+    scrub pattern, the total match-run count, and the byte shrinkage
+    after replacing every run with a mask char.
+
+    Digit runs stand in for the real pattern set (emails, phone numbers,
+    id numbers — swap ``pattern`` per deployment); the synthetic corpus
+    carries digits only in ``props``. Everything is JVM regexp column
+    work (regexp_extract_all / regexp_replace) in one map-side-combined
+    aggregate — the scan cost IS the regex, which is the true shape of a
+    scrub pass over 100 TB: no shuffle beyond the per-type rollup.
+    """
+    n_runs = F.size(F.expr(f"regexp_extract_all(props, '{pattern}', 0)"))
+    red_len = F.length(F.regexp_replace("props", pattern, "#"))
+    return (
+        events.select(
+            "event_type", n_runs.alias("n_runs"),
+            F.length("props").alias("len_raw"), red_len.alias("len_red"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_records"),
+             F.sum((F.col("n_runs") > 0).cast("int")).cast("bigint")
+             .alias("n_flagged"),
+             F.sum("n_runs").cast("bigint").alias("total_runs"),
+             F.sum("len_raw").cast("bigint").alias("bytes_raw"),
+             F.sum("len_red").cast("bigint").alias("bytes_redacted"))
+    )

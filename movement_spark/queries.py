@@ -2122,6 +2122,76 @@ def q_incident_attribution(spark, sf_dir):
     return joins.incident_attribution(load_table(spark, sf_dir, "events"))
 
 
+@register("segment_dedup_stats", """
+WITH words AS (
+  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+eligible AS (SELECT * FROM words WHERE len(w) >= 8),
+segs AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(len(w) // 8),
+                i -> array_to_string(list_slice(w, i * 8 + 1, i * 8 + 8),
+                                     ' '))) AS seg
+  FROM eligible),
+sc AS (SELECT seg, COUNT(*) AS n_occ FROM segs GROUP BY 1)
+SELECT source, COUNT(*) AS n_segs,
+       CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_occ,
+       COUNT(DISTINCT seg) AS n_distinct_segs,
+       (CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000)
+         // COUNT(*) AS dup_permille
+FROM segs JOIN sc USING (seg)
+GROUP BY source
+""")
+def q_segment_dedup(spark, sf_dir):
+    """Sub-document boilerplate profile: fixed 8-word segments, corpus-
+    global duplicate detection, per-source permille rate."""
+    return dedup.segment_dedup_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register("pii_scrub_audit", """
+WITH scored AS (
+  SELECT event_type,
+         len(regexp_extract_all(props, '[0-9]+')) AS n_runs,
+         length(props) AS len_raw,
+         length(regexp_replace(props, '[0-9]+', '#', 'g')) AS len_red
+  FROM events)
+SELECT event_type, COUNT(*) AS n_records,
+       CAST(SUM(CASE WHEN n_runs > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged,
+       CAST(SUM(n_runs) AS BIGINT) AS total_runs,
+       CAST(SUM(len_raw) AS BIGINT) AS bytes_raw,
+       CAST(SUM(len_red) AS BIGINT) AS bytes_redacted
+FROM scored GROUP BY event_type
+""")
+def q_pii_scrub(spark, sf_dir):
+    """Redaction audit: digit-run scrub over the raw props payload, all
+    JVM regexp column work, one map-side-combined rollup."""
+    return text.scrub_audit(load_table(spark, sf_dir, "events"))
+
+
+@register("loglog_distinct_sketch", """
+WITH keys AS (SELECT DISTINCT o_custkey AS k FROM orders),
+h AS (SELECT ((1103515245 * k + 12345) % 2147483647) AS hv FROM keys),
+r AS (SELECT hv % 64 AS reg, length(bin(hv // 64)) AS bl FROM h),
+g AS (SELECT reg, MAX(bl) AS max_bl FROM r GROUP BY 1),
+s AS (SELECT COUNT(*) AS registers_used,
+             CAST(SUM(max_bl) AS BIGINT) AS sum_max_bitlen,
+             CAST(MAX(max_bl) AS BIGINT) AS max_bitlen FROM g),
+n AS (SELECT COUNT(*) AS exact_distinct FROM keys)
+SELECT registers_used, sum_max_bitlen, max_bitlen, exact_distinct,
+       CAST(CAST(64 AS BIGINT) << CAST(sum_max_bitlen // 64 AS INT)
+            AS BIGINT) AS sketch_estimate
+FROM s CROSS JOIN n
+""")
+def q_loglog(spark, sf_dir):
+    """Register-grid (LogLog/HLL-family) distinct sketch with integer
+    bit-length registers — fixed-size grid, map-side-combined build,
+    estimate audited against the exact distinct count."""
+    from movement_spark.operators.sketches import loglog_register_profile
+    return loglog_register_profile(load_table(spark, sf_dir, "orders"),
+                                   "o_custkey")
+
+
 # ---------------------------------------------------------------------
 # Driver-gate ordering. The correctness sweep evaluates the registry in
 # insertion order, and round 1's sweep was cut off after ~49 entries —
@@ -2132,6 +2202,9 @@ def q_incident_attribution(spark, sf_dir):
 # rows that were already verified in a previous round.
 # ---------------------------------------------------------------------
 _FRONT = [
+    "loglog_distinct_sketch",
+    "segment_dedup_stats",
+    "pii_scrub_audit",
     "events_gap_fill_daily",
     "revenue_deciles",
     "incident_attribution",

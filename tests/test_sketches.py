@@ -79,3 +79,37 @@ def test_bloom_has_no_false_negatives(spark, sf_dir):
     assert row.n_false_neg == 0
     assert row.n_passed >= row.n_true
     assert row.n_passed <= row.n_probe
+
+
+def test_loglog_grid_is_bounded_and_sane(spark, sf_dir):
+    """The register grid never exceeds LL_M registers regardless of key
+    count, and bit lengths stay inside the 31-bit hash domain."""
+    from movement_spark.operators.sketches import (
+        LL_M, loglog_register_profile)
+    row = loglog_register_profile(
+        load_table(spark, sf_dir, "orders"), "o_custkey").collect()[0]
+    assert 0 < row.registers_used <= LL_M
+    assert row.max_bitlen <= 31
+    assert row.sum_max_bitlen <= row.registers_used * 31
+    assert row.sketch_estimate > 0
+
+
+def test_segment_dedup_rates_are_permille(spark, sf_dir):
+    from movement_spark.operators.dedup import segment_dedup_stats
+    rows = segment_dedup_stats(
+        load_table(spark, sf_dir, "documents")).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.dup_permille <= 1000
+        assert r.n_distinct_segs <= r.n_segs
+        assert r.n_dup_occ <= r.n_segs
+
+
+def test_scrub_audit_shrinks_payload(spark, sf_dir):
+    from movement_spark.operators.text import scrub_audit
+    rows = scrub_audit(load_table(spark, sf_dir, "events")).collect()
+    assert rows
+    for r in rows:
+        assert r.n_flagged <= r.n_records
+        assert r.total_runs >= r.n_flagged
+        assert r.bytes_redacted <= r.bytes_raw
