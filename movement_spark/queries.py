@@ -1368,6 +1368,27 @@ def q_streaming_join(spark, sf_dir):
     return run_streaming_shard_join(spark, sf_dir)
 
 
+@register("streaming_left_join", with_token_cte("""
+, even AS (SELECT doc_id, ts AS ts_a, n_tok AS n_tok_a FROM token_sequences WHERE seq % 2 = 0),
+odd  AS (SELECT doc_id, ts AS ts_b, n_tok AS n_tok_b FROM token_sequences WHERE seq % 2 = 1)
+SELECT e.doc_id AS doc_id, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN o.n_tok_b IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_matched,
+       CAST(SUM(CASE WHEN o.n_tok_b IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_lonely,
+       CAST(SUM(e.n_tok_a + COALESCE(o.n_tok_b, 0)) AS BIGINT) AS pair_tok
+FROM even e LEFT JOIN odd o
+  ON e.doc_id = o.doc_id AND abs(epoch(e.ts_a) - epoch(o.ts_b)) <= 60
+GROUP BY e.doc_id
+"""))
+def q_streaming_left_join(spark, sf_dir):
+    """Stream-stream LEFT OUTER join: unmatched even shards emit with
+    nulls only after the watermark proves no partner can arrive; the
+    batch LEFT JOIN oracle checks matched AND lonely rows exactly."""
+    from movement_spark.streaming.pipeline import run_streaming_left_join
+    return run_streaming_left_join(spark, sf_dir)
+
+
 @register("streaming_sliding_pipeline", with_token_cte("""
 , offs AS (SELECT unnest([0, 1]) AS o)
 SELECT CAST(epoch(time_bucket(INTERVAL 5 MINUTES, ts)) AS BIGINT) - o * 300 AS ws,
@@ -2202,6 +2223,7 @@ def q_loglog(spark, sf_dir):
 # rows that were already verified in a previous round.
 # ---------------------------------------------------------------------
 _FRONT = [
+    "streaming_left_join",
     "loglog_distinct_sketch",
     "segment_dedup_stats",
     "pii_scrub_audit",

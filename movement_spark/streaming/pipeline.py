@@ -703,3 +703,73 @@ def run_streaming_shard_join(spark: SparkSession, sf_dir: str,
              F.sum(F.col("n_tok_a") + F.col("n_tok_b")).cast("bigint")
              .alias("pair_tok"))
     )
+
+
+def run_streaming_left_join(spark: SparkSession, sf_dir: str,
+                            watermark: str = "10 minutes",
+                            max_gap_sec: int = 60,
+                            stage_dir: str | None = None,
+                            sink_dir: str | None = None,
+                            checkpoint_dir: str | None = None,
+                            listener=None) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join: even shards that find
+    no odd partner within ±max_gap MUST still be emitted (with nulls) —
+    but only once the watermark proves no partner can still arrive.
+    This is the outer-emission contract Spark adds on top of the inner
+    join: unmatched left state is held until watermark > ts_a + gap,
+    then released exactly once.
+
+    Sentinel discipline differs from every other pipeline here: the
+    flush sentinels must FLOW THROUGH both watermark operators (outer
+    emission needs the min of both sides' watermarks to advance past
+    the real data), so the parity predicates keep sentinel rows and NO
+    sentinel filter exists anywhere in the streaming plan — not even
+    after the join, because Catalyst pushes a post-join non-time
+    predicate through the join to below EventTimeWatermark, silently
+    stalling the watermark at max_real_ts - delay (observed: the last
+    10 minutes of lonely rows never emitted). Sentinel artifacts are
+    instead dropped at sink-READ time, outside the streaming plan
+    (CLAUDE.md sentinel invariant, join-shaped corollary).
+    """
+    stage = _resolve_stage(spark, sf_dir, stage_dir)
+    src = read_token_stream(spark, stage)
+    is_sent = F.col("source") == SENTINEL
+    even = (
+        src.where((F.col("seq") % 2 == 0) | is_sent)
+        .select("doc_id", F.col("seq").alias("seq_a"),
+                F.col("n_tok").alias("n_tok_a"), F.col("ts").alias("ts_a"))
+        .withWatermark("ts_a", watermark)
+    )
+    odd = (
+        src.where((F.col("seq") % 2 == 1) | is_sent)
+        .select(F.col("doc_id").alias("doc_id_b"),
+                F.col("seq").alias("seq_b"),
+                F.col("n_tok").alias("n_tok_b"), F.col("ts").alias("ts_b"))
+        .withWatermark("ts_b", watermark)
+    )
+    joined = even.join(
+        odd,
+        (even.doc_id == odd.doc_id_b)
+        & (odd.ts_b >= even.ts_a - F.expr(f"INTERVAL {max_gap_sec} SECONDS"))
+        & (odd.ts_b <= even.ts_a + F.expr(f"INTERVAL {max_gap_sec} SECONDS")),
+        "left_outer",
+    ).select(
+        "doc_id", "seq_a", "n_tok_a",
+        F.coalesce("seq_b", F.lit(-1)).alias("seq_b"),
+        F.coalesce("n_tok_b", F.lit(0)).alias("n_tok_b"))
+    sink = IdempotentKeyedSink(sink_dir or _tmp("mslj_sink_"),
+                               ["doc_id", "seq_a", "seq_b"])
+    _run_to_sink(joined, sink, checkpoint_dir or _tmp("mslj_ck_"), listener)
+    # sentinel pairs DO reach the sink (they match each other and emit
+    # as ordinary join output); cut them here, outside the plan
+    out = sink.read(spark).where(F.col("doc_id") != SENTINEL)
+    return (
+        out.groupBy("doc_id")
+        .agg(F.count("*").alias("n_rows"),
+             F.sum((F.col("seq_b") >= 0).cast("int")).cast("bigint")
+             .alias("n_matched"),
+             F.sum((F.col("seq_b") < 0).cast("int")).cast("bigint")
+             .alias("n_lonely"),
+             F.sum(F.col("n_tok_a") + F.col("n_tok_b")).cast("bigint")
+             .alias("pair_tok"))
+    )

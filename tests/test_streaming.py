@@ -345,3 +345,29 @@ def test_empty_stream_yields_empty_sink(spark):
         spark, sf_dir="unused", stage_dir=stage, sink_dir=sink_dir,
         checkpoint_dir=ck)
     assert result.count() == 0
+
+
+def test_left_outer_join_flushes_every_lonely_row(spark, sf_dir):
+    """Regression: a sentinel-cutting filter ANYWHERE in the streaming
+    plan (even after the join) is pushed below EventTimeWatermark and
+    stalls the watermark at max_real_ts - delay, so lonely rows from the
+    last <delay> of the timeline never emit. The pipeline must emit one
+    null-augmented row for EVERY unmatched even shard."""
+    from movement_spark.streaming.pipeline import run_streaming_left_join
+    from movement_spark.sources.tokens import token_sequences
+
+    res = run_streaming_left_join(spark, sf_dir)
+    toks = token_sequences(spark, sf_dir)
+    even = toks.where(F.col("seq") % 2 == 0).select(
+        "doc_id", F.col("ts").alias("ts_a"))
+    odd = toks.where(F.col("seq") % 2 == 1).select(
+        F.col("doc_id").alias("db"), F.col("ts").alias("ts_b"))
+    expected_lonely = even.join(
+        odd,
+        (even.doc_id == odd.db)
+        & (F.abs(F.col("ts_a").cast("double")
+                 - F.col("ts_b").cast("double")) <= 60),
+        "left_anti").count()
+    got_lonely = res.agg(F.sum("n_lonely")).collect()[0][0]
+    assert got_lonely == expected_lonely
+    assert res.where(F.col("doc_id").startswith("__")).count() == 0
