@@ -210,3 +210,48 @@ def temperature_mix_stats(documents: DataFrame) -> DataFrame:
         .select("source", "n_docs", "n_chars_src", "sqrt_chars",
                 "weight_ppm", "target_chars", "epochs_x1000")
     )
+
+
+REP_PERMILLE_MIN = 600   # min distinct-bigram permille before "repetitive"
+MIN_CHARS = 120
+
+
+def corpus_filter_manifest(documents: DataFrame) -> DataFrame:
+    """End-to-end corpus filter funnel: every document gets exactly one
+    verdict — the FIRST tripped filter in precedence order
+    exact_dup → bad_lang → too_short → repetitive → keep — and the
+    manifest reports per (source, verdict) doc and char counts. This is
+    the composition pass a pretraining pipeline actually ships: filters
+    are cheap column work; what matters is that the precedence is
+    deterministic so reruns and audits agree row-for-row.
+
+    Scale shape: one corpus-global groupBy(text) finds exact-dup
+    keepers (at 100 TB the key is a 128-bit digest of text, not the
+    string — hashes are fine inside the plan, only checked VALUES must
+    stay engine-portable), one join back, then pure per-row expressions
+    and a tiny rollup. Bigram repetition is computed inline (distinct
+    adjacent word pairs vs total) with no second explode-shuffle.
+    """
+    keepers = documents.groupBy("text").agg(
+        F.min("doc_id").alias("keeper_id"))
+    docs = documents.join(keepers, "text").withColumn(
+        "w", F.split("text", " "))
+    nw = F.size("w")
+    n_distinct_bg = F.expr(
+        "size(array_distinct(transform(sequence(0, size(w) - 2), "
+        "i -> concat(w[i], ' ', w[i+1]))))")
+    rep_permille = F.expr(
+        "(size(array_distinct(transform(sequence(0, size(w) - 2), "
+        "i -> concat(w[i], ' ', w[i+1])))) * 1000) div (size(w) - 1)")
+    verdict = (
+        F.when(F.col("doc_id") != F.col("keeper_id"), "exact_dup")
+        .when(F.col("lang") != "en", "bad_lang")
+        .when(F.col("n_chars") < MIN_CHARS, "too_short")
+        .when((nw >= 2) & (rep_permille < REP_PERMILLE_MIN), "repetitive")
+        .otherwise("keep"))
+    return (
+        docs.withColumn("verdict", verdict)
+        .groupBy("source", "verdict")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_chars").cast("bigint").alias("sum_chars"))
+    )

@@ -195,3 +195,32 @@ def set_ops_demo(orders: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("n_orders"),
              F.countDistinct("o_custkey").alias("n_cust"))
     )
+
+
+SCD_OPEN_END = 9_999_999  # day number standing in for "no end date"
+
+
+def order_status_intervals(orders: DataFrame) -> DataFrame:
+    """SCD Type-2 interval builder: each order sets the customer's
+    "current status"; consecutive orders close the previous validity
+    interval — the slowly-changing-dimension history a warehouse MERGE
+    maintains, built in one pass with lead() over (customer, date, key).
+
+    The window is partitioned by customer (never global), so the sort
+    is per-key within one shuffle — the same shape at any scale. Days
+    are emitted as ints; the open interval of each customer's latest
+    order ends at SCD_OPEN_END with is_current = 1.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.to_date("o_orderdate").asc(), F.col("o_orderkey").asc())
+    day = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+    nxt = F.lead(day).over(w)
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        day.cast("int").alias("valid_from"),
+        F.coalesce(nxt, F.lit(SCD_OPEN_END)).cast("int").alias("valid_to"),
+        F.lead("o_orderkey").over(w).isNull().cast("int").alias("is_current"),
+    )

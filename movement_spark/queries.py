@@ -2213,6 +2213,105 @@ def q_loglog(spark, sf_dir):
                                    "o_custkey")
 
 
+@register("scd2_status_intervals", """
+SELECT o_custkey, o_orderkey, o_orderstatus AS status,
+       CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS INT)
+         AS valid_from,
+       CAST(COALESCE(
+         lead(CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+           OVER (PARTITION BY o_custkey
+                 ORDER BY CAST(o_orderdate AS DATE) ASC, o_orderkey ASC),
+         9999999) AS INT) AS valid_to,
+       CASE WHEN lead(o_orderkey)
+                 OVER (PARTITION BY o_custkey
+                       ORDER BY CAST(o_orderdate AS DATE) ASC,
+                                o_orderkey ASC) IS NULL
+            THEN 1 ELSE 0 END AS is_current
+FROM orders
+""")
+def q_scd2(spark, sf_dir):
+    """SCD Type-2 validity intervals per customer from the order stream:
+    lead() over (customer, date, key); open tail = is_current."""
+    return relational.order_status_intervals(
+        load_table(spark, sf_dir, "orders"))
+
+
+@register("corpus_filter_manifest", """
+WITH keepers AS (
+  SELECT text, MIN(doc_id) AS keeper_id FROM documents GROUP BY 1),
+feats AS (
+  SELECT d.source, d.doc_id, d.lang, d.n_chars, k.keeper_id,
+         string_split(d.text, ' ') AS w
+  FROM documents d JOIN keepers k USING (text)),
+f2 AS (
+  SELECT source, doc_id, lang, n_chars, keeper_id, len(w) AS nw,
+         CASE WHEN len(w) >= 2 THEN
+           len(list_distinct(list_transform(range(len(w) - 1),
+               i -> w[i + 1] || ' ' || w[i + 2])))
+         ELSE 0 END AS n_distinct_bg
+  FROM feats),
+v AS (
+  SELECT source, n_chars,
+         CASE WHEN doc_id <> keeper_id THEN 'exact_dup'
+              WHEN lang <> 'en' THEN 'bad_lang'
+              WHEN n_chars < 120 THEN 'too_short'
+              WHEN nw >= 2 AND (n_distinct_bg * 1000) // (nw - 1) < 600
+                THEN 'repetitive'
+              ELSE 'keep' END AS verdict
+  FROM f2)
+SELECT source, verdict, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM v GROUP BY 1, 2
+""")
+def q_corpus_filter(spark, sf_dir):
+    """The composed corpus-filter funnel: one deterministic verdict per
+    doc (exact_dup → bad_lang → too_short → repetitive → keep), rolled
+    into the per-source drop manifest a pretraining pipeline ships."""
+    from movement_spark.operators.dataset import corpus_filter_manifest
+    return corpus_filter_manifest(load_table(spark, sf_dir, "documents"))
+
+
+@register("pagerank_token_graph", with_token_cte("""
+, bg AS (
+  SELECT unnest(list_transform(range(n_tok - 1),
+         i -> CAST(tokens[i + 1] AS BIGINT) * 50261
+              + CAST(tokens[i + 2] AS BIGINT))) AS bg
+  FROM token_sequences WHERE n_tok >= 2),
+edges AS (SELECT bg // 50261 AS u, bg % 50261 AS v, COUNT(*) AS w
+          FROM bg GROUP BY 1, 2),
+outw AS (SELECT u, SUM(w) AS out_w FROM edges GROUP BY 1),
+e2 AS (SELECT e.u, e.v, e.w, o.out_w FROM edges e JOIN outw o USING (u)),
+nodes AS (SELECT u AS tok FROM edges UNION SELECT v FROM edges),
+params AS (SELECT COUNT(*) AS n FROM nodes),
+r0 AS (SELECT tok, (1000000000000 // n) AS pr
+       FROM nodes CROSS JOIN params),
+c1 AS (SELECT e.v AS tok, SUM((r.pr * e.w) // e.out_w) AS sc
+       FROM e2 e JOIN r0 r ON e.u = r.tok GROUP BY 1),
+r1 AS (SELECT n.tok, ((150000000000 // p.n)
+                      + (85 * COALESCE(c.sc, 0)) // 100) AS pr
+       FROM nodes n LEFT JOIN c1 c USING (tok) CROSS JOIN params p),
+c2 AS (SELECT e.v AS tok, SUM((r.pr * e.w) // e.out_w) AS sc
+       FROM e2 e JOIN r1 r ON e.u = r.tok GROUP BY 1),
+r2 AS (SELECT n.tok, ((150000000000 // p.n)
+                      + (85 * COALESCE(c.sc, 0)) // 100) AS pr
+       FROM nodes n LEFT JOIN c2 c USING (tok) CROSS JOIN params p),
+c3 AS (SELECT e.v AS tok, SUM((r.pr * e.w) // e.out_w) AS sc
+       FROM e2 e JOIN r2 r ON e.u = r.tok GROUP BY 1),
+r3 AS (SELECT n.tok, ((150000000000 // p.n)
+                      + (85 * COALESCE(c.sc, 0)) // 100) AS pr
+       FROM nodes n LEFT JOIN c3 c USING (tok) CROSS JOIN params p)
+SELECT CAST(tok AS INT) AS tok, CAST(pr AS BIGINT) AS pr_final
+FROM r3 ORDER BY pr DESC, tok ASC LIMIT 20
+"""))
+def q_pagerank(spark, sf_dir):
+    """Fixed-iteration (3-round) integer PageRank on the token-
+    transition graph: bounded join+agg loop, edges persisted once, one
+    dest-keyed shuffle per round; the oracle unrolls the same rounds as
+    CTEs, proving the distributed loop bit-exact."""
+    from movement_spark.operators.graph import pagerank_top_tokens
+    return pagerank_top_tokens(token_sequences(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------
 # Driver-gate ordering. The correctness sweep evaluates the registry in
 # insertion order, and round 1's sweep was cut off after ~49 entries —
@@ -2223,6 +2322,9 @@ def q_loglog(spark, sf_dir):
 # rows that were already verified in a previous round.
 # ---------------------------------------------------------------------
 _FRONT = [
+    "pagerank_token_graph",
+    "scd2_status_intervals",
+    "corpus_filter_manifest",
     "streaming_left_join",
     "loglog_distinct_sketch",
     "segment_dedup_stats",

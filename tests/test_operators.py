@@ -199,3 +199,53 @@ def test_revenue_deciles_partition_customers(spark, sf_dir):
     # deciles ordered by revenue: decile 1 holds the max
     by_d = {r.decile: r for r in rows}
     assert by_d[1].min_revenue >= by_d[10].max_revenue
+
+
+def test_scd2_intervals_chain_per_customer(spark, sf_dir):
+    """Exactly one open (is_current) interval per customer, and each
+    closed interval ends where the next begins — the SCD2 contract."""
+    from movement_spark.operators.relational import order_status_intervals
+    from movement_spark.sources.tables import load_table
+    from pyspark.sql.window import Window
+
+    iv = order_status_intervals(load_table(spark, sf_dir, "orders"))
+    per_cust = iv.groupBy("o_custkey").agg(
+        F.sum("is_current").alias("n_open"), F.count("*").alias("n"))
+    assert per_cust.where(F.col("n_open") != 1).count() == 0
+    w = Window.partitionBy("o_custkey").orderBy("valid_from", "o_orderkey")
+    chained = iv.withColumn("nxt_from", F.lead("valid_from").over(w))
+    assert chained.where(
+        F.col("nxt_from").isNotNull()
+        & (F.col("valid_to") != F.col("nxt_from"))).count() == 0
+
+
+def test_corpus_filter_verdicts_partition_the_corpus(spark, sf_dir):
+    from movement_spark.operators.dataset import corpus_filter_manifest
+    from movement_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    manifest = corpus_filter_manifest(docs).collect()
+    assert sum(r.n_docs for r in manifest) == docs.count()
+    allowed = {"exact_dup", "bad_lang", "too_short", "repetitive", "keep"}
+    assert {r.verdict for r in manifest} <= allowed
+    assert any(r.verdict == "keep" for r in manifest)
+
+
+def test_pagerank_mass_and_ordering(spark, sf_dir):
+    """Rank mass stays within [base-only floor, full scale]; output is
+    the deterministic top-20 slice."""
+    from movement_spark.operators.graph import (
+        PR_SCALE, pagerank_top_tokens, token_transition_edges)
+    from movement_spark.sources.tokens import token_sequences
+
+    toks = token_sequences(spark, sf_dir)
+    top = pagerank_top_tokens(toks).collect()
+    assert len(top) == 20
+    prs = [r.pr_final for r in top]
+    assert prs == sorted(prs, reverse=True)
+    assert all(p > 0 for p in prs)
+    assert sum(prs) < PR_SCALE
+    edges = token_transition_edges(toks)
+    n_bigrams = toks.selectExpr(
+        "sum(greatest(n_tok - 1, 0)) as nb").collect()[0].nb
+    assert edges.agg(F.sum("w")).collect()[0][0] == n_bigrams
