@@ -90,18 +90,34 @@ STATE_SCHEMA = StructType([
 
 
 def _assemble(key, pdfs: Iterable[pd.DataFrame], state,
-              timeout_margin_ms: int = 60_000):
+              timeout_margin_ms: int = 60_000,
+              emit_incomplete: bool = False):
     """applyInPandasWithState function: buffer shards per doc, emit when
     the doc is complete (all seqs 0..expected-1 present), drop on timeout.
 
     Expected shard count travels with the data (column ``n_shards``); a doc
     whose shards never complete is evicted by the event-time timeout once
     the watermark passes, so state is bounded by open docs only.
+    With ``emit_incomplete`` the eviction becomes OBSERVABLE: the timeout
+    branch emits an audit row (merged=[], total_tok = -expected,
+    n_shard = shards actually received) instead of dropping silently —
+    the reference's drop-and-COUNT half of the dangling policy
+    (TinkerPopGraphEncoder.java:103-110).
     """
     (doc_id,) = key
     if state.hasTimedOut:
         # Watermark passed with the doc incomplete: drop-and-count policy
-        # (the streaming analog of dropDanglingEdges). Emit nothing.
+        # (the streaming analog of dropDanglingEdges).
+        if emit_incomplete and state.exists:
+            seqs, _, expected = state.get
+            state.remove()
+            yield pd.DataFrame({
+                "doc_id": [doc_id],
+                "n_shard": [len(list(seqs))],
+                "total_tok": [-int(expected)],
+                "merged": [[]],
+            })
+            return
         state.remove()
         return
     if state.exists:
@@ -186,7 +202,8 @@ def ordered_doc_assembler_jvm(shards: DataFrame, gap: str = "62 minutes",
 
 
 def ordered_doc_assembler(shards: DataFrame, watermark: str = "2 minutes",
-                          timeout_ms: int = 60_000) -> DataFrame:
+                          timeout_ms: int = 60_000,
+                          emit_incomplete: bool = False) -> DataFrame:
     """Streaming per-doc ordering stage (PHASE barrier analog).
 
     ``shards`` must be a streaming DataFrame with columns
@@ -198,7 +215,8 @@ def ordered_doc_assembler(shards: DataFrame, watermark: str = "2 minutes",
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     def assemble_with_margin(key, pdfs, state):
-        yield from _assemble(key, pdfs, state, timeout_margin_ms=timeout_ms)
+        yield from _assemble(key, pdfs, state, timeout_margin_ms=timeout_ms,
+                             emit_incomplete=emit_incomplete)
 
     return (
         shards

@@ -2312,6 +2312,24 @@ def q_pagerank(spark, sf_dir):
     return pagerank_top_tokens(token_sequences(spark, sf_dir))
 
 
+@register("streaming_incomplete_audit", with_token_cte("""
+SELECT 'd' || CAST(did AS VARCHAR) AS doc_id,
+       CAST(did % 4 AS INT) AS n_received,
+       CAST(1 + did % 4 AS INT) AS expected
+FROM (SELECT DISTINCT did FROM token_sequences)
+WHERE did % 5 = 0 AND 1 + did % 4 >= 2
+"""))
+def q_streaming_incomplete(spark, sf_dir):
+    """Event-time-timeout eviction made observable: over a lossy drop
+    (every 5th doc loses shard seq=1) the stateful assembler emits one
+    audit row per doc the watermark timed out, with received vs expected
+    shard counts — the drop-and-COUNT half of the dangling policy. The
+    oracle derives the incomplete set arithmetically from the drop rule."""
+    from movement_spark.streaming.pipeline import (
+        run_streaming_incomplete_audit)
+    return run_streaming_incomplete_audit(spark, sf_dir)
+
+
 # ---------------------------------------------------------------------
 # Driver-gate ordering. The correctness sweep evaluates the registry in
 # insertion order, and round 1's sweep was cut off after ~49 entries —
@@ -2322,6 +2340,7 @@ def q_pagerank(spark, sf_dir):
 # rows that were already verified in a previous round.
 # ---------------------------------------------------------------------
 _FRONT = [
+    "streaming_incomplete_audit",
     "pagerank_token_graph",
     "scd2_status_intervals",
     "corpus_filter_manifest",

@@ -118,7 +118,8 @@ def _distribute_chunks(df: DataFrame, stage_dir: str, n_chunks: int,
 
 def stage_token_stream(spark: SparkSession, sf_dir: str, stage_dir: str,
                        n_chunks: int = 6, sentinel: bool = True,
-                       duplicate_factor: int = 1) -> int:
+                       duplicate_factor: int = 1,
+                       gap_docs: bool = False) -> int:
     """Stage the deterministic token table as ordered chunk files.
 
     One file per event-time slice, mtimes increasing, so the file source
@@ -131,8 +132,13 @@ def stage_token_stream(spark: SparkSession, sf_dir: str, stage_dir: str,
     df = (
         token_sequences(spark, sf_dir, keep_did=True)
         .withColumn("n_shards", (1 + F.col("did") % 4).cast("int"))
-        .drop("did")
     )
+    if gap_docs:
+        # Lossy-delivery fixture: every 5th doc loses its seq=1 shard,
+        # so multi-shard docs among them can never complete — the input
+        # the incomplete-doc timeout audit detects.
+        df = df.where(~((F.col("did") % 5 == 0) & (F.col("seq") == 1)))
+    df = df.drop("did")
     n_rows, next_idx, base = _distribute_chunks(
         df, stage_dir, n_chunks, ["ts", "doc_id", "seq"], duplicate_factor)
     if sentinel:
@@ -218,6 +224,8 @@ def _stage_variant(spark: SparkSession, sf_dir: str, dest: str,
         stage_events_stream(spark, sf_dir, dest)
     elif variant == "union":
         _stage_union_dirs(spark, sf_dir, dest)
+    elif variant == "gaps":
+        stage_token_stream(spark, sf_dir, dest, gap_docs=True)
     else:
         raise ValueError(f"unknown stage variant {variant!r}")
 
@@ -772,4 +780,38 @@ def run_streaming_left_join(spark: SparkSession, sf_dir: str,
              .alias("n_lonely"),
              F.sum(F.col("n_tok_a") + F.col("n_tok_b")).cast("bigint")
              .alias("pair_tok"))
+    )
+
+
+def run_streaming_incomplete_audit(spark: SparkSession, sf_dir: str,
+                                   watermark: str = "10 minutes",
+                                   stage_dir: str | None = None,
+                                   sink_dir: str | None = None,
+                                   checkpoint_dir: str | None = None,
+                                   listener=None) -> DataFrame:
+    """Observable drop-and-count: over a lossy staged drop (every 5th
+    doc loses its seq=1 shard), the stateful assembler emits an AUDIT
+    row for each doc the event-time timeout evicts — doc_id, shards
+    actually received, shards expected — instead of silently removing
+    state. Complete docs still emit merged (and are discarded here);
+    the query's result is exactly the incomplete set, which the oracle
+    derives arithmetically from the drop rule.
+    """
+    stage = _resolve_stage(spark, sf_dir, stage_dir, variant="gaps")
+    src = read_token_stream(spark, stage)
+    shards = src.select("doc_id", "seq", "tokens", "n_shards", "ts")
+    merged = (
+        ordered_doc_assembler(shards, watermark=watermark,
+                              timeout_ms=(TS_MOD + 120) * 1000,
+                              emit_incomplete=True)
+        .where(F.col("doc_id") != SENTINEL)
+    )
+    sink = IdempotentKeyedSink(sink_dir or _tmp("msi_sink_"), ["doc_id"])
+    _run_to_sink(merged, sink, checkpoint_dir or _tmp("msi_ck_"), listener)
+    out = sink.read(spark)
+    return (
+        out.where(F.col("total_tok") < 0)
+        .select("doc_id",
+                F.col("n_shard").cast("int").alias("n_received"),
+                (-F.col("total_tok")).cast("int").alias("expected"))
     )

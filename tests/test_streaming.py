@@ -371,3 +371,18 @@ def test_left_outer_join_flushes_every_lonely_row(spark, sf_dir):
     got_lonely = res.agg(F.sum("n_lonely")).collect()[0][0]
     assert got_lonely == expected_lonely
     assert res.where(F.col("doc_id").startswith("__")).count() == 0
+
+
+def test_incomplete_audit_counts_received_shards(spark, sf_dir):
+    """Every audited doc is one of the lossy fixture's targets (every
+    5th doc, multi-shard), missing exactly the one dropped shard."""
+    from movement_spark.streaming.pipeline import (
+        run_streaming_incomplete_audit)
+
+    rows = run_streaming_incomplete_audit(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        did = int(r.doc_id[1:])
+        assert did % 5 == 0
+        assert r.expected >= 2
+        assert r.n_received == r.expected - 1
