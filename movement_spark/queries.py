@@ -2330,6 +2330,66 @@ def q_streaming_incomplete(spark, sf_dir):
     return run_streaming_incomplete_audit(spark, sf_dir)
 
 
+@register("streaming_dedup_sessions", with_token_cte("""
+, ordered AS (
+  SELECT doc_id, ts, n_tok,
+         lag(ts) OVER (PARTITION BY doc_id ORDER BY ts) AS pts
+  FROM token_sequences),
+marked AS (
+  SELECT *, CASE WHEN pts IS NULL OR ts - pts >= INTERVAL 90 SECONDS
+                 THEN 1 ELSE 0 END AS new_s
+  FROM ordered),
+islands AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY doc_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked)
+SELECT doc_id,
+       CAST(epoch(MIN(ts)) AS BIGINT) AS session_start,
+       CAST(epoch(MAX(ts)) AS BIGINT) + 90 AS session_end,
+       COUNT(*) AS n_shard,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tok
+FROM islands GROUP BY doc_id, sid
+"""))
+def q_streaming_dedup_sessions(spark, sf_dir):
+    """Two chained stateful operators in one streaming DAG: exactly-once
+    restoration (dropDuplicatesWithinWatermark over the doubled drop)
+    feeding session windows — must equal the session oracle over the
+    CLEAN table."""
+    from movement_spark.streaming.pipeline import (
+        run_streaming_dedup_sessions)
+    return run_streaming_dedup_sessions(spark, sf_dir)
+
+
+from movement_spark.operators.layout import duckdb_zvalue as _ddb_zv  # noqa: E402
+
+@register("zorder_layout_stats", f"""
+WITH base AS (
+  SELECT o_custkey,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+           AS day_no
+  FROM orders),
+z AS (SELECT o_custkey, day_no,
+             {_ddb_zv('(o_custkey % 4096)', '(day_no % 4096)')} AS zv
+      FROM base),
+b AS (SELECT *, CAST(zv // 262144 AS INT) AS bucket FROM z)
+SELECT bucket, COUNT(*) AS n_rows,
+       CAST(MIN(o_custkey) AS BIGINT) AS min_cust,
+       CAST(MAX(o_custkey) AS BIGINT) AS max_cust,
+       CAST(MIN(day_no) AS INT) AS min_day,
+       CAST(MAX(day_no) AS INT) AS max_day,
+       CAST(MAX(o_custkey) - MIN(o_custkey) AS BIGINT) AS cust_span,
+       CAST(MAX(day_no) - MIN(day_no) AS INT) AS day_span
+FROM b GROUP BY bucket
+""")
+def q_zorder(spark, sf_dir):
+    """Z-order (bit-interleaved) clustering statistics for
+    (customer, order-day): per z-bucket min/max spans of BOTH dims —
+    the file-footer numbers a reader prunes on after an OPTIMIZE ZORDER
+    rewrite. Pure integer bit arithmetic, identical in both engines."""
+    from movement_spark.operators.layout import zorder_layout_stats
+    return zorder_layout_stats(load_table(spark, sf_dir, "orders"))
+
+
 # ---------------------------------------------------------------------
 # Driver-gate ordering. The correctness sweep evaluates the registry in
 # insertion order, and round 1's sweep was cut off after ~49 entries —
@@ -2340,6 +2400,8 @@ def q_streaming_incomplete(spark, sf_dir):
 # rows that were already verified in a previous round.
 # ---------------------------------------------------------------------
 _FRONT = [
+    "streaming_dedup_sessions",
+    "zorder_layout_stats",
     "streaming_incomplete_audit",
     "pagerank_token_graph",
     "scd2_status_intervals",

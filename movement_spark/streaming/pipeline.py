@@ -815,3 +815,44 @@ def run_streaming_incomplete_audit(spark: SparkSession, sf_dir: str,
                 F.col("n_shard").cast("int").alias("n_received"),
                 (-F.col("total_tok")).cast("int").alias("expected"))
     )
+
+
+def run_streaming_dedup_sessions(spark: SparkSession, sf_dir: str,
+                                 gap: str = "90 seconds",
+                                 watermark: str = "10 minutes",
+                                 stage_dir: str | None = None,
+                                 sink_dir: str | None = None,
+                                 checkpoint_dir: str | None = None,
+                                 listener=None) -> DataFrame:
+    """CHAINED stateful operators in one streaming DAG: exactly-once
+    restoration (dropDuplicatesWithinWatermark over the doubled
+    at-least-once drop) feeding a session-window aggregate — two state
+    stores, one watermark, append mode end to end. This is the composed
+    shape real pipelines run (dedup is never a separate job at 100 TB;
+    it's the first stateful stage of the same query), and the result
+    must equal the batch session oracle over the CLEAN table.
+
+    Sentinel note: the duplicate-keyed second sentinel is eaten by the
+    dedup state, but the watermark node sits upstream of it, so the
+    second sentinel still advances event time before being dropped.
+    """
+    stage = _resolve_stage(spark, sf_dir, stage_dir, "dedup")
+    src = read_token_stream(spark, stage)
+    flush_cut = F.timestamp_seconds(F.lit(EPOCH_2026 + TS_MOD + 3600))
+    sess = (
+        src.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["doc_id", "seq"])
+        .groupBy(F.session_window("ts", gap).alias("w"), "doc_id")
+        .agg(F.count("*").alias("n_shard"),
+             F.sum("n_tok").cast("bigint").alias("sum_tok"))
+        .where(F.col("w.start") < flush_cut)
+        .select("doc_id",
+                F.unix_timestamp("w.start").alias("session_start"),
+                F.unix_timestamp("w.end").alias("session_end"),
+                F.col("n_shard").cast("bigint").alias("n_shard"),
+                "sum_tok")
+    )
+    sink = IdempotentKeyedSink(sink_dir or _tmp("msds_sink_"),
+                               ["doc_id", "session_start"])
+    _run_to_sink(sess, sink, checkpoint_dir or _tmp("msds_ck_"), listener)
+    return sink.read(spark)

@@ -249,3 +249,27 @@ def test_pagerank_mass_and_ordering(spark, sf_dir):
     n_bigrams = toks.selectExpr(
         "sum(greatest(n_tok - 1, 0)) as nb").collect()[0].nb
     assert edges.agg(F.sum("w")).collect()[0][0] == n_bigrams
+
+
+def test_zorder_buckets_cluster_both_dims(spark):
+    """Z-buckets must span strictly less than the full range in BOTH
+    dimensions (the multi-dim pruning win a single-column sort cannot
+    give). Needs sf0.01: at sf0.001 the 150-value customer range sits
+    entirely below the bucket cut's bit positions."""
+    from movement_spark.operators.layout import zorder_layout_stats
+    from movement_spark.sources.tables import load_table
+
+    rows = zorder_layout_stats(
+        load_table(spark, "/root/testdata/sf0.01", "orders")).collect()
+    assert len(rows) > 4
+    full_cust = (max(r.max_cust for r in rows)
+                 - min(r.min_cust for r in rows))
+    full_day = (max(r.max_day for r in rows)
+                - min(r.min_day for r in rows))
+    # row-weighted mean span must beat the full range in BOTH dims —
+    # single-column sorts give ~full span in the other dim
+    n = sum(r.n_rows for r in rows)
+    mean_cust = sum(r.cust_span * r.n_rows for r in rows) / n
+    mean_day = sum(r.day_span * r.n_rows for r in rows) / n
+    assert mean_cust < 0.75 * full_cust
+    assert mean_day < 0.75 * full_day
