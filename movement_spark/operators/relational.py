@@ -224,3 +224,27 @@ def order_status_intervals(orders: DataFrame) -> DataFrame:
         F.coalesce(nxt, F.lit(SCD_OPEN_END)).cast("int").alias("valid_to"),
         F.lead("o_orderkey").over(w).isNull().cast("int").alias("is_current"),
     )
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Weekly cohort-retention matrix: users grouped by first-activity
+    week; cell (cohort, offset) counts distinct users from that cohort
+    active ``offset`` weeks later — the standard growth-analytics
+    rollup.
+
+    Weeks are integer day-number divisions (floor), so cohort
+    boundaries are engine-exact. Two map-side-combined aggregates plus
+    one join co-partitioned on user_id; the output matrix is
+    cohorts × offsets — tiny at any input scale.
+    """
+    day_no = F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+    weeks = events.select(
+        "user_id", F.floor(day_no / 7).cast("bigint").alias("week"))
+    activity = weeks.distinct()
+    first = activity.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    return (
+        activity.join(first, "user_id")
+        .groupBy("cohort",
+                 (F.col("week") - F.col("cohort")).alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )

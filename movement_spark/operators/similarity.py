@@ -215,3 +215,28 @@ def cosine_neardup_pairs(embeddings: DataFrame,
     return pairs.where(
         (F.col("dot") > 0)
         & (dec("dot") * dec("dot") * 25 >= dec("norm_a") * dec("norm_b")))
+
+
+def label_centroids(embeddings: DataFrame) -> DataFrame:
+    """Per-label integer centroid of the quantized vectors — the
+    aggregation half of k-means / IVF training, oracle-exact because
+    sums run over fixed-point ints and the mean uses explicit floor()
+    (Spark's ``div`` truncates toward zero but DuckDB's ``//`` floors —
+    they disagree on negative sums, so neither is used directly).
+
+    Scale shape: posexplode to (label, dim) then ONE map-side-combined
+    aggregate — shuffle carries per-(label, dim) partial sums, not
+    vectors. This is exactly how the IVF coarse quantizer's centroids
+    are (re)computed distributedly.
+    """
+    q = quantized(embeddings)
+    dims = q.select("label", F.posexplode("q").alias("dim", "v"))
+    return (
+        dims.groupBy("label", "dim")
+        .agg(F.sum("v").cast("bigint").alias("sum_v"),
+             F.count("*").alias("n_vecs"))
+        .select("label", F.col("dim").cast("int").alias("dim"),
+                F.floor(F.col("sum_v") / F.col("n_vecs")).cast("bigint")
+                .alias("centroid_q"),
+                "n_vecs")
+    )

@@ -130,3 +130,47 @@ def would_be_late_audit(tokens: DataFrame, delay_sec: int = 1800) -> DataFrame:
         .agg(F.sum("is_late").cast("bigint").alias("n_late"),
              F.count("*").alias("n_total"))
     )
+
+
+def token_rate_anomalies(tokens: DataFrame, width: str = "5 minutes",
+                         lookback: int = 6) -> DataFrame:
+    """Self-baselined throughput anomaly scan: each (source, window)
+    token volume is scored against the mean of its own trailing
+    ``lookback`` windows; deviation is an integer permille
+    floor(vol * 1000 * n_prev / sum_prev) so the monitor's flags are
+    engine-exact (the production alert threshold must not depend on
+    float rounding). Windows with no history score 1000 (baseline).
+
+    Scale shape: the anomaly pass runs OVER the windowed aggregate
+    (already one map-side-combined shuffle); the trailing frame is a
+    per-source ROWS window — partition key = source, never global.
+    """
+    from pyspark.sql.window import Window
+
+    agg = (
+        tokens.groupBy(F.window("ts", width).alias("w"), "source")
+        .agg(F.sum("n_tok").cast("bigint").alias("sum_tok"))
+        .select(F.unix_timestamp("w.start").alias("ws"), "source", "sum_tok")
+    )
+    trail = (Window.partitionBy("source").orderBy("ws")
+             .rowsBetween(-lookback, -1))
+    return (
+        agg
+        .withColumn("trail_sum", F.sum("sum_tok").over(trail))
+        .withColumn("trail_cnt", F.count("sum_tok").over(trail))
+        .withColumn(
+            "dev_permille",
+            F.when(F.col("trail_cnt") > 0,
+                   F.floor(F.col("sum_tok") * 1000 * F.col("trail_cnt")
+                           / F.col("trail_sum")))
+            .otherwise(1000).cast("bigint"))
+        .select("ws", "source", "sum_tok",
+                F.coalesce("trail_sum", F.lit(0)).cast("bigint")
+                .alias("trail_sum"),
+                F.coalesce("trail_cnt", F.lit(0)).cast("bigint")
+                .alias("trail_cnt"),
+                "dev_permille",
+                ((F.col("dev_permille") > 1500)
+                 | (F.col("dev_permille") < 500)).cast("int")
+                .alias("is_anomaly"))
+    )

@@ -2390,6 +2390,79 @@ def q_zorder(spark, sf_dir):
     return zorder_layout_stats(load_table(spark, sf_dir, "orders"))
 
 
+@register("token_rate_anomalies", with_token_cte("""
+, agg AS (
+  SELECT CAST(epoch(time_bucket(INTERVAL 5 MINUTES, ts)) AS BIGINT) AS ws,
+         source, CAST(SUM(n_tok) AS BIGINT) AS sum_tok
+  FROM token_sequences GROUP BY 1, 2),
+t AS (
+  SELECT *,
+         SUM(sum_tok) OVER (PARTITION BY source ORDER BY ws
+                            ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+           AS trail_sum,
+         COUNT(sum_tok) OVER (PARTITION BY source ORDER BY ws
+                              ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+           AS trail_cnt
+  FROM agg),
+d AS (
+  SELECT ws, source, sum_tok,
+         CAST(COALESCE(trail_sum, 0) AS BIGINT) AS trail_sum,
+         CAST(COALESCE(trail_cnt, 0) AS BIGINT) AS trail_cnt,
+         CAST(CASE WHEN trail_cnt > 0
+                   THEN floor(sum_tok * 1000 * trail_cnt / trail_sum)
+                   ELSE 1000 END AS BIGINT) AS dev_permille
+  FROM t)
+SELECT *, CASE WHEN dev_permille > 1500 OR dev_permille < 500
+               THEN 1 ELSE 0 END AS is_anomaly
+FROM d
+"""))
+def q_rate_anomalies(spark, sf_dir):
+    """Self-baselined throughput anomaly scan: per-source trailing-mean
+    deviation in integer permille over the windowed aggregate."""
+    return windows.token_rate_anomalies(token_sequences(spark, sf_dir))
+
+
+@register("cohort_retention", """
+WITH weeks AS (
+  SELECT DISTINCT user_id,
+         CAST(floor((CAST(ts AS DATE) - DATE '1970-01-01') / 7) AS BIGINT)
+           AS week
+  FROM events),
+f AS (SELECT user_id, MIN(week) AS cohort FROM weeks GROUP BY 1)
+SELECT cohort, w.week - cohort AS week_offset,
+       COUNT(DISTINCT w.user_id) AS n_users
+FROM weeks w JOIN f USING (user_id)
+GROUP BY 1, 2
+""")
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort-retention matrix: first-activity week × weeks-
+    later activity, distinct users per cell."""
+    return relational.cohort_retention(load_table(spark, sf_dir, "events"))
+
+
+@register("embedding_label_centroids", """
+WITH q AS (
+  SELECT label,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS qv
+  FROM embeddings),
+dims AS (
+  SELECT label, unnest(qv) AS v,
+         CAST(generate_subscripts(qv, 1) - 1 AS INT) AS dim
+  FROM q)
+SELECT label, dim,
+       CAST(floor(SUM(v) / COUNT(*)) AS BIGINT) AS centroid_q,
+       COUNT(*) AS n_vecs
+FROM dims GROUP BY label, dim
+""")
+def q_label_centroids(spark, sf_dir):
+    """Per-label fixed-point centroids (the k-means/IVF re-estimation
+    aggregate): posexplode to (label, dim), one map-side-combined sum,
+    explicit floor() mean (div/// disagree on negatives)."""
+    from movement_spark.operators.similarity import label_centroids
+    return label_centroids(load_table(spark, sf_dir, "embeddings"))
+
+
 # ---------------------------------------------------------------------
 # Driver-gate ordering. The correctness sweep evaluates the registry in
 # insertion order, and round 1's sweep was cut off after ~49 entries —
@@ -2400,6 +2473,9 @@ def q_zorder(spark, sf_dir):
 # rows that were already verified in a previous round.
 # ---------------------------------------------------------------------
 _FRONT = [
+    "token_rate_anomalies",
+    "cohort_retention",
+    "embedding_label_centroids",
     "streaming_dedup_sessions",
     "zorder_layout_stats",
     "streaming_incomplete_audit",

@@ -273,3 +273,43 @@ def test_zorder_buckets_cluster_both_dims(spark):
     mean_day = sum(r.day_span * r.n_rows for r in rows) / n
     assert mean_cust < 0.75 * full_cust
     assert mean_day < 0.75 * full_day
+
+
+def test_rate_anomaly_baseline_and_flags(spark, sf_dir):
+    from movement_spark.operators.windows import token_rate_anomalies
+    from movement_spark.sources.tokens import token_sequences
+
+    rows = token_rate_anomalies(token_sequences(spark, sf_dir)).collect()
+    assert rows
+    for r in rows:
+        if r.trail_cnt == 0:
+            assert r.dev_permille == 1000 and r.is_anomaly == 0
+        assert r.is_anomaly == (1 if (r.dev_permille > 1500
+                                      or r.dev_permille < 500) else 0)
+
+
+def test_cohort_retention_offsets_start_at_zero(spark, sf_dir):
+    from movement_spark.operators.relational import cohort_retention
+    from movement_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    rows = cohort_retention(events).collect()
+    assert rows
+    assert all(r.week_offset >= 0 for r in rows)
+    # offset-0 cell of each cohort holds the full cohort population
+    zero = {r.cohort: r.n_users for r in rows if r.week_offset == 0}
+    later = [r for r in rows if r.week_offset > 0]
+    for r in later:
+        assert r.n_users <= zero[r.cohort]
+
+
+def test_label_centroids_shape(spark, sf_dir):
+    from movement_spark.operators.similarity import label_centroids
+    from movement_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = label_centroids(emb).collect()
+    n_labels = emb.select("label").distinct().count()
+    dims = emb.selectExpr("max(size(embedding)) d").collect()[0].d
+    assert len(rows) == n_labels * dims
+    assert all(r.n_vecs > 0 for r in rows)
