@@ -115,12 +115,36 @@ def _job_bench(spark: SparkSession, conf: dict) -> dict:
         state_partitions=8)
 
 
+def _job_compact(spark: SparkSession, conf: dict) -> dict:
+    """Compact: sink maintenance — collapse the epoch log of an
+    idempotent keyed sink into its MERGE-on-write snapshot (the
+    OPTIMIZE/expire-snapshots pass a table service schedules; Iceberg's
+    rewrite-manifests takes this slot in production). Read-visible
+    results must be identical before and after; the job reports the
+    epoch count reclaimed and verifies row parity itself."""
+    from movement_spark.sinks.idempotent import IdempotentKeyedSink
+
+    sink_dir = conf["sink.dir"]
+    keys = [k.strip() for k in conf.get("sink.keys", "doc_id").split(",")]
+    sink = IdempotentKeyedSink(sink_dir, keys)
+    before = sink.read(spark).count()
+    epochs_before = len(sink.epochs())
+    sink.compact(spark)
+    after = sink.read(spark).count()
+    if after != before:
+        raise RuntimeError(
+            f"compaction changed visible rows: {before} -> {after}")
+    return {"rows": after, "epochs_collapsed": epochs_before,
+            "watermark": sink.compaction_watermark()}
+
+
 JOBS: dict[str, Callable[[SparkSession, dict], dict]] = {
     "Load": _job_load,
     "LoadCsv": _job_load_csv,
     "Export": _job_export,
     "Migrate": _job_migrate,
     "Bench": _job_bench,
+    "Compact": _job_compact,
 }
 
 

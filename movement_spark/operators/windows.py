@@ -174,3 +174,35 @@ def token_rate_anomalies(tokens: DataFrame, width: str = "5 minutes",
                  | (F.col("dev_permille") < 500)).cast("int")
                 .alias("is_anomaly"))
     )
+
+
+def rolling_user_features(events: DataFrame, window_days: int = 7) -> DataFrame:
+    """Rolling-window feature engineering over the GAP-FILLED daily
+    series: per user-day, trailing ``window_days`` totals including the
+    explicit zero days — the feature a model actually wants ("activity
+    in the last 7 calendar days"), which is wrong if computed over the
+    sparse series (ROWS frames skip missing days; the resample makes
+    ROWS == calendar days).
+
+    Scale shape: inherits gap_fill_daily's one co-partitioned shuffle,
+    then a per-user ROWS window — partition key = user_id, never
+    global. Money stays DECIMAL until the final render.
+    """
+    from pyspark.sql.window import Window
+
+    filled = gap_fill_daily(events)
+    w = (Window.partitionBy("user_id").orderBy("day_no")
+         .rowsBetween(-(window_days - 1), 0))
+    return (
+        filled
+        .withColumn("roll_events",
+                    F.sum("n_events").over(w).cast("bigint"))
+        .withColumn("roll_value",
+                    F.sum(F.col("day_value").cast("decimal(18,2)")).over(w)
+                    .cast("decimal(18,2)").cast("double"))
+        .withColumn("active_days",
+                    F.sum((F.col("n_events") > 0).cast("int")).over(w)
+                    .cast("int"))
+        .select("user_id", "day_no", "n_events", "roll_events",
+                "roll_value", "active_days")
+    )

@@ -2463,6 +2463,62 @@ def q_label_centroids(spark, sf_dir):
     return label_centroids(load_table(spark, sf_dir, "embeddings"))
 
 
+@register("rolling_user_features", """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+         SUM(CAST(value AS DECIMAL(18,2))) AS day_value
+  FROM events GROUP BY 1, 2),
+span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+         FROM daily GROUP BY 1),
+grid AS (
+  SELECT user_id,
+         CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM span),
+filled AS (
+  SELECT g.user_id,
+         CAST(g.day - DATE '1970-01-01' AS INT) AS day_no,
+         COALESCE(d.n_events, 0) AS n_events,
+         CAST(COALESCE(d.day_value, 0) AS DECIMAL(18,2)) AS day_value
+  FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day)
+SELECT user_id, day_no, n_events,
+       CAST(SUM(n_events) OVER w AS BIGINT) AS roll_events,
+       CAST(CAST(SUM(day_value) OVER w AS DECIMAL(18,2)) AS DOUBLE)
+         AS roll_value,
+       CAST(SUM(CASE WHEN n_events > 0 THEN 1 ELSE 0 END) OVER w AS INT)
+         AS active_days
+FROM filled
+WINDOW w AS (PARTITION BY user_id ORDER BY day_no
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+""")
+def q_rolling_features(spark, sf_dir):
+    """Trailing-7-calendar-day features over the gap-filled series:
+    ROWS frames equal calendar days only AFTER the resample makes
+    missing days explicit zeros."""
+    return windows.rolling_user_features(load_table(spark, sf_dir, "events"))
+
+
+@register("approx_distinct_audit", """
+SELECT lang, COUNT(DISTINCT doc_id) AS exact_docs,
+       1 AS within_5pct
+FROM documents GROUP BY lang
+""")
+def q_approx_audit(spark, sf_dir):
+    """Native-sketch accuracy audit: Spark's approx_count_distinct
+    (HLL++, rsd=0.02) per lang must land within 5% of the exact count —
+    the CHECKED value is the boolean (deterministic for fixed data; the
+    sketch itself is engine-specific and never hashed). The calibration
+    a deployment runs before trusting approx rollups at 10^12 keys."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(F.countDistinct("doc_id").alias("exact_docs"),
+             F.approx_count_distinct("doc_id", 0.02).alias("approx"))
+        .select("lang", "exact_docs",
+                (F.abs(F.col("approx") - F.col("exact_docs")) * 100
+                 <= F.col("exact_docs") * 5).cast("int").alias("within_5pct"))
+    )
+
+
 # ---------------------------------------------------------------------
 # Driver-gate ordering. The correctness sweep evaluates the registry in
 # insertion order, and round 1's sweep was cut off after ~49 entries —
@@ -2473,6 +2529,8 @@ def q_label_centroids(spark, sf_dir):
 # rows that were already verified in a previous round.
 # ---------------------------------------------------------------------
 _FRONT = [
+    "rolling_user_features",
+    "approx_distinct_audit",
     "token_rate_anomalies",
     "cohort_retention",
     "embedding_label_centroids",

@@ -97,6 +97,19 @@ class IdempotentKeyedSink:
         self.batches += 1
 
     # -- read path (MERGE-on-read) ----------------------------------------
+    def epochs(self) -> list[int]:
+        """Live epoch ids above the compaction watermark — the visible
+        commit log (Iceberg snapshot-list analog)."""
+        wm = self.compaction_watermark()
+        out = []
+        if os.path.isdir(self.path):
+            for d in os.listdir(self.path):
+                if d.startswith("epoch="):
+                    eid = int(d.split("=", 1)[1])
+                    if wm is None or eid > wm:
+                        out.append(eid)
+        return sorted(out)
+
     def read(self, spark: SparkSession,
              as_of_epoch: int | None = None) -> DataFrame:
         """Snapshot view of the sink. ``as_of_epoch`` gives time travel —

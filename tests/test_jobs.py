@@ -153,3 +153,22 @@ def test_async_task_resolves_when_thread_crashes(monkeypatch):
     assert res.status.startswith("FAILED")
     assert "session construction failed" in res.status
     assert J.task_status(task_id)["status"].startswith("FAILED")
+
+
+def test_compact_job_preserves_visible_rows(spark, sf_dir):
+    """Compact task: collapses the epoch log into the snapshot with
+    identical read-visible results and reports the reclaimed epochs."""
+    import tempfile
+
+    from movement_spark.jobs import run_job
+
+    out = tempfile.mkdtemp(prefix="ms_compact_job_")
+    mig = run_job("Migrate", spark=spark, **{
+        "input.sf_dir": sf_dir, "output.dir": out})
+    assert mig.status == "SUCCEEDED"
+    res = run_job("Compact", spark=spark, **{
+        "sink.dir": f"{out}/sink", "sink.keys": "ws,source"})
+    assert res.status == "SUCCEEDED", res.status
+    assert res.metrics["rows"] == mig.metrics["rows"]
+    assert res.metrics["epochs_collapsed"] >= 1
+    assert res.metrics["watermark"] is not None
