@@ -52,6 +52,19 @@ def main() -> None:
     for name in HEADLINE:
         timings[name] = round(time_query(qs[name], spark, sf_dir), 3)
 
+    # Round-2 operator families, timed separately so the headline total
+    # stays comparable round-over-round.
+    EXTENDED = (
+        "pagerank_token_graph", "corpus_filter_manifest",
+        "segment_dedup_stats", "zorder_layout_stats",
+        "incident_attribution", "rolling_user_features",
+        "loglog_distinct_sketch", "tfidf_top_terms",
+    )
+    extended: dict[str, float] = {}
+    for name in EXTENDED:
+        if name in qs:
+            extended[name] = round(time_query(qs[name], spark, sf_dir), 3)
+
     # Streaming throughput. state_partitions pinned at 8: stateful
     # shuffle layout is a deployment constant sized to key cardinality
     # (windows × sources), NOT something that grows with cores — same
@@ -106,6 +119,7 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "extended_queries": extended,
         "sf": sf,
         "cpus": cpus,
         "streaming": stream,
