@@ -140,3 +140,70 @@ def test_split_is_stable_partition(spark, n):
     joined = a.join(b.withColumnRenamed("split", "split_b"), "doc_id")
     assert joined.where(F.col("split") != F.col("split_b")).count() == 0
     assert joined.count() == n
+
+
+# ---- round-2 operator laws ------------------------------------------
+
+
+@SET
+@given(seed=st.integers(0, 10_000), window=st.sampled_from([30, 60, 120]))
+def test_bin_join_equals_theta_join_on_random_intervals(spark, seed, window):
+    """The bin-join rewrite must reproduce the naive theta join for ANY
+    point set and window width — including points on bin boundaries and
+    intervals that straddle exactly one boundary."""
+    from pyspark.sql.window import Window as W
+
+    n = 40
+    ts = [((seed * 7919 + i * 104729) % 3600) for i in range(n)]
+    rows = [(i, t, "error" if (seed + i) % 5 == 0 else "view")
+            for i, t in enumerate(ts)]
+    df = spark.createDataFrame(rows, "event_id INT, ets LONG, event_type STRING")
+    err = df.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("iid"), F.col("ets").alias("w_start"))
+    # bin rewrite (mirrors joins.incident_attribution)
+    spans = err.select(
+        "iid", "w_start",
+        F.explode(F.array_distinct(F.array(
+            F.expr(f"w_start div {window}"),
+            F.expr(f"(w_start + {window} - 1) div {window}")))).alias("bin"))
+    probe = df.select("event_id", "ets",
+                      F.expr(f"ets div {window}").alias("bin"))
+    fast = (spans.join(probe, "bin")
+            .where((F.col("ets") >= F.col("w_start"))
+                   & (F.col("ets") < F.col("w_start") + window))
+            .select("iid", "event_id"))
+    naive = (err.crossJoin(df.select("event_id", "ets"))
+             .where((F.col("ets") >= F.col("w_start"))
+                    & (F.col("ets") < F.col("w_start") + window))
+             .select("iid", "event_id"))
+    assert sorted(map(tuple, fast.collect())) == \
+        sorted(map(tuple, naive.collect()))
+
+
+@SET
+@given(x=st.integers(0, 10**14))
+def test_isqrt_expr_is_exact(spark, x):
+    """The SQL isqrt used by temperature mixing must equal Python's
+    arbitrary-precision math.isqrt for any bigint, including values
+    where float sqrt rounds the wrong way."""
+    import math
+
+    from movement_spark.operators.dataset import _isqrt_expr
+
+    got = spark.sql(
+        f"SELECT {_isqrt_expr(str(x))} AS s").collect()[0].s
+    assert got == math.isqrt(x)
+
+
+@SET
+@given(a=st.integers(0, 4095), b=st.integers(0, 4095))
+def test_zvalue_interleave_is_bijective(spark, a, b):
+    """De-interleaving the z-value must recover both coordinates — the
+    property that makes z-range scans prune on either dimension."""
+    from movement_spark.operators.layout import Z_BITS, spark_zvalue
+
+    z = spark.sql(
+        f"SELECT {spark_zvalue(str(a), str(b))} AS z").collect()[0].z
+    ra = sum(((z >> (2 * i)) & 1) << i for i in range(Z_BITS))
+    rb = sum(((z >> (2 * i + 1)) & 1) << i for i in range(Z_BITS))
+    assert (ra, rb) == (a, b)
