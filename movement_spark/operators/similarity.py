@@ -240,3 +240,56 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
                 .alias("centroid_q"),
                 "n_vecs")
     )
+
+
+def kmeans_centroids(embeddings: DataFrame, k: int = 4,
+                     iters: int = 2) -> DataFrame:
+    """Fixed-iteration Lloyd's k-means over the quantized vectors — the
+    full distributed training loop (assign → re-estimate), companion to
+    the single re-estimation step in ``label_centroids`` and to the
+    PageRank loop in operators/graph.py: a bounded number of rounds,
+    each one broadcast-assign (centroids are k rows — NEVER a shuffle
+    of the corpus) plus one map-side-combined (cluster, dim) aggregate.
+
+    Deterministic spec so any engine reproduces it bit-for-bit: seeds =
+    the first k vectors by vec_id; distance = exact integer L2 on the
+    fixed-point vectors; argmin ties break on the lower cluster id;
+    means use explicit floor(). Returns (cluster, dim, centroid_q,
+    n_assigned) after ``iters`` rounds.
+    """
+    from pyspark.sql.window import Window
+
+    q = quantized(embeddings).select("vec_id", "q")
+    cent = q.where(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cluster"), F.col("q").alias("c"))
+    dist = F.expr(
+        "aggregate(zip_with(q, c, (x, y) -> (x - y) * (x - y)), "
+        "0L, (acc, v) -> acc + v)")
+    rn = F.row_number().over(
+        Window.partitionBy("vec_id").orderBy("dist", "cluster"))
+    assigned = None
+    for _ in range(iters):
+        assigned = (
+            q.crossJoin(F.broadcast(cent))
+            .withColumn("dist", dist)
+            .withColumn("rn", rn)
+            .where(F.col("rn") == 1)
+            .select("vec_id", "cluster", "q"))
+        est = (
+            assigned.select("cluster", F.posexplode("q").alias("dim", "v"))
+            .groupBy("cluster", "dim")
+            .agg(F.floor(F.sum("v") / F.count("*")).cast("bigint")
+                 .alias("cq")))
+        cent = est.groupBy("cluster").agg(
+            F.expr("transform(sort_array(collect_list(struct(dim, cq))), "
+                   "s -> s.cq)").alias("c"))
+    sizes = assigned.groupBy("cluster").agg(
+        F.count("*").alias("n_assigned"))
+    dims = cent.select(
+        "cluster", F.posexplode("c").alias("dim", "centroid_q"))
+    return (
+        dims.join(F.broadcast(sizes), "cluster")
+        .select("cluster", F.col("dim").cast("int").alias("dim"),
+                F.col("centroid_q").cast("bigint").alias("centroid_q"),
+                "n_assigned")
+    )

@@ -2519,6 +2519,54 @@ def q_approx_audit(spark, sf_dir):
     )
 
 
+@register("kmeans_training_loop", """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS qv
+  FROM embeddings),
+d AS (SELECT vec_id, unnest(qv) AS v,
+             CAST(generate_subscripts(qv, 1) - 1 AS INT) AS dim
+      FROM q),
+c0 AS (SELECT vec_id AS cluster, qv AS cv FROM q WHERE vec_id < 4),
+s1 AS (
+  SELECT q.vec_id, c.cluster,
+         list_sum(list_transform(range(len(q.qv)),
+           i -> (q.qv[i+1] - c.cv[i+1]) * (q.qv[i+1] - c.cv[i+1]))) AS dist
+  FROM q CROSS JOIN c0 c),
+a1 AS (SELECT vec_id, cluster FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY dist, cluster) AS rn FROM s1) WHERE rn = 1),
+e1 AS (
+  SELECT a.cluster, d.dim,
+         CAST(floor(SUM(d.v) / COUNT(*)) AS BIGINT) AS cq
+  FROM a1 a JOIN d USING (vec_id) GROUP BY 1, 2),
+c1 AS (SELECT cluster, list(cq ORDER BY dim) AS cv FROM e1 GROUP BY 1),
+s2 AS (
+  SELECT q.vec_id, c.cluster,
+         list_sum(list_transform(range(len(q.qv)),
+           i -> (q.qv[i+1] - c.cv[i+1]) * (q.qv[i+1] - c.cv[i+1]))) AS dist
+  FROM q CROSS JOIN c1 c),
+a2 AS (SELECT vec_id, cluster FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY dist, cluster) AS rn FROM s2) WHERE rn = 1),
+e2 AS (
+  SELECT a.cluster, d.dim,
+         CAST(floor(SUM(d.v) / COUNT(*)) AS BIGINT) AS cq
+  FROM a2 a JOIN d USING (vec_id) GROUP BY 1, 2),
+sizes AS (SELECT cluster, COUNT(*) AS n_assigned FROM a2 GROUP BY 1)
+SELECT e2.cluster, e2.dim, e2.cq AS centroid_q, sizes.n_assigned
+FROM e2 JOIN sizes USING (cluster)
+""")
+def q_kmeans(spark, sf_dir):
+    """Distributed Lloyd's k-means, 2 fixed rounds: broadcast-assign
+    (centroids never shuffle the corpus) + map-side-combined
+    re-estimation; integer L2, deterministic seeds and tie-breaks; the
+    oracle unrolls both rounds as CTEs."""
+    from movement_spark.operators.similarity import kmeans_centroids
+    return kmeans_centroids(load_table(spark, sf_dir, "embeddings"))
+
+
 # ---------------------------------------------------------------------
 # Driver-gate ordering. The correctness sweep evaluates the registry in
 # insertion order, and round 1's sweep was cut off after ~49 entries —
@@ -2529,6 +2577,7 @@ def q_approx_audit(spark, sf_dir):
 # rows that were already verified in a previous round.
 # ---------------------------------------------------------------------
 _FRONT = [
+    "kmeans_training_loop",
     "rolling_user_features",
     "approx_distinct_audit",
     "token_rate_anomalies",

@@ -113,3 +113,17 @@ def test_scrub_audit_shrinks_payload(spark, sf_dir):
         assert r.n_flagged <= r.n_records
         assert r.total_runs >= r.n_flagged
         assert r.bytes_redacted <= r.bytes_raw
+
+
+def test_kmeans_assignment_partitions_corpus(spark, sf_dir):
+    from movement_spark.operators.similarity import kmeans_centroids
+    rows = kmeans_centroids(
+        load_table(spark, sf_dir, "embeddings")).collect()
+    clusters = {r.cluster: r.n_assigned for r in rows}
+    assert len(clusters) <= 4
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(clusters.values()) == n_vecs
+    dims_per_cluster = {}
+    for r in rows:
+        dims_per_cluster.setdefault(r.cluster, set()).add(r.dim)
+    assert all(len(d) == 64 for d in dims_per_cluster.values())
