@@ -14,6 +14,8 @@ order).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+
+from movement_spark.operators.text import packed_bigram_expr
 from pyspark.sql.window import Window
 
 # Split hashing — plain integer arithmetic, NOT an engine hash builtin,
@@ -140,11 +142,7 @@ def benchmark_contamination(tokens: DataFrame,
     spark = tokens.sparkSession
     probes = spark.createDataFrame(
         [(k,) for k in contamination_probe_keys(tok_mod)], "g BIGINT")
-    bg_expr = (
-        f"if(n_tok >= 2, transform(sequence(0, n_tok - 2), "
-        f"i -> cast(tokens[i] as bigint) * {tok_mod} + cast(tokens[i+1] as bigint)), "
-        f"cast(array() as array<bigint>))"
-    )
+    bg_expr = packed_bigram_expr(tok_mod)
     bg = tokens.select("source", "doc_id",
                        F.explode(F.expr(bg_expr)).alias("g"))
     hits = (

@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from movement_spark.operators.text import packed_bigram_expr
+
 PR_SCALE = 1_000_000_000_000
 PR_DAMP_NUM, PR_DAMP_DEN = 85, 100
 
@@ -31,12 +33,7 @@ def token_transition_edges(tokens: DataFrame,
     """Weighted edge list (u, v, w) of adjacent-token transitions.
     One explode + one map-side-combined count keyed by the packed
     bigram — identical shape to token_bigram_stats' heavy path."""
-    bg_expr = (
-        f"if(n_tok >= 2, transform(sequence(0, n_tok - 2), "
-        f"i -> cast(tokens[i] as bigint) * {tok_mod} "
-        f"+ cast(tokens[i+1] as bigint)), "
-        f"cast(array() as array<bigint>))"
-    )
+    bg_expr = packed_bigram_expr(tok_mod)
     return (
         tokens.select(F.explode(F.expr(bg_expr)).alias("bg"))
         .groupBy("bg").agg(F.count("*").alias("w"))
@@ -80,8 +77,17 @@ def pagerank_top_tokens(tokens: DataFrame, iters: int = 3,
             (F.lit(base)
              + F.expr(f"({PR_DAMP_NUM} * coalesce(sc, 0L)) "
                       f"div {PR_DAMP_DEN}")).cast("bigint").alias("pr"))
-    return (
+    final = (
         ranks.orderBy(F.desc("pr"), F.asc("tok")).limit(top_n)
         .select(F.col("tok").cast("int").alias("tok"),
-                F.col("pr").alias("pr_final"))
+                F.col("pr").cast("bigint").alias("pr_final"))
     )
+    # materialize the top-N (control-plane small) so the two cached
+    # relations can be released — a lazily returned frame would either
+    # pin the cache forever in a long-lived registry process or, if
+    # unpersisted early, silently recompute all rounds uncached
+    rows = final.collect()
+    e2.unpersist()
+    nodes.unpersist()
+    return tokens.sparkSession.createDataFrame(
+        rows, schema="tok int, pr_final bigint")

@@ -98,6 +98,11 @@ class CyclicReplay:
         # the wheel is dim-sized by construction (the reference replays an
         # in-memory stream); its size is a driver scalar like any dim count
         self.size = df.count()
+        if self.size == 0:
+            # contract error now, instead of div-0 in starts() or silent
+            # null-rot rows out of take()
+            raise ValueError("CyclicReplay needs a non-empty wheel: an "
+                             "endless repetition of nothing is undefined")
 
     def take(self, n: int) -> DataFrame:
         """First ``n`` elements of the endless repetition, with rotation

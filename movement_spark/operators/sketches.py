@@ -108,7 +108,9 @@ def bloom_prune_stats(probe: DataFrame, probe_key: str,
     against an in-plan bitmap literal (zero added shuffle); n_false_neg
     is structurally 0 and reported so the oracle proves it.
     """
-    keys = build.select(F.col(build_key).alias("bk")).distinct()
+    # persisted: the distinct build side is consumed three times
+    # (bitmap collect, n_build count, probe join) — one scan, not three
+    keys = build.select(F.col(build_key).alias("bk")).distinct().persist()
     words = bloom_bitmap(keys, "bk")
     arr = "array(" + ", ".join(f"{w}L" for w in words) + ")"
     tests = []
@@ -126,7 +128,7 @@ def bloom_prune_stats(probe: DataFrame, probe_key: str,
                 F.col("bk").isNotNull().cast("int").alias("is_true"))
     )
     n_build = keys.count()
-    return (
+    summary = (
         flagged.agg(
             F.count("*").alias("n_probe"),
             F.sum("all_hit").cast("bigint").alias("n_passed"),
@@ -137,6 +139,13 @@ def bloom_prune_stats(probe: DataFrame, probe_key: str,
                   .cast("int")).cast("bigint").alias("n_false_neg"))
         .withColumn("n_build", F.lit(n_build).cast("bigint"))
     )
+    # one-row audit: materialize so the cached build side can be freed
+    row = summary.collect()[0]
+    keys.unpersist()
+    return probe.sparkSession.createDataFrame(
+        [row], schema=("n_probe bigint, n_passed bigint, n_true bigint, "
+                       "n_false_pos bigint, n_false_neg bigint, "
+                       "n_build bigint"))
 
 
 LL_M = 64  # registers

@@ -101,6 +101,20 @@ def doc_fingerprints(documents: DataFrame, sample_mod: int = 25) -> DataFrame:
 BIGRAM_PMI_SCALE = 1_000_000
 
 
+def packed_bigram_expr(tok_mod: int) -> str:
+    """Packed adjacent-token bigram array: a*tok_mod + b per pair
+    (injective for token ids < tok_mod); empty for sub-2-token shards.
+    The ONE packing rule shared by bigram PMI, the repetition filter,
+    the contamination scan, and the transition graph — change it here
+    and in each query's oracle SQL mirror, nowhere else."""
+    return (
+        f"if(n_tok >= 2, transform(sequence(0, n_tok - 2), "
+        f"i -> cast(tokens[i] as bigint) * {tok_mod} "
+        f"+ cast(tokens[i+1] as bigint)), "
+        f"cast(array() as array<bigint>))"
+    )
+
+
 def token_bigram_stats(tokens: DataFrame, tok_mod: int = 50261,
                        top_n: int = 20) -> DataFrame:
     """Top-N token bigrams with integer-scaled PMI — the co-occurrence
@@ -114,11 +128,7 @@ def token_bigram_stats(tokens: DataFrame, tok_mod: int = 50261,
     bigint products for decimal(38,0) — same plan). Top-N ties break by
     bigram key, so the cut is deterministic.
     """
-    bg_expr = (
-        f"if(n_tok >= 2, transform(sequence(0, n_tok - 2), "
-        f"i -> cast(tokens[i] as bigint) * {tok_mod} + cast(tokens[i+1] as bigint)), "
-        f"cast(array() as array<bigint>))"
-    )
+    bg_expr = packed_bigram_expr(tok_mod)
     bi = tokens.select(F.explode(F.expr(bg_expr)).alias("bg"))
     bc = bi.groupBy("bg").agg(F.count("*").alias("c_bigram"))
     uc = (tokens.select(F.explode("tokens").alias("t"))
@@ -147,11 +157,7 @@ def intra_doc_repetition(tokens: DataFrame, tok_mod: int = 50261,
     integer; per-source counts of docs over the flag threshold. Docs
     with fewer than two tokens have no bigrams and are out of scope by
     definition. One shuffle keyed (source, doc_id)."""
-    bg_expr = (
-        f"if(n_tok >= 2, transform(sequence(0, n_tok - 2), "
-        f"i -> cast(tokens[i] as bigint) * {tok_mod} + cast(tokens[i+1] as bigint)), "
-        f"cast(array() as array<bigint>))"
-    )
+    bg_expr = packed_bigram_expr(tok_mod)
     per_doc = (
         tokens.select("source", "doc_id",
                       F.explode(F.expr(bg_expr)).alias("g"))

@@ -90,6 +90,15 @@ def gap_fill_daily(events: DataFrame) -> DataFrame:
     one co-partitioned shuffle. Days are emitted as days-since-epoch ints
     so hashes never depend on date rendering.
     """
+    return _gap_fill_decimal(events).select(
+        "user_id", "day_no", "n_events",
+        F.col("day_value_dec").cast("double").alias("day_value"), "is_gap")
+
+
+def _gap_fill_decimal(events: DataFrame) -> DataFrame:
+    """Internal gap fill keeping money in DECIMAL(18,2) — downstream
+    rolling sums must never round-trip through binary double (exact
+    only for small values; the oracle never leaves DECIMAL)."""
     daily = (
         events.groupBy("user_id", F.to_date("ts").alias("day"))
         .agg(F.count("*").alias("n_events"),
@@ -106,7 +115,7 @@ def gap_fill_daily(events: DataFrame) -> DataFrame:
             F.datediff("day", F.lit("1970-01-01")).cast("int").alias("day_no"),
             F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
             F.coalesce(F.col("day_value"), F.lit(0))
-            .cast("decimal(18,2)").cast("double").alias("day_value"),
+            .cast("decimal(18,2)").alias("day_value_dec"),
             (F.col("n_events").isNull()).cast("int").alias("is_gap"))
     )
 
@@ -190,7 +199,7 @@ def rolling_user_features(events: DataFrame, window_days: int = 7) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    filled = gap_fill_daily(events)
+    filled = _gap_fill_decimal(events)
     w = (Window.partitionBy("user_id").orderBy("day_no")
          .rowsBetween(-(window_days - 1), 0))
     return (
@@ -198,7 +207,7 @@ def rolling_user_features(events: DataFrame, window_days: int = 7) -> DataFrame:
         .withColumn("roll_events",
                     F.sum("n_events").over(w).cast("bigint"))
         .withColumn("roll_value",
-                    F.sum(F.col("day_value").cast("decimal(18,2)")).over(w)
+                    F.sum("day_value_dec").over(w)
                     .cast("decimal(18,2)").cast("double"))
         .withColumn("active_days",
                     F.sum((F.col("n_events") > 0).cast("int")).over(w)

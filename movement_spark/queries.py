@@ -37,7 +37,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
 
 
 def register(name: str, sql: str | None):
+    import functools
+
     def deco(fn: QueryFn) -> QueryFn:
+        @functools.wraps(fn)
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             tune_session(spark)
             return fn(spark, sf_dir)

@@ -62,14 +62,28 @@ class IdempotentKeyedSink:
             return None
         return self._schema
 
+    def _watermark_state(self) -> dict | None:
+        try:
+            with open(self._watermark_file()) as f:
+                return json.load(f)
+        except (OSError, ValueError, KeyError):
+            return None
+
     def compaction_watermark(self) -> int | None:
         """Highest epoch collapsed by a compact() — snapshots at or below
         it no longer exist as distinct history."""
-        try:
-            with open(self._watermark_file()) as f:
-                return json.load(f)["compacted_through"]
-        except (OSError, ValueError, KeyError):
-            return None
+        state = self._watermark_state()
+        return state.get("compacted_through") if state else None
+
+    def _snapshot_dirname(self) -> str:
+        """The snapshot directory the CURRENT watermark points at.
+        Versioned per compaction so the new snapshot is fully written
+        before the atomic watermark flip makes it visible (legacy
+        unversioned name for sinks compacted by older code)."""
+        state = self._watermark_state()
+        if state and "snapshot" in state:
+            return state["snapshot"]
+        return "_snapshot"
 
     # -- write path (foreachBatch target) --------------------------------
     def foreach_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
@@ -128,7 +142,7 @@ class IdempotentKeyedSink:
                 f"time travel to epoch {as_of_epoch} predates the "
                 f"compaction watermark {wm}: that snapshot was collapsed "
                 f"by compact() and no longer exists")
-        snap_dir = os.path.join(self.path, "_snapshot")
+        snap_dir = os.path.join(self.path, self._snapshot_dirname())
         has_snapshot = wm is not None and os.path.isdir(snap_dir)
         live_epochs = []
         if os.path.isdir(self.path):
@@ -172,33 +186,60 @@ class IdempotentKeyedSink:
         truncation step — without it MERGE-on-read cost grows with
         replay history).
 
-        The snapshot lives OUT-OF-BAND in ``_snapshot/`` (never in an
-        ``epoch=`` directory): epoch ids are owned by the streaming
-        checkpoint, and a crash-replayed micro-batch may legally rewrite
-        its own epoch path — if the snapshot sat there, the replay would
-        overwrite it and silently drop every other key's history.
-        Instead the watermark records the highest folded epoch; read()
-        treats the snapshot as that epoch and IGNORES epoch dirs at or
-        below it, so replayed stale epochs land harmlessly.
+        The snapshot lives OUT-OF-BAND in a VERSIONED ``_snapshot_v<N>/``
+        directory (never in an ``epoch=`` directory): epoch ids are
+        owned by the streaming checkpoint, and a crash-replayed
+        micro-batch may legally rewrite its own epoch path — if the
+        snapshot sat there, the replay would overwrite it and silently
+        drop every other key's history. The watermark records the
+        highest folded epoch AND the snapshot version; read() treats the
+        snapshot as that epoch and IGNORES epoch dirs at or below it,
+        so replayed stale epochs land harmlessly.
+
+        Crash safety ordering: (1) the new snapshot is fully written to
+        its own versioned dir, (2) the watermark json flips to it with
+        an atomic os.replace, and ONLY THEN (3) superseded snapshot
+        versions and folded epoch dirs are reclaimed. A crash before
+        (2) leaves the old watermark pointing at the still-intact old
+        state (epochs + old snapshot untouched); a crash after (2)
+        leaves extra directories that the next compact() reclaims —
+        at no point can the only copy of a key's history be gone while
+        the watermark claims it is folded.
         """
         import shutil
         old = [d for d in os.listdir(self.path) if d.startswith("epoch=")]
         if not old:
             return  # nothing to fold (all-empty sink is a valid state)
         prev_wm = self.compaction_watermark()
+        prev_snap = self._snapshot_dirname()
         max_epoch = max(int(d.split("=", 1)[1]) for d in old)
         if prev_wm is not None:
             max_epoch = max(max_epoch, prev_wm)
         snap = self.read(spark)
-        tmp = os.path.join(self.path, "_compacting")
-        snap.write.mode("overwrite").parquet(tmp)
-        final_dir = os.path.join(self.path, "_snapshot")
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(final_dir)
-        for d in old:
-            shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
-        shutil.rmtree(tmp, ignore_errors=True)
-        with open(self._watermark_file(), "w") as f:
-            json.dump({"compacted_through": max_epoch}, f)
+        new_dirname = f"_snapshot_v{max_epoch}"
+        if new_dirname == prev_snap:
+            new_dirname = f"_snapshot_v{max_epoch}b"
+        snap.write.mode("overwrite").parquet(
+            os.path.join(self.path, new_dirname))
+        # atomic flip: temp file + os.replace; readers see either the
+        # old complete state or the new complete state, never between
+        tmp_wm = self._watermark_file() + ".tmp"
+        with open(tmp_wm, "w") as f:
+            json.dump({"compacted_through": max_epoch,
+                       "snapshot": new_dirname}, f)
+        os.replace(tmp_wm, self._watermark_file())
+        # reclamation is safe now — everything below is replay residue.
+        # Only epochs <= the new watermark are folded; an epoch that
+        # landed after the listing stays live.
+        for d in os.listdir(self.path):
+            superseded_snap = (
+                (d.startswith("_snapshot") or d == "_compacting")
+                and d != new_dirname)
+            folded_epoch = (d.startswith("epoch=")
+                            and int(d.split("=", 1)[1]) <= max_epoch)
+            if folded_epoch or superseded_snap:
+                shutil.rmtree(os.path.join(self.path, d),
+                              ignore_errors=True)
 
     def drop_storage(self) -> None:
         """Output.dropStorage analog (Output.java:37)."""

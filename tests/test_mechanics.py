@@ -98,3 +98,14 @@ def test_pinion_odometers_follow_consumption():
     od = pinion_odometers(6, 4, rotations=2)
     assert od == {"odometer_a": 12, "odometer_b": 12,
                   "a_completed_rotations": 1, "b_completed_rotations": 2}
+
+
+def test_cyclic_replay_rejects_empty_wheel(spark):
+    import pytest
+
+    from movement_spark.operators.mechanics import CyclicReplay
+    from pyspark.sql import functions as F
+
+    empty = spark.range(0).select(F.col("id").alias("x"))
+    with pytest.raises(ValueError, match="non-empty wheel"):
+        CyclicReplay(empty, "x")

@@ -169,7 +169,8 @@ def test_sink_compact_preserves_merge_on_read_view(spark):
     # the snapshot must live OUT-OF-BAND: epoch ids belong to the
     # checkpoint and a crash-replay may rewrite its own epoch path
     assert epochs == [], "compaction must reclaim every epoch directory"
-    assert _os.path.isdir(_os.path.join(sink.path, "_snapshot"))
+    assert sink._snapshot_dirname() == "_snapshot_v1"
+    assert _os.path.isdir(_os.path.join(sink.path, "_snapshot_v1"))
     # time travel below the compaction watermark must REFUSE, not
     # silently return the collapsed snapshot (ADVICE r01)
     assert sink.compaction_watermark() == 1
@@ -187,11 +188,26 @@ def test_sink_compact_preserves_merge_on_read_view(spark):
     sink.foreach_batch(spark.createDataFrame([(1, 77)], "k INT, v INT"), 2)
     assert {(r.k, r.v) for r in sink.read(spark).collect()} == \
         {(1, 77), (2, 99), (3, 30)}
-    # and a second compaction folds snapshot + new epochs cleanly
+    # and a second compaction folds snapshot + new epochs cleanly,
+    # reclaiming the superseded snapshot version
     sink.compact(spark)
     assert sink.compaction_watermark() == 2
+    assert sink._snapshot_dirname() == "_snapshot_v2"
+    assert not _os.path.isdir(_os.path.join(sink.path, "_snapshot_v1"))
+    # CRASH BEFORE THE WATERMARK FLIP (r02 review finding): a fully
+    # written newer snapshot whose watermark never committed must be
+    # invisible — the old watermark still points at intact state
+    import shutil as _sh
+    _sh.copytree(_os.path.join(sink.path, "_snapshot_v2"),
+                 _os.path.join(sink.path, "_snapshot_v999"))
     assert {(r.k, r.v) for r in sink.read(spark).collect()} == \
         {(1, 77), (2, 99), (3, 30)}
+    # the next compact() reclaims the orphan (needs >=1 live epoch)
+    sink.foreach_batch(spark.createDataFrame([(5, 50)], "k INT, v INT"), 3)
+    sink.compact(spark)
+    assert not _os.path.isdir(_os.path.join(sink.path, "_snapshot_v999"))
+    assert {(r.k, r.v) for r in sink.read(spark).collect()} == \
+        {(1, 77), (2, 99), (3, 30), (5, 50)}
 
 
 def test_sink_schema_survives_process_restart(spark):
