@@ -402,3 +402,37 @@ def test_incomplete_audit_counts_received_shards(spark, sf_dir):
         assert did % 5 == 0
         assert r.expected >= 2
         assert r.n_received == r.expected - 1
+
+
+def test_chained_stateful_pipeline_resumes_from_checkpoint(spark, sf_dir):
+    """Kill/resume with TWO state stores live: the dedup state (seen
+    keys) and the session-window state both span the kill point — a
+    chunk's duplicate copy can arrive after the restart and must still
+    be dropped, and sessions open at the kill must close correctly.
+    Final result must equal the clean-table batch session oracle."""
+    from movement_spark.operators.windows import session_token_windows
+    from movement_spark.streaming.pipeline import (
+        run_streaming_dedup_sessions)
+
+    full_stage = _mkdir()
+    stage_token_stream(spark, sf_dir, full_stage, duplicate_factor=2)
+    files = sorted(os.listdir(full_stage))
+    part_stage, ck, sink_dir = _mkdir(), _mkdir(), _mkdir()
+    # split point chosen mid-list so some chunks' duplicate copies land
+    # on opposite sides of the restart
+    cut = len(files) // 2 + 1
+    for f in files[:cut]:
+        shutil.copy2(os.path.join(full_stage, f), os.path.join(part_stage, f))
+    run_streaming_dedup_sessions(spark, sf_dir, stage_dir=part_stage,
+                                 sink_dir=sink_dir, checkpoint_dir=ck)
+    for f in files[cut:]:
+        shutil.copy2(os.path.join(full_stage, f), os.path.join(part_stage, f))
+    result = run_streaming_dedup_sessions(spark, sf_dir,
+                                          stage_dir=part_stage,
+                                          sink_dir=sink_dir,
+                                          checkpoint_dir=ck)
+    expected = session_token_windows(token_sequences(spark, sf_dir)) \
+        .withColumn("n_shard", F.col("n_shard").cast("bigint"))
+    assert result.count() == expected.count()
+    assert result.exceptAll(expected).count() == 0
+    assert expected.exceptAll(result).count() == 0
