@@ -248,3 +248,70 @@ def cohort_retention(events: DataFrame) -> DataFrame:
                  (F.col("week") - F.col("cohort")).alias("week_offset"))
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+def segment_priority_mode(orders: DataFrame,
+                          customer: DataFrame) -> DataFrame:
+    """Per-market-segment modal order priority (mode = argmax count,
+    ties to the lexicographically smallest priority — deterministic).
+    One broadcast dim join + one (segment, priority) aggregate; the
+    argmax is a window over the tiny aggregate, never the fact table.
+    """
+    counts = (
+        orders.join(F.broadcast(customer.select("c_custkey",
+                                                "c_mktsegment")),
+                    orders.o_custkey == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("n"), F.asc("o_orderpriority"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(F.col("c_mktsegment").alias("segment"),
+                F.col("o_orderpriority").alias("modal_priority"),
+                F.col("n").alias("n_orders"))
+    )
+
+
+def session_touch_attribution(events: DataFrame,
+                              gap_sec: int = 1800) -> DataFrame:
+    """First-touch / last-touch attribution over gap-based sessions:
+    each user session (events separated by < gap) is labeled with its
+    first and last event types, and session value rolls up per
+    (first_touch, last_touch) pair — the marketing-attribution rollup.
+
+    Gaps-and-islands with per-user windows (partition key = user_id,
+    never global); the attribution rollup runs over one row per
+    session. Ties inside a session break on (ts, event_id) so first/
+    last are deterministic under equal timestamps.
+    """
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ets = F.unix_timestamp("ts")
+    prev = F.lag(ets).over(w_user)
+    marked = events.withColumn(
+        "new_s",
+        (prev.isNull() | ((ets - prev) >= gap_sec)).cast("int"))
+    sid = F.sum("new_s").over(
+        w_user.rowsBetween(Window.unboundedPreceding, 0))
+    w_sess = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    w_full = w_sess.rowsBetween(Window.unboundedPreceding,
+                                Window.unboundedFollowing)
+    per_event = (
+        marked.withColumn("sid", sid)
+        .withColumn("first_touch", F.first("event_type").over(w_sess))
+        .withColumn("last_touch", F.last("event_type").over(w_full))
+    )
+    per_session = (
+        per_event.groupBy("user_id", "sid", "first_touch", "last_touch")
+        .agg(F.count("*").alias("n_events"),
+             F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"))
+    )
+    return (
+        per_session.groupBy("first_touch", "last_touch")
+        .agg(F.count("*").alias("n_sessions"),
+             F.sum("n_events").cast("bigint").alias("n_events"),
+             F.sum("sv").cast("decimal(18,2)").cast("double")
+             .alias("sum_value"))
+    )

@@ -2570,6 +2570,121 @@ def q_kmeans(spark, sf_dir):
     return kmeans_centroids(load_table(spark, sf_dir, "embeddings"))
 
 
+@register("segment_priority_mode", """
+WITH counts AS (
+  SELECT c.c_mktsegment, o.o_orderpriority, COUNT(*) AS n
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        ORDER BY n DESC, o_orderpriority ASC) AS rn FROM counts)
+SELECT c_mktsegment AS segment, o_orderpriority AS modal_priority,
+       n AS n_orders
+FROM r WHERE rn = 1
+""")
+def q_priority_mode(spark, sf_dir):
+    """Per-segment modal order priority: broadcast dim join, tiny
+    aggregate, deterministic argmax (ties to the smallest priority)."""
+    return relational.segment_priority_mode(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"))
+
+
+@register("unpivot_event_matrix", """
+SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,
+       event_type, COUNT(*) AS n
+FROM events GROUP BY 1, 2
+""")
+def q_unpivot(spark, sf_dir):
+    """Pivot → UNPIVOT round trip: the wide daily matrix melts back to
+    long form with stack() (non-zero cells only) and must equal the
+    original per-(day, type) counts — proving the two reshapes are
+    exact inverses."""
+    m = relational.event_type_daily_matrix(load_table(spark, sf_dir,
+                                                      "events"))
+    return m.selectExpr(
+        "day_epoch",
+        "stack(5, 'click', n_click, 'view', n_view, "
+        "'purchase', n_purchase, 'signup', n_signup, "
+        "'error', n_error) as (event_type, n)",
+    ).where(F.col("n") > 0)
+
+
+@register("session_touch_attribution", """
+WITH ordered AS (
+  SELECT user_id, event_id, event_type, value, ts,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ets
+  FROM events),
+marked AS (
+  SELECT *, CASE WHEN lag(ets) OVER w IS NULL
+                 OR ets - lag(ets) OVER w >= 1800 THEN 1 ELSE 0 END AS new_s
+  FROM ordered
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+islands AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked),
+touched AS (
+  SELECT *, first_value(event_type) OVER ws AS first_touch,
+         last_value(event_type) OVER (
+           PARTITION BY user_id, sid ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS last_touch
+  FROM islands
+  WINDOW ws AS (PARTITION BY user_id, sid ORDER BY ts, event_id)),
+per_session AS (
+  SELECT user_id, sid, first_touch, last_touch, COUNT(*) AS n_events,
+         SUM(CAST(value AS DECIMAL(18,2))) AS sv
+  FROM touched GROUP BY 1, 2, 3, 4)
+SELECT first_touch, last_touch, COUNT(*) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       CAST(CAST(SUM(sv) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
+FROM per_session GROUP BY 1, 2
+""")
+def q_touch_attribution(spark, sf_dir):
+    """First-touch / last-touch attribution over 30-min gap sessions:
+    gaps-and-islands per user, one row per session, rollup per
+    (first, last) pair with DECIMAL money."""
+    return relational.session_touch_attribution(
+        load_table(spark, sf_dir, "events"))
+
+
+_JSONL_DIRS: dict[str, str] = {}
+
+
+@register("jsonl_roundtrip", """
+SELECT event_type, COUNT(*) AS n,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+            AS DOUBLE) AS sum_value,
+       MAX(event_id) AS max_id
+FROM events GROUP BY event_type
+""")
+def q_jsonl_roundtrip(spark, sf_dir):
+    """JSON-lines source/sink round trip: write events as JSONL, read
+    back with an explicit schema (never inference at scale — one pass,
+    stable types), aggregate — parity with the source table proves the
+    serialization lossless, incl. double → JSON → double. Directory
+    cached per (process, sf_dir) like the CSV round trip."""
+    import os
+    import tempfile
+
+    base = _JSONL_DIRS.get(sf_dir)
+    if base is None or not os.path.isdir(base):
+        events = load_table(spark, sf_dir, "events")
+        base = tempfile.mkdtemp(prefix="ms_jsonl_")
+        (events.select("event_id", "event_type", "value")
+         .write.mode("overwrite").json(base))
+        _JSONL_DIRS[sf_dir] = base
+    back = spark.read.schema(
+        "event_id BIGINT, event_type STRING, value DOUBLE").json(base)
+    return (
+        back.groupBy("event_type")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("value").cast("decimal(18,2)"))
+             .cast("decimal(18,2)").cast("double").alias("sum_value"),
+             F.max("event_id").alias("max_id"))
+    )
+
+
 # ---------------------------------------------------------------------
 # Driver-gate ordering. The correctness sweep evaluates the registry in
 # insertion order, and round 1's sweep was cut off after ~49 entries —
@@ -2580,6 +2695,10 @@ def q_kmeans(spark, sf_dir):
 # rows that were already verified in a previous round.
 # ---------------------------------------------------------------------
 _FRONT = [
+    "segment_priority_mode",
+    "unpivot_event_matrix",
+    "session_touch_attribution",
+    "jsonl_roundtrip",
     "kmeans_training_loop",
     "rolling_user_features",
     "approx_distinct_audit",
