@@ -713,6 +713,24 @@ def q_grouping_sets(spark, sf_dir):
 _CSV_ROUNDTRIP_DIRS: dict[str, str] = {}
 
 
+def _cached_roundtrip_dir(cache: dict[str, str], sf_dir: str, prefix: str,
+                          probe: str, write_fn) -> str:
+    """Per-(process, sf_dir) staged-directory cache shared by the
+    round-trip queries: repeated calls (e.g. the registry-wide plan
+    sweep) must not re-write or leak temp dirs. ``probe`` is the
+    path fragment whose existence marks the dir valid; ``write_fn(base)``
+    stages it."""
+    import os
+    import tempfile
+
+    base = cache.get(sf_dir)
+    if base is None or not os.path.exists(os.path.join(base, probe)):
+        base = tempfile.mkdtemp(prefix=prefix)
+        write_fn(base)
+        cache[sf_dir] = base
+    return base
+
+
 @register("csv_directory_roundtrip", """
 SELECT c_mktsegment AS label, COUNT(*) AS io_ops,
        CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_bal,
@@ -730,21 +748,18 @@ def q_csv_roundtrip(spark, sf_dir):
     (TestTinkerPopCallStepPlugin.java:268-276). The written directory is
     cached per (process, sf_dir) so repeated calls — e.g. the registry-
     wide plan sweep — don't re-write and leak temp dirs."""
-    import os
-    import tempfile
-
     from movement_spark.sinks.directory import (
         read_directory_csv, write_directory_csv)
-    base = _CSV_ROUNDTRIP_DIRS.get(sf_dir)
-    if base is None or not os.path.isdir(os.path.join(base, "vertices")):
-        customer = load_table(spark, sf_dir, "customer")
-        out = customer.select(
+
+    def _stage(base):
+        out = load_table(spark, sf_dir, "customer").select(
             F.col("c_custkey").alias("id"),
             F.col("c_acctbal").alias("acctbal"),
             F.col("c_mktsegment").alias("label"))
-        base = tempfile.mkdtemp(prefix="ms_csvdir_")
         write_directory_csv(out, base, "vertices", "label")
-        _CSV_ROUNDTRIP_DIRS[sf_dir] = base
+
+    base = _cached_roundtrip_dir(_CSV_ROUNDTRIP_DIRS, sf_dir,
+                                 "ms_csvdir_", "vertices", _stage)
     back = read_directory_csv(
         spark, base, "vertices", "id BIGINT, acctbal DOUBLE, label STRING")
     return (
@@ -2664,16 +2679,13 @@ def q_jsonl_roundtrip(spark, sf_dir):
     stable types), aggregate — parity with the source table proves the
     serialization lossless, incl. double → JSON → double. Directory
     cached per (process, sf_dir) like the CSV round trip."""
-    import os
-    import tempfile
-
-    base = _JSONL_DIRS.get(sf_dir)
-    if base is None or not os.path.isdir(base):
-        events = load_table(spark, sf_dir, "events")
-        base = tempfile.mkdtemp(prefix="ms_jsonl_")
-        (events.select("event_id", "event_type", "value")
+    def _stage(base):
+        (load_table(spark, sf_dir, "events")
+         .select("event_id", "event_type", "value")
          .write.mode("overwrite").json(base))
-        _JSONL_DIRS[sf_dir] = base
+
+    base = _cached_roundtrip_dir(_JSONL_DIRS, sf_dir,
+                                 "ms_jsonl_", "_SUCCESS", _stage)
     back = spark.read.schema(
         "event_id BIGINT, event_type STRING, value DOUBLE").json(base)
     return (

@@ -418,9 +418,15 @@ def test_chained_stateful_pipeline_resumes_from_checkpoint(spark, sf_dir):
     stage_token_stream(spark, sf_dir, full_stage, duplicate_factor=2)
     files = sorted(os.listdir(full_stage))
     part_stage, ck, sink_dir = _mkdir(), _mkdir(), _mkdir()
-    # split point chosen mid-list so some chunks' duplicate copies land
-    # on opposite sides of the restart
-    cut = len(files) // 2 + 1
+    # ODD split point: chunk files come as adjacent duplicate pairs
+    # (chunk_NNNN_0 / chunk_NNNN_1), so an even cut would land on a pair
+    # boundary and dedup every copy within one run — the cut must strand
+    # one chunk's second copy on the far side of the restart to actually
+    # exercise cross-checkpoint dedup state (r02 follow-up review)
+    cut = len(files) // 2
+    if cut % 2 == 0:
+        cut += 1
+    assert files[cut - 1].rsplit("_", 1)[0] == files[cut].rsplit("_", 1)[0]
     for f in files[:cut]:
         shutil.copy2(os.path.join(full_stage, f), os.path.join(part_stage, f))
     run_streaming_dedup_sessions(spark, sf_dir, stage_dir=part_stage,
