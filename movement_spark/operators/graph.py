@@ -62,6 +62,12 @@ def pagerank_top_tokens(tokens: DataFrame, iters: int = 3,
              .union(edges.select(F.col("v").alias("tok")))
              .distinct().persist())
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        # empty corpus → empty (typed) rank table, not a ZeroDivisionError
+        e2.unpersist()
+        nodes.unpersist()
+        return tokens.sparkSession.createDataFrame(
+            [], schema="tok int, pr_final bigint")
     init = PR_SCALE // n_nodes
     base = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // PR_DAMP_DEN // n_nodes
     ranks = nodes.withColumn("pr", F.lit(init))

@@ -313,3 +313,16 @@ def test_label_centroids_shape(spark, sf_dir):
     dims = emb.selectExpr("max(size(embedding)) d").collect()[0].d
     assert len(rows) == n_labels * dims
     assert all(r.n_vecs > 0 for r in rows)
+
+
+def test_pagerank_empty_graph_returns_typed_empty(spark):
+    """Empty corpus must give an empty typed rank table, not a driver
+    ZeroDivisionError (empty-input robustness sweep, r02)."""
+    from movement_spark.operators.graph import pagerank_top_tokens
+
+    empty = spark.createDataFrame(
+        [], "doc_id STRING, seq INT, tokens ARRAY<INT>, n_tok INT, "
+            "source STRING, ts TIMESTAMP")
+    out = pagerank_top_tokens(empty)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["tok", "pr_final"]
