@@ -2697,6 +2697,73 @@ def q_jsonl_roundtrip(spark, sf_dir):
     )
 
 
+@register("order_value_histogram", """
+WITH b AS (
+  SELECT CAST(FLOOR(o_totalprice / 25000) AS INT) AS bin,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS p
+  FROM orders)
+SELECT bin, COUNT(*) AS n,
+       CAST(MIN(p) AS DOUBLE) AS min_price,
+       CAST(MAX(p) AS DOUBLE) AS max_price,
+       CAST(CAST(SUM(p) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price
+FROM b GROUP BY bin
+""")
+def q_order_histogram(spark, sf_dir):
+    """Equi-width histogram of order value (25k-wide bins): one
+    map-side-combined aggregate; the bin id is floor() so both engines
+    cut identically. The profile pass behind any 'distribution looks
+    right' check."""
+    orders = load_table(spark, sf_dir, "orders")
+    p = F.col("o_totalprice").cast("decimal(18,2)")
+    return (
+        orders.select(
+            F.floor(F.col("o_totalprice") / 25000).cast("int").alias("bin"),
+            p.alias("p"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"),
+             F.min("p").cast("double").alias("min_price"),
+             F.max("p").cast("double").alias("max_price"),
+             F.sum("p").cast("decimal(18,2)").cast("double")
+             .alias("sum_price"))
+    )
+
+
+@register("orders_column_profile", """
+WITH s AS (SELECT COUNT(*) AS n_rows FROM orders)
+SELECT 'o_custkey' AS col, n_rows,
+       (SELECT COUNT(o_custkey) FROM orders) AS n_nonnull,
+       (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS n_distinct
+FROM s
+UNION ALL
+SELECT 'o_orderstatus', n_rows,
+       (SELECT COUNT(o_orderstatus) FROM orders),
+       (SELECT COUNT(DISTINCT o_orderstatus) FROM orders)
+FROM s
+UNION ALL
+SELECT 'o_orderpriority', n_rows,
+       (SELECT COUNT(o_orderpriority) FROM orders),
+       (SELECT COUNT(DISTINCT o_orderpriority) FROM orders)
+FROM s
+""")
+def q_column_profile(spark, sf_dir):
+    """Data-profiling pass (the expectations-library shape): per-column
+    row/non-null/distinct counts in ONE scan — the aggregates compute
+    side by side in a single hash-aggregate job, then unpivot to one
+    row per column; never one job per column at 100 TB."""
+    orders = load_table(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_orderstatus", "o_orderpriority"]
+    aggs = [F.count("*").alias("n_rows")]
+    for c in cols:
+        aggs.append(F.count(c).alias(f"nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+    wide = orders.agg(*aggs)
+    stack = ", ".join(f"'{c}', nn_{c}, nd_{c}" for c in cols)
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack}) as (col, n_nonnull, n_distinct)",
+        "n_rows",
+    ).select("col", "n_rows", "n_nonnull", "n_distinct")
+
+
 # ---------------------------------------------------------------------
 # Driver-gate ordering. The correctness sweep evaluates the registry in
 # insertion order, and round 1's sweep was cut off after ~49 entries —
@@ -2707,6 +2774,8 @@ def q_jsonl_roundtrip(spark, sf_dir):
 # rows that were already verified in a previous round.
 # ---------------------------------------------------------------------
 _FRONT = [
+    "order_value_histogram",
+    "orders_column_profile",
     "segment_priority_mode",
     "unpivot_event_matrix",
     "session_touch_attribution",
