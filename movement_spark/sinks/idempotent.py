@@ -160,7 +160,11 @@ class IdempotentKeyedSink:
             frames.append(spark.read.parquet(snap_dir)
                           .withColumn("epoch", F.lit(wm).cast("int")))
         if live_epochs:
-            frames.append(spark.read.option("basePath", self.path).parquet(
+            # mergeSchema: epochs written after a schema evolution carry
+            # the wider schema; the multi-path read must see the union,
+            # not whichever file's footer it sampled first
+            frames.append(spark.read.option("basePath", self.path)
+                          .option("mergeSchema", "true").parquet(
                 *[os.path.join(self.path, d) for d in live_epochs]))
         if not frames:
             schema = self._load_schema()
@@ -170,15 +174,63 @@ class IdempotentKeyedSink:
             return spark.createDataFrame([], schema)
         df = frames[0]
         for extra in frames[1:]:
-            df = df.unionByName(extra)
+            # schema evolution across snapshot/epoch generations: older
+            # rows read with nulls in columns they predate
+            df = df.unionByName(extra, allowMissingColumns=True)
         if as_of_epoch is not None:
             df = df.where(F.col("epoch") <= as_of_epoch)
+        df = self._apply_tombstones(spark, df)
         w = Window.partitionBy(*self.keys).orderBy(F.desc("epoch"))
         return (
             df.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)
             .drop("_rn", "epoch")
         )
+
+    def _tombstone_file(self) -> str:
+        return os.path.join(self.path, "_tombstones.json")
+
+    def _load_tombstones(self) -> list[list]:
+        try:
+            with open(self._tombstone_file()) as f:
+                return json.load(f)["keys"]
+        except (OSError, ValueError, KeyError):
+            return []
+
+    def erase_keys(self, key_values: list[tuple]) -> int:
+        """Logical DELETE (right-to-be-forgotten): record the key tuples
+        as durable tombstones; every read() — including time travel —
+        anti-joins them out from that moment on, so the erasure applies
+        to history, not just the latest snapshot (the GDPR semantic).
+        compact() makes the delete PHYSICAL: the folded snapshot is
+        written through read() (tombstones applied), after which the
+        tombstone list is cleared — replayed pre-compaction epochs are
+        ignored by the watermark and cannot resurrect erased rows; a
+        new epoch re-adding the key is a legitimate new write.
+        Returns the total tombstone count."""
+        os.makedirs(self.path, exist_ok=True)
+        current = self._load_tombstones()
+        seen = {tuple(k) for k in current}
+        for kv in key_values:
+            t = tuple(kv)
+            if t not in seen:
+                current.append(list(t))
+                seen.add(t)
+        tmp = self._tombstone_file() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"keys": current}, f)
+        os.replace(tmp, self._tombstone_file())
+        return len(current)
+
+    def _apply_tombstones(self, spark: SparkSession,
+                          df: DataFrame) -> DataFrame:
+        stones = self._load_tombstones()
+        if not stones:
+            return df
+        dead = spark.createDataFrame(
+            [tuple(k) for k in stones],
+            df.select(*self.keys).schema)
+        return df.join(F.broadcast(dead), self.keys, "left_anti")
 
     def compact(self, spark: SparkSession) -> None:
         """MERGE-on-write: collapse epochs into one deduped snapshot and
@@ -240,6 +292,15 @@ class IdempotentKeyedSink:
             if folded_epoch or superseded_snap:
                 shutil.rmtree(os.path.join(self.path, d),
                               ignore_errors=True)
+        # tombstoned rows were excluded from the snapshot (read() applied
+        # them) — the delete is physical now; clear the list. A crash
+        # before this line leaves tombstones filtering already-absent
+        # rows, which is harmless.
+        if self._load_tombstones():
+            tmp = self._tombstone_file() + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"keys": []}, f)
+            os.replace(tmp, self._tombstone_file())
 
     def drop_storage(self) -> None:
         """Output.dropStorage analog (Output.java:37)."""

@@ -442,3 +442,50 @@ def test_chained_stateful_pipeline_resumes_from_checkpoint(spark, sf_dir):
     assert result.count() == expected.count()
     assert result.exceptAll(expected).count() == 0
     assert expected.exceptAll(result).count() == 0
+
+
+def test_sink_key_erasure_is_durable_and_physical(spark):
+    """Right-to-be-forgotten: tombstoned keys vanish from every read —
+    current AND time-travel — survive replays, go physical at compact(),
+    and a post-compaction re-add of the key is a fresh write."""
+    from movement_spark.sinks.idempotent import IdempotentKeyedSink
+
+    sink = IdempotentKeyedSink(_mkdir(), ["k"])
+    df1 = spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "k INT, v INT")
+    sink.foreach_batch(df1, 0)
+    assert sink.erase_keys([(2,)]) == 1
+    assert {r.k for r in sink.read(spark).collect()} == {1, 3}
+    # erasure applies to history too (GDPR semantic)
+    assert {r.k for r in
+            sink.read(spark, as_of_epoch=0).collect()} == {1, 3}
+    # replay of the epoch cannot resurrect the key
+    sink.foreach_batch(df1, 0)
+    assert {r.k for r in sink.read(spark).collect()} == {1, 3}
+    # compaction makes it physical and clears the tombstones
+    sink.compact(spark)
+    assert sink._load_tombstones() == []
+    assert {r.k for r in sink.read(spark).collect()} == {1, 3}
+    # a NEW write of the key after compaction is legitimate
+    sink.foreach_batch(spark.createDataFrame([(2, 99)], "k INT, v INT"), 1)
+    assert {(r.k, r.v) for r in sink.read(spark).collect()} == \
+        {(1, 10), (3, 30), (2, 99)}
+
+
+def test_sink_schema_evolution_on_read(spark):
+    """Epochs written after a column was added read as one union: old
+    rows carry nulls in the new column, across epoch AND snapshot
+    generations."""
+    from movement_spark.sinks.idempotent import IdempotentKeyedSink
+
+    sink = IdempotentKeyedSink(_mkdir(), ["k"])
+    sink.foreach_batch(spark.createDataFrame([(1, 10)], "k INT, v INT"), 0)
+    sink.foreach_batch(spark.createDataFrame(
+        [(2, 20, "fresh")], "k INT, v INT, note STRING"), 1)
+    rows = {(r.k, r.v, r.note) for r in sink.read(spark).collect()}
+    assert rows == {(1, 10, None), (2, 20, "fresh")}
+    # evolution survives compaction (snapshot carries the wide schema)
+    sink.compact(spark)
+    sink.foreach_batch(spark.createDataFrame(
+        [(3, 30, "post")], "k INT, v INT, note STRING"), 2)
+    rows = {(r.k, r.v, r.note) for r in sink.read(spark).collect()}
+    assert rows == {(1, 10, None), (2, 20, "fresh"), (3, 30, "post")}
