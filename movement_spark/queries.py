@@ -1407,6 +1407,25 @@ def q_streaming_left_join(spark, sf_dir):
     return run_streaming_left_join(spark, sf_dir)
 
 
+@register("streaming_leaderboard", with_token_cte("""
+, totals AS (
+  SELECT source, COUNT(*) AS n_seq, CAST(SUM(n_tok) AS BIGINT) AS sum_tok
+  FROM token_sequences GROUP BY source),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY sum_tok DESC, source ASC)
+                 AS INT) AS lb_rank
+  FROM totals)
+SELECT source, CAST(n_seq AS BIGINT) AS n_seq, sum_tok, lb_rank
+FROM ranked WHERE lb_rank <= 3
+"""))
+def q_streaming_leaderboard(spark, sf_dir):
+    """Update-mode running leaderboard: global per-source totals upsert
+    each trigger (one state row per key, no watermark/sentinel); final
+    top-3 must equal the batch totals."""
+    from movement_spark.streaming.pipeline import run_streaming_leaderboard
+    return run_streaming_leaderboard(spark, sf_dir)
+
+
 @register("streaming_sliding_pipeline", with_token_cte("""
 , offs AS (SELECT unnest([0, 1]) AS o)
 SELECT CAST(epoch(time_bucket(INTERVAL 5 MINUTES, ts)) AS BIGINT) - o * 300 AS ws,
@@ -2774,6 +2793,7 @@ def q_column_profile(spark, sf_dir):
 # rows that were already verified in a previous round.
 # ---------------------------------------------------------------------
 _FRONT = [
+    "streaming_leaderboard",
     "order_value_histogram",
     "orders_column_profile",
     "segment_priority_mode",

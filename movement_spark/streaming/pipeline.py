@@ -856,3 +856,49 @@ def run_streaming_dedup_sessions(spark: SparkSession, sf_dir: str,
                                ["doc_id", "session_start"])
     _run_to_sink(sess, sink, checkpoint_dir or _tmp("msds_ck_"), listener)
     return sink.read(spark)
+
+
+def run_streaming_leaderboard(spark: SparkSession, sf_dir: str,
+                              top_n: int = 3,
+                              stage_dir: str | None = None,
+                              sink_dir: str | None = None,
+                              checkpoint_dir: str | None = None,
+                              listener=None) -> DataFrame:
+    """Continuously-maintained leaderboard: an update-mode GLOBAL
+    running aggregate per source (no window — the all-time total) whose
+    changed rows upsert into the keyed sink every trigger; the read
+    side ranks the latest totals. This is the live-dashboard shape:
+    state is one row per key, updates supersede, no watermark or
+    sentinel involved, and the end state must equal the batch totals.
+    """
+    stage = _resolve_stage(spark, sf_dir, stage_dir, "nosentinel")
+    src = read_token_stream(spark, stage)
+    totals = (
+        src.groupBy("source")
+        .agg(F.count("*").alias("n_seq"),
+             F.sum("n_tok").cast("bigint").alias("sum_tok"))
+    )
+    sink = IdempotentKeyedSink(sink_dir or _tmp("mslb_sink_"), ["source"])
+    spark_ = totals.sparkSession
+    if listener is not None:
+        spark_.streams.addListener(listener)
+    q = (
+        totals.writeStream
+        .outputMode("update")
+        .foreachBatch(sink.foreach_batch)
+        .option("checkpointLocation", checkpoint_dir or _tmp("mslb_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if listener is not None:
+        spark_.streams.removeListener(listener)
+    from pyspark.sql.window import Window
+    out = sink.read(spark)
+    w = Window.orderBy(F.desc("sum_tok"), F.asc("source"))
+    return (
+        out.withColumn("lb_rank", F.row_number().over(w).cast("int"))
+        .where(F.col("lb_rank") <= top_n)
+        .select("source", F.col("n_seq").cast("bigint").alias("n_seq"),
+                "sum_tok", "lb_rank")
+    )
