@@ -187,6 +187,40 @@ class IdempotentKeyedSink:
             .drop("_rn", "epoch")
         )
 
+    def changes(self, spark: SparkSession, from_epoch: int,
+                to_epoch: int) -> DataFrame:
+        """Change-data-feed between two committed epochs (Iceberg CDF /
+        Delta CDC analog): one row per logical key whose visible value
+        differs between the ``from_epoch`` and ``to_epoch`` snapshots,
+        tagged ``_change_type`` = insert | update. An upsert sink never
+        deletes through the stream (erasure is out-of-band and applies
+        to BOTH snapshots), so deletes cannot appear here by
+        construction. Both sides are time-travel reads, so asking below
+        the compaction watermark refuses exactly like read().
+
+        Scale shape: one full-outer join on the logical key — the same
+        single shuffle a MERGE would pay; at warehouse scale Iceberg's
+        changelog scan replaces the two snapshot reads.
+        """
+        before = self.read(spark, as_of_epoch=from_epoch)
+        after = self.read(spark, as_of_epoch=to_epoch)
+        val_cols = [c for c in after.columns if c not in self.keys]
+        b = before.select(
+            *self.keys, F.struct(*val_cols).alias("_before"))
+        a = after.select(
+            *self.keys, F.struct(*val_cols).alias("_after"))
+        joined = b.join(a, self.keys, "full_outer")
+        return (
+            joined.withColumn(
+                "_change_type",
+                F.when(F.col("_before").isNull(), "insert")
+                .when(F.col("_after").isNull(), "delete")  # unreachable
+                .when(F.col("_before") != F.col("_after"), "update"))
+            .where(F.col("_change_type").isNotNull())
+            .select(*self.keys, "_change_type",
+                    F.col("_after.*"))
+        )
+
     def _tombstone_file(self) -> str:
         return os.path.join(self.path, "_tombstones.json")
 

@@ -489,3 +489,27 @@ def test_sink_schema_evolution_on_read(spark):
         [(3, 30, "post")], "k INT, v INT, note STRING"), 2)
     rows = {(r.k, r.v, r.note) for r in sink.read(spark).collect()}
     assert rows == {(1, 10, None), (2, 20, "fresh"), (3, 30, "post")}
+
+
+def test_sink_change_data_feed_between_epochs(spark):
+    """CDF: per-key insert/update classification between two snapshot
+    epochs; unchanged keys are absent; below-watermark asks refuse."""
+    from movement_spark.sinks.idempotent import IdempotentKeyedSink
+
+    sink = IdempotentKeyedSink(_mkdir(), ["k"])
+    sink.foreach_batch(
+        spark.createDataFrame([(1, 10), (2, 20)], "k INT, v INT"), 0)
+    sink.foreach_batch(
+        spark.createDataFrame([(2, 99), (3, 30)], "k INT, v INT"), 1)
+    sink.foreach_batch(
+        spark.createDataFrame([(4, 40)], "k INT, v INT"), 2)
+    ch = {(r.k, r._change_type, r.v)
+          for r in sink.changes(spark, 0, 2).collect()}
+    assert ch == {(2, "update", 99), (3, "insert", 30), (4, "insert", 40)}
+    # adjacent epochs
+    ch01 = {(r.k, r._change_type) for r in sink.changes(spark, 0, 1).collect()}
+    assert ch01 == {(2, "update"), (3, "insert")}
+    # below the compaction watermark the snapshots no longer exist
+    sink.compact(spark)
+    with pytest.raises(ValueError, match="compaction watermark"):
+        sink.changes(spark, 0, 2)
