@@ -2783,6 +2783,102 @@ def q_column_profile(spark, sf_dir):
     ).select("col", "n_rows", "n_nonnull", "n_distinct")
 
 
+@register("source_silence_audit", with_token_cte("""
+, agg AS (
+  SELECT source,
+         CAST(epoch(time_bucket(INTERVAL 5 MINUTES, ts)) AS BIGINT) // 300
+           AS wno
+  FROM token_sequences GROUP BY 1, 2),
+span AS (SELECT source, MIN(wno) AS w0, MAX(wno) AS w1
+         FROM agg GROUP BY 1),
+grid AS (SELECT source, unnest(range(w0, w1 + 1)) AS wno FROM span),
+marked AS (
+  SELECT g.source, g.wno,
+         CASE WHEN a.wno IS NULL THEN 1 ELSE 0 END AS silent
+  FROM grid g LEFT JOIN agg a ON g.source = a.source AND g.wno = a.wno),
+runs AS (
+  SELECT *, wno - ROW_NUMBER() OVER (PARTITION BY source, silent
+                                     ORDER BY wno) AS grp
+  FROM marked),
+streaks AS (
+  SELECT source, COUNT(*) AS len FROM runs
+  WHERE silent = 1 GROUP BY source, grp)
+SELECT m.source,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(SUM(m.silent) AS BIGINT) AS n_silent,
+       CAST(COALESCE((SELECT MAX(len) FROM streaks s
+                      WHERE s.source = m.source), 0) AS BIGINT)
+         AS max_silent_streak
+FROM marked m GROUP BY m.source
+"""))
+def q_source_silence(spark, sf_dir):
+    """Absence detection: per source, the 5-minute windows between its
+    first and last activity in which it emitted NOTHING, plus the
+    longest silent streak (gaps-and-islands over the per-source window
+    grid). The heartbeat-monitor question — 'which feeds went dark, for
+    how long' — as one bounded sequence+explode per key, never a global
+    calendar cross join."""
+    from pyspark.sql.window import Window
+
+    t = token_sequences(spark, sf_dir)
+    agg = (t.groupBy("source",
+                     (F.unix_timestamp(F.window("ts", "5 minutes")
+                                       .start) / 300).cast("bigint")
+                     .alias("wno"))
+           .agg(F.count("*").alias("n")))
+    span = agg.groupBy("source").agg(F.min("wno").alias("w0"),
+                                     F.max("wno").alias("w1"))
+    grid = span.select(
+        "source", F.explode(F.sequence("w0", "w1")).alias("wno"))
+    marked = (grid.join(agg, ["source", "wno"], "left")
+              .select("source", "wno",
+                      F.col("n").isNull().cast("int").alias("silent")))
+    grp = (F.col("wno")
+           - F.row_number().over(Window.partitionBy("source", "silent")
+                                 .orderBy("wno")))
+    streaks = (marked.where(F.col("silent") == 1)
+               .withColumn("grp", grp)
+               .groupBy("source", "grp").agg(F.count("*").alias("len"))
+               .groupBy("source").agg(F.max("len").alias("max_streak")))
+    return (
+        marked.groupBy("source")
+        .agg(F.count("*").alias("n_windows"),
+             F.sum("silent").cast("bigint").alias("n_silent"))
+        .join(streaks, "source", "left")
+        .select("source", "n_windows", "n_silent",
+                F.coalesce("max_streak", F.lit(0)).cast("bigint")
+                .alias("max_silent_streak"))
+    )
+
+
+@register("window_share_of_total", with_token_cte("""
+, agg AS (
+  SELECT CAST(epoch(time_bucket(INTERVAL 5 MINUTES, ts)) AS BIGINT) AS ws,
+         source, CAST(SUM(n_tok) AS BIGINT) AS sum_tok
+  FROM token_sequences GROUP BY 1, 2)
+SELECT ws, source, sum_tok,
+       CAST((sum_tok * 1000000) // SUM(sum_tok) OVER (PARTITION BY ws)
+            AS BIGINT) AS share_ppm
+FROM agg
+"""))
+def q_window_share(spark, sf_dir):
+    """Contribution analysis: each source's integer-ppm share of its
+    window's token volume — a window-function pass over the ALREADY
+    windowed aggregate (partition key = window, tiny frames), never
+    over raw rows."""
+    from pyspark.sql.window import Window
+
+    agg = (token_sequences(spark, sf_dir)
+           .groupBy(F.window("ts", "5 minutes").alias("w"), "source")
+           .agg(F.sum("n_tok").cast("bigint").alias("sum_tok"))
+           .select(F.unix_timestamp("w.start").alias("ws"), "source",
+                   "sum_tok"))
+    total = F.sum("sum_tok").over(Window.partitionBy("ws"))
+    return agg.withColumn(
+        "share_ppm",
+        F.floor(F.col("sum_tok") * 1_000_000 / total).cast("bigint"))
+
+
 # ---------------------------------------------------------------------
 # Driver-gate ordering. The correctness sweep evaluates the registry in
 # insertion order, and round 1's sweep was cut off after ~49 entries —
@@ -2793,6 +2889,8 @@ def q_column_profile(spark, sf_dir):
 # rows that were already verified in a previous round.
 # ---------------------------------------------------------------------
 _FRONT = [
+    "source_silence_audit",
+    "window_share_of_total",
     "streaming_leaderboard",
     "order_value_histogram",
     "orders_column_profile",
