@@ -2879,6 +2879,73 @@ def q_window_share(spark, sf_dir):
         F.floor(F.col("sum_tok") * 1_000_000 / total).cast("bigint"))
 
 
+@register("daily_bounce_rate", """
+WITH ordered AS (
+  SELECT user_id, event_id, ts,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ets
+  FROM events),
+marked AS (
+  SELECT *, CASE WHEN lag(ets) OVER w IS NULL
+                 OR ets - lag(ets) OVER w >= 1800 THEN 1 ELSE 0 END AS new_s
+  FROM ordered
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+islands AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked),
+sessions AS (
+  SELECT user_id, sid,
+         MIN(ets) AS s_start, MAX(ets) AS s_end, COUNT(*) AS n_events
+  FROM islands GROUP BY 1, 2),
+daily AS (
+  SELECT CAST(s_start // 86400 AS BIGINT) AS day_no,
+         CASE WHEN n_events = 1 THEN 1 ELSE 0 END AS bounce,
+         s_end - s_start AS dur
+  FROM sessions)
+SELECT day_no, COUNT(*) AS n_sessions,
+       CAST(SUM(bounce) AS BIGINT) AS n_bounce,
+       (CAST(SUM(bounce) AS BIGINT) * 1000) // COUNT(*) AS bounce_permille,
+       CAST(SUM(dur) AS BIGINT) AS total_dur_sec,
+       CAST(MAX(dur) AS BIGINT) AS max_dur_sec
+FROM daily GROUP BY day_no
+""")
+def q_bounce_rate(spark, sf_dir):
+    """Web-analytics daily summary over 30-min-gap sessions: bounce
+    rate (single-event sessions, integer permille), session duration
+    totals — sessions attributed to their start day. Gaps-and-islands
+    per user, then two tiny rollups."""
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ets = F.unix_timestamp("ts")
+    prev = F.lag(ets).over(w_user)
+    marked = events.withColumn(
+        "ets", ets).withColumn(
+        "new_s", (prev.isNull() | ((ets - prev) >= 1800)).cast("int"))
+    sid = F.sum("new_s").over(
+        w_user.rowsBetween(Window.unboundedPreceding, 0))
+    sessions = (
+        marked.withColumn("sid", sid)
+        .groupBy("user_id", "sid")
+        .agg(F.min("ets").alias("s_start"), F.max("ets").alias("s_end"),
+             F.count("*").alias("n_events"))
+    )
+    daily = sessions.select(
+        F.expr("s_start div 86400").alias("day_no"),
+        (F.col("n_events") == 1).cast("int").alias("bounce"),
+        (F.col("s_end") - F.col("s_start")).alias("dur"))
+    return (
+        daily.groupBy("day_no")
+        .agg(F.count("*").alias("n_sessions"),
+             F.sum("bounce").cast("bigint").alias("n_bounce"),
+             F.expr("(cast(sum(bounce) as bigint) * 1000) div count(*)")
+             .alias("bounce_permille"),
+             F.sum("dur").cast("bigint").alias("total_dur_sec"),
+             F.max("dur").cast("bigint").alias("max_dur_sec"))
+    )
+
+
 # ---------------------------------------------------------------------
 # Driver-gate ordering. The correctness sweep evaluates the registry in
 # insertion order, and round 1's sweep was cut off after ~49 entries —
@@ -2889,6 +2956,7 @@ def q_window_share(spark, sf_dir):
 # rows that were already verified in a previous round.
 # ---------------------------------------------------------------------
 _FRONT = [
+    "daily_bounce_rate",
     "source_silence_audit",
     "window_share_of_total",
     "streaming_leaderboard",
