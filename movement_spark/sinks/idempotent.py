@@ -224,31 +224,49 @@ class IdempotentKeyedSink:
     def _tombstone_file(self) -> str:
         return os.path.join(self.path, "_tombstones.json")
 
-    def _load_tombstones(self) -> list[list]:
+    def _load_tombstones(self) -> list[dict]:
+        """FAIL CLOSED: a present-but-unreadable tombstone file raises —
+        silently resurrecting erased keys (and letting the next
+        compact() clear the unreadable erasure record) would break the
+        right-to-be-forgotten contract. Only a genuinely absent file
+        means "no erasures"."""
         try:
             with open(self._tombstone_file()) as f:
-                return json.load(f)["keys"]
-        except (OSError, ValueError, KeyError):
+                raw = f.read()
+        except FileNotFoundError:
             return []
+        try:
+            return json.loads(raw)["keys"]
+        except (ValueError, KeyError, TypeError) as e:
+            raise RuntimeError(
+                f"tombstone file {self._tombstone_file()} exists but is "
+                f"unreadable ({e}); refusing to read the sink as if no "
+                f"erasures were recorded") from e
 
     def erase_keys(self, key_values: list[tuple]) -> int:
         """Logical DELETE (right-to-be-forgotten): record the key tuples
         as durable tombstones; every read() — including time travel —
         anti-joins them out from that moment on, so the erasure applies
         to history, not just the latest snapshot (the GDPR semantic).
-        compact() makes the delete PHYSICAL: the folded snapshot is
-        written through read() (tombstones applied), after which the
-        tombstone list is cleared — replayed pre-compaction epochs are
-        ignored by the watermark and cannot resurrect erased rows; a
-        new epoch re-adding the key is a legitimate new write.
-        Returns the total tombstone count."""
+
+        Each tombstone is BOUNDED by the max epoch visible at erase
+        time: it hides only rows with epoch <= that bound, so a
+        legitimate NEW write of the key in a later epoch is visible
+        (and survives compaction) regardless of compaction timing.
+        compact() makes bounded deletes PHYSICAL — the folded snapshot
+        is written through read() — then clears the list; replayed
+        pre-compaction epochs are ignored by the watermark and cannot
+        resurrect erased rows. Returns the total tombstone count."""
         os.makedirs(self.path, exist_ok=True)
+        wm = self.compaction_watermark()
+        live = self.epochs()
+        bound = max(live) if live else (wm if wm is not None else -1)
         current = self._load_tombstones()
-        seen = {tuple(k) for k in current}
+        seen = {tuple(s["key"]) for s in current}
         for kv in key_values:
             t = tuple(kv)
             if t not in seen:
-                current.append(list(t))
+                current.append({"key": list(t), "max_epoch": bound})
                 seen.add(t)
         tmp = self._tombstone_file() + ".tmp"
         with open(tmp, "w") as f:
@@ -258,13 +276,20 @@ class IdempotentKeyedSink:
 
     def _apply_tombstones(self, spark: SparkSession,
                           df: DataFrame) -> DataFrame:
+        """Anti-join the (still epoch-carrying) row set against the
+        bounded tombstones: a row dies only if its key matches AND its
+        epoch is at or below that tombstone's erase-time bound."""
         stones = self._load_tombstones()
         if not stones:
             return df
         dead = spark.createDataFrame(
-            [tuple(k) for k in stones],
-            df.select(*self.keys).schema)
-        return df.join(F.broadcast(dead), self.keys, "left_anti")
+            [tuple(s["key"]) + (s["max_epoch"],) for s in stones],
+            df.select(*self.keys).schema.add("_ts_bound", "integer"))
+        cond = F.lit(True)
+        for k in self.keys:
+            cond = cond & (df[k] == dead[k])
+        cond = cond & (df["epoch"] <= dead["_ts_bound"])
+        return df.join(F.broadcast(dead), cond, "left_anti")
 
     def compact(self, spark: SparkSession) -> None:
         """MERGE-on-write: collapse epochs into one deduped snapshot and

@@ -461,14 +461,28 @@ def test_sink_key_erasure_is_durable_and_physical(spark):
     # replay of the epoch cannot resurrect the key
     sink.foreach_batch(df1, 0)
     assert {r.k for r in sink.read(spark).collect()} == {1, 3}
+    # tombstones are EPOCH-BOUNDED: a legitimate new write of the key in
+    # a later epoch is visible even BEFORE any compaction runs
+    sink.foreach_batch(spark.createDataFrame([(2, 50)], "k INT, v INT"), 1)
+    assert {(r.k, r.v) for r in sink.read(spark).collect()} == \
+        {(1, 10), (3, 30), (2, 50)}
+    # ... but time travel to the pre-rewrite snapshot still hides it
+    assert {r.k for r in
+            sink.read(spark, as_of_epoch=0).collect()} == {1, 3}
     # compaction makes it physical and clears the tombstones
     sink.compact(spark)
     assert sink._load_tombstones() == []
-    assert {r.k for r in sink.read(spark).collect()} == {1, 3}
+    assert {(r.k, r.v) for r in sink.read(spark).collect()} == \
+        {(1, 10), (3, 30), (2, 50)}
     # a NEW write of the key after compaction is legitimate
-    sink.foreach_batch(spark.createDataFrame([(2, 99)], "k INT, v INT"), 1)
+    sink.foreach_batch(spark.createDataFrame([(2, 99)], "k INT, v INT"), 2)
     assert {(r.k, r.v) for r in sink.read(spark).collect()} == \
         {(1, 10), (3, 30), (2, 99)}
+    # a corrupt tombstone file FAILS CLOSED instead of resurrecting keys
+    with open(sink._tombstone_file(), "w") as f:
+        f.write("{not json")
+    with pytest.raises(RuntimeError, match="refusing"):
+        sink.read(spark)
 
 
 def test_sink_schema_evolution_on_read(spark):
