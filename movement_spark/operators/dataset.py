@@ -253,3 +253,54 @@ def corpus_filter_manifest(documents: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("n_docs"),
              F.sum("n_chars").cast("bigint").alias("sum_chars"))
     )
+
+
+CHUNK_W = 32   # tokens per retrieval chunk
+CHUNK_S = 24   # chunk stride (overlap = CHUNK_W - CHUNK_S)
+
+
+def doc_chunking_stats(tokens: DataFrame, w: int = CHUNK_W,
+                       s: int = CHUNK_S) -> DataFrame:
+    """Overlapping fixed-window chunking plan (the RAG/retrieval layout,
+    versus sequence_packing_stats' concatenate-then-chunk training
+    layout): each token sequence splits into windows of ``w`` tokens
+    every ``s`` tokens (overlap w-s), the last window ragged. Emits the
+    per-source chunking manifest: chunk count, chunked token volume,
+    ragged-tail count, and the token volume DUPLICATED by overlap —
+    the storage-amplification number a retrieval index planner needs.
+
+    Scale shape: chunk fan-out is one JVM explode over a sequence()
+    (no Python, no shuffle); both rollups are map-side-combined aggs
+    keyed by source; the overlap subtraction is a join of two tiny
+    per-source aggregates. Every sequence is covered end-to-end by
+    construction: chunk j starts at j*s and the chunk count is
+    1 + ceil((n_tok - w) / s) (one chunk when n_tok <= w), so the last
+    window always reaches the final token.
+    """
+    n_chunks = (
+        f"if(n_tok <= {w}, 1, "
+        f"1 + (n_tok - {w} + {s} - 1) div {s})"
+    )
+    chunks = (
+        tokens.select(
+            "source", "n_tok",
+            F.explode(F.expr(f"sequence(0, {n_chunks} - 1)")).alias("j"))
+        .select("source",
+                F.least(F.lit(w), F.col("n_tok") - F.col("j") * s)
+                .alias("len"))
+    )
+    per_chunk = (
+        chunks.groupBy("source")
+        .agg(F.count("*").alias("n_chunks"),
+             F.sum("len").cast("bigint").alias("sum_chunk_tok"),
+             F.sum((F.col("len") < w).cast("int")).cast("bigint")
+             .alias("n_ragged"))
+    )
+    base = tokens.groupBy("source").agg(
+        F.sum("n_tok").cast("bigint").alias("total_tok"))
+    return (
+        per_chunk.join(base, "source")
+        .select("source", "n_chunks", "sum_chunk_tok", "n_ragged",
+                (F.col("sum_chunk_tok") - F.col("total_tok"))
+                .cast("bigint").alias("overlap_tok"))
+    )

@@ -252,10 +252,32 @@ def dup_cluster_labels(tokens: DataFrame, sample_mod: int = 25,
     )
     pairs = ngram_jaccard_pairs(tokens, sample_mod=sample_mod) \
         .select("doc_a", "doc_b")
+    labels = _propagate_min_labels(
+        verts.select("doc_id", F.col("did").alias("label")),
+        pairs, max_iters)
+    return (
+        labels.groupBy("label")
+        .agg(F.count("*").alias("n_docs"),
+             F.min("doc_id").alias("rep_doc"))
+        .select(F.col("label").alias("component"), "n_docs", "rep_doc")
+    )
+
+
+def _propagate_min_labels(labels: DataFrame, pairs: DataFrame,
+                          max_iters: int) -> DataFrame:
+    """Iterative min-label propagation to a fixpoint: ``labels`` is
+    (doc_id, label) with every doc initially labeled by its own numeric
+    id; ``pairs`` is the undirected match relation (doc_a, doc_b), one
+    row per unordered pair. Each round every doc takes the min label
+    among itself and its neighbors — one shuffle (edge join + min-agg)
+    over O(E) rows; rounds needed = component diameter. The driver holds
+    only the per-round convergence scalar. Raises if max_iters rounds
+    don't converge (partial labels would silently diverge from the
+    recursive-CTE oracle; for deep graphs switch to pointer-doubling
+    large-star/small-star, O(log d) rounds)."""
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"),
                      F.col("doc_a").alias("doc_b")))
-    labels = verts.select("doc_id", F.col("did").alias("label"))
     edges = edges.cache()
     converged = False
     for _ in range(max_iters):
@@ -283,19 +305,52 @@ def dup_cluster_labels(tokens: DataFrame, sample_mod: int = 25,
             break
     edges.unpersist()
     if not converged:
-        # A component with diameter > max_iters would return partially
-        # propagated labels that silently diverge from the oracle —
-        # refuse instead (raise the cap, or switch to pointer-doubling
-        # large-star/small-star for O(log d) rounds, for graphs this deep).
         raise RuntimeError(
             f"label propagation did not converge within {max_iters} "
             f"rounds: a candidate-graph component has diameter > "
             f"{max_iters}; results would be partial")
+    return labels
+
+
+def dedup_canonical_manifest(tokens: DataFrame, sample_mod: int = 25,
+                             max_iters: int = 20) -> DataFrame:
+    """The keep/drop DECISION of the dedup pipeline, end to end: near-dup
+    pairs → connected components → one CANONICAL doc per component (most
+    tokens, ties to the smallest doc_id) → a per-component retention
+    manifest: docs kept/dropped and token volume saved. This is the
+    artifact a production dedup job writes so the downstream corpus
+    build (and an audit) can reproduce exactly which bytes were cut.
+
+    Scale shape: label propagation is the dedup_cluster_labels loop
+    (one shuffle per round); canonical election is a per-component
+    max_by — components are near-dup clusters and therefore small, so
+    the window/argmax never sees a skewed key. One extra shuffle total
+    over the cluster step.
+    """
+    from pyspark.sql.window import Window
+
+    sample = tokens.where(F.col("did") % sample_mod == 0)
+    verts = sample.select("doc_id", "did").distinct()
+    doc_tok = sample.groupBy("doc_id", "did").agg(
+        F.sum("n_tok").cast("bigint").alias("tok"))
+    pairs = ngram_jaccard_pairs(tokens, sample_mod=sample_mod) \
+        .select("doc_a", "doc_b")
+    labels = _propagate_min_labels(
+        verts.select("doc_id", F.col("did").alias("label")),
+        pairs, max_iters)
+    member = labels.join(doc_tok, "doc_id")
+    w = Window.partitionBy("label").orderBy(F.desc("tok"), F.asc("did"))
+    ranked = member.withColumn("rk", F.row_number().over(w))
     return (
-        labels.groupBy("label")
+        ranked.groupBy(F.col("label").alias("component"))
         .agg(F.count("*").alias("n_docs"),
-             F.min("doc_id").alias("rep_doc"))
-        .select(F.col("label").alias("component"), "n_docs", "rep_doc")
+             F.max(F.when(F.col("rk") == 1, F.col("doc_id")))
+             .alias("canonical_doc"),
+             F.max(F.when(F.col("rk") == 1, F.col("tok"))).cast("bigint")
+             .alias("canon_tok"),
+             (F.sum("tok")
+              - F.max(F.when(F.col("rk") == 1, F.col("tok"))))
+             .cast("bigint").alias("dropped_tok"))
     )
 
 

@@ -97,3 +97,107 @@ def pagerank_top_tokens(tokens: DataFrame, iters: int = 3,
     nodes.unpersist()
     return tokens.sparkSession.createDataFrame(
         rows, schema="tok int, pr_final bigint")
+
+
+def skipgram_edges(tokens: DataFrame, tok_mod: int = 50261) -> DataFrame:
+    """Undirected distinct edge list (a < b) of the window-2 skip-gram
+    co-occurrence graph: tokens adjacent OR one apart in a shard
+    co-occur. Window 2 is the smallest that yields cliques (every
+    consecutive triple is a triangle) — the distance-1-only transition
+    graph is a union of chains and is structurally triangle-free.
+
+    Derivation is one explode per distance (JVM transform over the
+    token array) + one distinct — a single shuffle keyed by the packed
+    pair; self-loops are dropped."""
+    d1 = packed_bigram_expr(tok_mod)
+    d2 = (
+        f"if(n_tok >= 3, transform(sequence(0, n_tok - 3), "
+        f"i -> cast(tokens[i] as bigint) * {tok_mod} "
+        f"+ cast(tokens[i+2] as bigint)), "
+        f"cast(array() as array<bigint>))"
+    )
+    pairs = (
+        tokens.select(F.explode(F.expr(d1)).alias("p"))
+        .unionAll(tokens.select(F.explode(F.expr(d2)).alias("p")))
+        .select(F.expr(f"p div {tok_mod}").alias("x"),
+                (F.col("p") % tok_mod).alias("y"))
+        .where(F.col("x") != F.col("y"))
+    )
+    return (
+        pairs.select(F.least("x", "y").alias("a"),
+                     F.greatest("x", "y").alias("b"))
+        .distinct()
+    )
+
+
+def triangle_count_stats(tokens: DataFrame,
+                         tok_mod: int = 50261) -> DataFrame:
+    """Exact triangle count of the skip-gram co-occurrence graph via
+    degree-ordered edge orientation — the distributed-join formulation
+    that survives skewed (power-law) degree distributions.
+
+    Each undirected edge is oriented from the endpoint that is SMALLER
+    in the total order (degree, vertex id) toward the larger; every
+    out-neighborhood is then O(sqrt(E)) even at a hub vertex (a hub
+    receives its edges as in-edges), so the wedge join below never
+    explodes on skew. The orientation is a total order, hence
+    transitive: for a wedge x->y->z the closing edge, if present, is
+    necessarily oriented x->z — the closure probe is a pure EQUI-join
+    (hashable, no OR-condition nested loop), and each triangle is
+    counted exactly once.
+
+    Scale shape: two shuffles (wedge join keyed by the middle vertex,
+    closure join keyed by the (x, z) pair) over the oriented edge
+    relation; no driver-side state. At 100 TB this is the standard
+    MapReduce triangle algorithm (Suri & Vassilvitskii's graph
+    partitioning refines it further); here the oriented edge set is
+    small enough that Catalyst may broadcast it — both plans are
+    correct, the orientation bound is what keeps either viable.
+    """
+    e = skipgram_edges(tokens, tok_mod).persist()
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v").agg(F.count("*").alias("d"))
+        .persist()
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    o = (
+        e.join(da, "a").join(db, "b")
+        .select(F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("s"),
+                F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("t"))
+        .persist()
+    )
+    o1 = o.select(F.col("s").alias("x"), F.col("t").alias("y"))
+    o2 = o.select(F.col("s").alias("y"), F.col("t").alias("z"))
+    wedges = o1.join(o2, "y")
+    closing = o.select(F.col("s").alias("x"), F.col("t").alias("z"),
+                       F.lit(1).alias("hit"))
+    # one pass over the wedge set counts wedges AND closed wedges
+    # (= triangles, each exactly once under the transitive orientation)
+    tri = wedges.join(closing, ["x", "z"], "left").agg(
+        F.count("*").alias("n_wedges"),
+        F.sum(F.coalesce("hit", F.lit(0))).cast("bigint")
+        .alias("n_triangles"))
+    stats = (
+        deg.agg(F.count("*").alias("n_vertices"),
+                F.coalesce(F.max("d"), F.lit(0)).cast("int")
+                .alias("max_degree"))
+        .crossJoin(e.agg(F.count("*").alias("n_edges")))
+        .crossJoin(tri)
+        # empty graph: the aggregates above yield one all-zero row
+        # (sum over zero wedges is null → coalesce), not a crash
+        .select("n_vertices", "n_edges", "max_degree", "n_wedges",
+                F.coalesce("n_triangles", F.lit(0).cast("bigint"))
+                .alias("n_triangles"))
+    )
+    rows = stats.collect()
+    o.unpersist()
+    deg.unpersist()
+    e.unpersist()
+    return tokens.sparkSession.createDataFrame(
+        rows, schema="n_vertices bigint, n_edges bigint, max_degree int, "
+                     "n_wedges bigint, n_triangles bigint")

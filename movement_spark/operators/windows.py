@@ -215,3 +215,45 @@ def rolling_user_features(events: DataFrame, window_days: int = 7) -> DataFrame:
         .select("user_id", "day_no", "n_events", "roll_events",
                 "roll_value", "active_days")
     )
+
+
+def multires_rollup_chain(events: DataFrame) -> DataFrame:
+    """Hierarchical continuous-aggregate chain (the hypertable rollup
+    pattern): minute-level aggregates roll up into hours, hours into
+    days, and the DAY level is what's returned — computed strictly
+    through the chain, never from raw rows. Correct re-aggregation
+    demands algebraic (decomposable) aggregates: counts sum, DECIMAL
+    sums sum, and each level's row count becomes the next level's
+    active-bucket count. The oracle computes the day level DIRECTLY
+    from raw events, so parity proves the chain loses nothing.
+
+    Scale shape: this is how a 100 TB metrics store avoids rescanning
+    raw data — each rollup reads the (much smaller) previous level; the
+    three shuffles are keyed by successively coarser buckets, and the
+    minute level is the only one that ever sees raw rows. Money goes
+    through DECIMAL so the sums are associative (double addition is
+    not, and a chained double sum would drift from any direct oracle).
+    """
+    minute = (
+        events.groupBy(F.date_trunc("minute", "ts").alias("m"))
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("value").cast("decimal(18,2)")).alias("v"))
+    )
+    hour = (
+        minute.groupBy(F.date_trunc("hour", "m").alias("h"))
+        .agg(F.sum("n").alias("n"), F.sum("v").alias("v"),
+             F.count("*").alias("n_minutes"))
+    )
+    day = (
+        hour.groupBy(F.date_trunc("day", "h").alias("d"))
+        .agg(F.sum("n").alias("n"), F.sum("v").alias("v"),
+             F.sum("n_minutes").alias("n_minutes"),
+             F.count("*").alias("n_hours"))
+    )
+    return day.select(
+        F.unix_timestamp("d").alias("ws"),
+        F.col("n").cast("bigint").alias("n_events"),
+        F.round(F.col("v"), 2).cast("double").alias("sum_value"),
+        F.col("n_minutes").cast("bigint").alias("n_active_minutes"),
+        F.col("n_hours").cast("bigint").alias("n_active_hours"),
+    )

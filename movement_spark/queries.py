@@ -2946,6 +2946,155 @@ def q_bounce_rate(spark, sf_dir):
     )
 
 
+@register("triangle_count_token_graph", with_token_cte("""
+, pairs AS (
+  SELECT unnest(list_transform(range(n_tok - 1),
+    i -> CAST(tokens[i+1] AS BIGINT) * 50261 + CAST(tokens[i+2] AS BIGINT))) AS p
+  FROM token_sequences WHERE n_tok >= 2
+  UNION ALL
+  SELECT unnest(list_transform(range(n_tok - 2),
+    i -> CAST(tokens[i+1] AS BIGINT) * 50261 + CAST(tokens[i+3] AS BIGINT))) AS p
+  FROM token_sequences WHERE n_tok >= 3),
+e AS (SELECT DISTINCT LEAST(p // 50261, p % 50261) AS a,
+             GREATEST(p // 50261, p % 50261) AS b
+      FROM pairs WHERE p // 50261 <> p % 50261),
+deg AS (SELECT v, COUNT(*) AS d
+        FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+        GROUP BY 1),
+o AS (SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND a < b)
+                  THEN a ELSE b END AS s,
+             CASE WHEN (da.d < db.d) OR (da.d = db.d AND a < b)
+                  THEN b ELSE a END AS t
+      FROM e JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b),
+wedge AS (SELECT o1.s AS x, o2.t AS z FROM o o1 JOIN o o2 ON o1.t = o2.s),
+closed AS (
+  SELECT COUNT(*) AS n_wedges,
+         CAST(SUM(CASE WHEN c.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_triangles
+  FROM wedge LEFT JOIN o c ON c.s = wedge.x AND c.t = wedge.z)
+SELECT (SELECT COUNT(*) FROM deg) AS n_vertices,
+       (SELECT COUNT(*) FROM e) AS n_edges,
+       (SELECT CAST(MAX(d) AS INT) FROM deg) AS max_degree,
+       n_wedges, n_triangles
+FROM closed
+"""))
+def q_triangles(spark, sf_dir):
+    """Exact triangle count of the window-2 skip-gram co-occurrence
+    graph by degree-ordered orientation: every out-neighborhood is
+    O(sqrt(E)) even at hubs, the orientation's total order makes the
+    closure probe a pure equi-join, and each triangle counts once. The
+    oracle replays the identical orientation relationally."""
+    from movement_spark.operators.graph import triangle_count_stats
+    return triangle_count_stats(token_sequences(spark, sf_dir))
+
+
+_MANIFEST_SQL = f"""
+WITH RECURSIVE {{token_cte}},
+sample_docs AS (SELECT * FROM token_sequences WHERE did % 25 = 0),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(CASE WHEN n_tok >= 2 THEN
+           list_transform(range(0, n_tok - 1), i ->
+             CAST(tokens[i + 1] % {dedup.JACCARD_MOD} AS BIGINT) * {dedup.JACCARD_MOD}
+             + CAST(tokens[i + 2] % {dedup.JACCARD_MOD} AS BIGINT))
+           ELSE CAST([] AS BIGINT[]) END) AS g
+  FROM sample_docs),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+match_pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE n_inter * 100 >= sa.sz + sb.sz - n_inter),
+verts AS (SELECT DISTINCT doc_id, did FROM sample_docs),
+doc_tok AS (SELECT doc_id, did, CAST(SUM(n_tok) AS BIGINT) AS tok
+            FROM sample_docs GROUP BY 1, 2),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM match_pairs
+          UNION ALL SELECT doc_b, doc_a FROM match_pairs),
+reach AS (
+  SELECT doc_id AS doc, did AS label FROM verts
+  UNION
+  SELECT e.dst AS doc, r.label AS label
+  FROM reach r JOIN edges e ON e.src = r.doc),
+comp AS (SELECT doc, MIN(label) AS component FROM reach GROUP BY doc),
+member AS (
+  SELECT c.component, d.doc_id, d.did, d.tok
+  FROM comp c JOIN doc_tok d ON d.doc_id = c.doc),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY component
+                               ORDER BY tok DESC, did ASC) AS rk
+  FROM member)
+SELECT component, COUNT(*) AS n_docs,
+       MAX(CASE WHEN rk = 1 THEN doc_id END) AS canonical_doc,
+       CAST(MAX(CASE WHEN rk = 1 THEN tok END) AS BIGINT) AS canon_tok,
+       CAST(SUM(tok) - MAX(CASE WHEN rk = 1 THEN tok END) AS BIGINT)
+       AS dropped_tok
+FROM ranked GROUP BY component
+"""
+
+
+@register("dedup_canonical_manifest",
+          _MANIFEST_SQL.format(token_cte=TOKEN_SEQ_DUCKDB_CTE))
+def q_dedup_manifest(spark, sf_dir):
+    """The dedup pipeline's keep/drop decision end-to-end: clusters →
+    per-cluster canonical election (most tokens, ties to the smallest
+    doc id) → retention manifest with token volume saved. Canonical
+    election is a per-component argmax — components are near-dup
+    clusters, so the window key is never skewed."""
+    return dedup.dedup_canonical_manifest(
+        token_sequences(spark, sf_dir, keep_did=True))
+
+
+@register("doc_chunking_stats", with_token_cte(f"""
+, chunk_grid AS (
+  SELECT source, n_tok,
+         unnest(range(0, CASE WHEN n_tok <= {32} THEN 1
+                        ELSE 1 + (n_tok - {32} + {24} - 1) // {24} END)) AS j
+  FROM token_sequences),
+chunk_rows AS (
+  SELECT source, LEAST({32}, n_tok - j * {24}) AS len FROM chunk_grid),
+per_chunk AS (
+  SELECT source, COUNT(*) AS n_chunks,
+         CAST(SUM(len) AS BIGINT) AS sum_chunk_tok,
+         CAST(SUM(CASE WHEN len < {32} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_ragged
+  FROM chunk_rows GROUP BY 1),
+base AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS total_tok
+         FROM token_sequences GROUP BY 1)
+SELECT p.source, p.n_chunks, p.sum_chunk_tok, p.n_ragged,
+       CAST(p.sum_chunk_tok - b.total_tok AS BIGINT) AS overlap_tok
+FROM per_chunk p JOIN base b ON b.source = p.source
+"""))
+def q_doc_chunking(spark, sf_dir):
+    """Overlapping fixed-window chunking manifest (RAG layout): window
+    32 / stride 24 per sequence, per-source chunk counts, ragged tails,
+    and the token volume duplicated by overlap. One JVM explode, two
+    map-side-combined rollups."""
+    from movement_spark.operators.dataset import doc_chunking_stats
+    return doc_chunking_stats(token_sequences(spark, sf_dir))
+
+
+@register("multires_rollup_chain", """
+SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS ws,
+       COUNT(*) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+            AS DOUBLE) AS sum_value,
+       COUNT(DISTINCT date_trunc('minute', ts)) AS n_active_minutes,
+       COUNT(DISTINCT date_trunc('hour', ts)) AS n_active_hours
+FROM events GROUP BY 1
+""")
+def q_multires_rollup(spark, sf_dir):
+    """Minute→hour→day continuous-aggregate chain; the day level is
+    computed ONLY from the hour level (and hour from minute), while the
+    oracle aggregates raw events directly — parity proves the algebraic
+    re-aggregation (counts of counts, DECIMAL sums of sums, bucket
+    counts) loses nothing."""
+    return windows.multires_rollup_chain(load_table(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------
 # Driver-gate ordering. The correctness sweep evaluates the registry in
 # insertion order, and round 1's sweep was cut off after ~49 entries —
@@ -2956,6 +3105,10 @@ def q_bounce_rate(spark, sf_dir):
 # rows that were already verified in a previous round.
 # ---------------------------------------------------------------------
 _FRONT = [
+    "triangle_count_token_graph",
+    "dedup_canonical_manifest",
+    "doc_chunking_stats",
+    "multires_rollup_chain",
     "daily_bounce_rate",
     "source_silence_audit",
     "window_share_of_total",

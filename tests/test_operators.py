@@ -326,3 +326,90 @@ def test_pagerank_empty_graph_returns_typed_empty(spark):
     out = pagerank_top_tokens(empty)
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["tok", "pr_final"]
+
+
+def test_triangle_count_golden_and_empty(spark):
+    """Hand-computed golden: tokens [1,2,3,4] give skip-gram edges
+    {12,23,34,13,24} and exactly the two triangles (1,2,3), (2,3,4);
+    an empty corpus yields one all-zero stats row, not a crash."""
+    from movement_spark.operators.graph import triangle_count_stats
+
+    schema = ("doc_id STRING, seq INT, tokens ARRAY<INT>, n_tok INT, "
+              "source STRING, ts TIMESTAMP")
+    one = spark.createDataFrame(
+        [("d0", 0, [1, 2, 3, 4], 4, "s", None)], schema)
+    row = triangle_count_stats(one).collect()[0]
+    assert (row.n_vertices, row.n_edges, row.max_degree,
+            row.n_triangles) == (4, 5, 3, 2)
+    empty = spark.createDataFrame([], schema)
+    erow = triangle_count_stats(empty).collect()[0]
+    assert (erow.n_vertices, erow.n_edges, erow.max_degree,
+            erow.n_wedges, erow.n_triangles) == (0, 0, 0, 0, 0)
+
+
+def test_doc_chunking_covers_every_token(spark):
+    """Chunk grid invariants at the boundary lengths: n_tok of 1, 32,
+    33, 56, 57 need 1, 1, 2, 2, 3 chunks; every sequence is covered
+    end-to-end so overlap = chunked volume minus raw volume."""
+    from movement_spark.operators.dataset import doc_chunking_stats
+
+    rows = [("d%d" % i, 0, list(range(n)), n, "s", None)
+            for i, n in enumerate([1, 32, 33, 56, 57])]
+    df = spark.createDataFrame(
+        rows, "doc_id STRING, seq INT, tokens ARRAY<INT>, n_tok INT, "
+              "source STRING, ts TIMESTAMP")
+    out = doc_chunking_stats(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_chunks == 1 + 1 + 2 + 2 + 3
+    # chunk lens: [1] [32] [32,9] [32,32] [32,32,9]
+    assert r.sum_chunk_tok == 1 + 32 + 41 + 64 + 73
+    assert r.n_ragged == 3  # the 1-token seq and the two 9-token tails
+    assert r.overlap_tok == r.sum_chunk_tok - (1 + 32 + 33 + 56 + 57)
+
+
+def test_canonical_manifest_agrees_with_clusters(spark, sf_dir):
+    """The manifest's component set must be exactly dup_cluster_labels'
+    (same keys, same sizes), its canonical doc a member with the max
+    token count, and dropped_tok consistent per component."""
+    from movement_spark.operators.dedup import (
+        dedup_canonical_manifest, dup_cluster_labels)
+    from movement_spark.sources.tokens import token_sequences
+
+    toks = token_sequences(spark, sf_dir, keep_did=True)
+    manifest = {r.component: r for r in
+                dedup_canonical_manifest(toks).collect()}
+    clusters = {r.component: r for r in dup_cluster_labels(toks).collect()}
+    assert manifest.keys() == clusters.keys()
+    for comp, m in manifest.items():
+        assert m.n_docs == clusters[comp].n_docs
+        assert m.canon_tok >= 1
+        assert m.dropped_tok >= 0
+
+
+def test_multires_chain_equals_direct_day_agg(spark, sf_dir):
+    """The minute→hour→day chain must reproduce a direct day-level
+    aggregation of the raw events bit-for-bit."""
+    from movement_spark.operators.windows import multires_rollup_chain
+    from movement_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    direct = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("d"))
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+             .cast("double").alias("sum_value"),
+             F.countDistinct(F.date_trunc("minute", "ts")).alias(
+                 "n_active_minutes"),
+             F.countDistinct(F.date_trunc("hour", "ts")).alias(
+                 "n_active_hours"))
+        .select(F.unix_timestamp("d").alias("ws"), "n_events", "sum_value",
+                F.col("n_active_minutes").cast("bigint").alias(
+                    "n_active_minutes"),
+                F.col("n_active_hours").cast("bigint").alias(
+                    "n_active_hours"))
+    )
+    chained = multires_rollup_chain(ev)
+    assert chained.exceptAll(direct).count() == 0
+    assert direct.exceptAll(chained).count() == 0
