@@ -186,3 +186,82 @@ def loglog_register_profile(df: DataFrame, key: str) -> DataFrame:
             F.expr(f"shiftleft(cast({LL_M} as bigint), "
                    f"cast(sum_max_bitlen div {LL_M} as int))"))
     )
+
+
+KMV_A, KMV_B, KMV_P, KMV_K = 1_103_515_245, 12_345, (1 << 31) - 1, 64
+
+
+def _kmv_sketch(keys: DataFrame, k: int = KMV_K) -> DataFrame:
+    """k smallest distinct hashes of a one-column key frame — the KMV
+    sketch as a (tiny) DataFrame. The global min-k is a TopK plan
+    (partial per-partition min-k, then one k-row merge), not a full
+    sort."""
+    col = keys.columns[0]
+    return (
+        keys.select(((F.lit(KMV_A) * F.col(col) + KMV_B) % KMV_P)
+                    .alias("h"))
+        .distinct().orderBy(F.asc("h")).limit(k)
+    )
+
+
+def _kmv_estimate(sketch: DataFrame, k: int = KMV_K):
+    """One-row (n, est) from a sketch: exact count when the sketch holds
+    the whole set (n < k), else the (k-1)*p/h_k KMV estimator."""
+    return sketch.agg(
+        F.count("*").alias("n"),
+        F.when(F.count("*") < k, F.count("*"))
+        .otherwise(F.floor((k - 1) * F.lit(float(KMV_P)) / F.max("h")))
+        .cast("bigint").alias("est"))
+
+
+def kmv_set_algebra(events: DataFrame, type_a: str = "click",
+                    type_b: str = "purchase",
+                    k: int = KMV_K) -> DataFrame:
+    """Mergeable-sketch SET ALGEBRA: KMV sketches of two user sets (users
+    with a ``type_a`` event, users with a ``type_b`` event), merged
+    WITHOUT revisiting the raw data — the property that lets a warehouse
+    answer "distinct users in A∪B / A∩B" from per-segment sketches
+    instead of a giant distinct shuffle.
+
+    Union: the k smallest of the two sketches' union is exactly the KMV
+    sketch of A∪B (min-k is mergeable), so the union estimate reuses the
+    same estimator. Intersection: of the merged sketch's members, the
+    fraction present in BOTH input sketches estimates the Jaccard ratio;
+    est(A∩B) = floor(k_both * est(A∪B) / k_merged). Every value is
+    integer/deterministic (the same a*x+b mod p hash as the distinct
+    sketch), so the oracle replays the algebra exactly. Sets smaller
+    than k degrade to exact counts — both branches are data-tested.
+
+    Scale shape: two distinct-hash TopK scans (or one scan with a
+    conditional split) produce k-row relations; everything after — the
+    merge, the membership joins, the estimates — is arithmetic on
+    2k rows, broadcast-joinable by construction.
+    """
+    sa = _kmv_sketch(
+        events.where(F.col("event_type") == type_a).select("user_id"), k)
+    sb = _kmv_sketch(
+        events.where(F.col("event_type") == type_b).select("user_id"), k)
+    sa, sb = sa.persist(), sb.persist()
+    merged = sa.unionAll(sb).distinct().orderBy(F.asc("h")).limit(k) \
+        .persist()
+    in_both = (
+        merged.join(sa, "h", "semi").join(sb, "h", "semi")
+        .agg(F.count("*").alias("k_both")))
+    est_u = _kmv_estimate(merged, k).select(
+        F.col("n").alias("k_merged"), F.col("est").alias("est_union"))
+    out = (
+        _kmv_estimate(sa, k).select(F.col("est").alias("est_a"))
+        .crossJoin(_kmv_estimate(sb, k).select(F.col("est").alias("est_b")))
+        .crossJoin(est_u)
+        .crossJoin(in_both)
+        .select("est_a", "est_b", "est_union", "k_merged",
+                F.col("k_both").cast("bigint").alias("k_both"),
+                F.expr("cast((k_both * est_union) div k_merged as bigint)")
+                .alias("est_intersect"))
+    )
+    rows = out.collect()
+    for c in (sa, sb, merged):
+        c.unpersist()
+    return events.sparkSession.createDataFrame(
+        rows, schema="est_a bigint, est_b bigint, est_union bigint, "
+                     "k_merged bigint, k_both bigint, est_intersect bigint")

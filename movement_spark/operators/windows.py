@@ -257,3 +257,40 @@ def multires_rollup_chain(events: DataFrame) -> DataFrame:
         F.col("n_minutes").cast("bigint").alias("n_active_minutes"),
         F.col("n_hours").cast("bigint").alias("n_active_hours"),
     )
+
+
+def dynamic_gap_sessions(events: DataFrame) -> DataFrame:
+    """Session windows whose inactivity gap is a PER-EVENT expression
+    (purchase events hold a session open for 1 hour, everything else 30
+    minutes) — the dynamic-gap form of sessionization used when
+    different activity kinds have different engagement half-lives.
+    Spark evaluates the gap per row and merges overlapping [ts, ts+gap)
+    windows in the native session-window operator; the oracle replays
+    the merge as a gaps-and-islands scan with a running max of window
+    ends, so parity proves the operator's half-open merge semantics.
+
+    All merge decisions compare full-precision timestamps (event
+    timestamps carry microseconds); only the reported epochs are
+    floored. Per-user rollup on top: one shuffle for the session
+    aggregation (keyed user), one for the rollup (same key — Catalyst
+    reuses the partitioning).
+    """
+    # string interval literals: the dynamic-gap session_window requires
+    # CalendarIntervalType (a DayTimeInterval CASE expression is rejected)
+    gap = F.when(F.col("event_type") == "purchase", "1 hour") \
+        .otherwise("30 minutes")
+    sess = (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", "n_events",
+                F.unix_timestamp("w.start").alias("s_start"),
+                F.unix_timestamp("w.end").alias("s_end"))
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"),
+             F.sum("n_events").cast("bigint").alias("total_events"),
+             F.max("n_events").cast("bigint").alias("max_session_events"),
+             F.sum(F.col("s_end") - F.col("s_start")).cast("bigint")
+             .alias("total_dur_sec"))
+    )

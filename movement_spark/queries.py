@@ -21,7 +21,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from movement_spark.operators import (
-    dedup, joins, multimodal, relational, similarity, text, windows,
+    dedup, joins, multimodal, relational, similarity, sketches, text,
+    windows,
 )
 from movement_spark.operators.ordering import merged_doc_check
 from movement_spark.session import tune_session
@@ -3095,6 +3096,87 @@ def q_multires_rollup(spark, sf_dir):
     return windows.multires_rollup_chain(load_table(spark, sf_dir, "events"))
 
 
+@register("session_dynamic_gap", """
+WITH gapped AS (
+  SELECT user_id, ts, event_id,
+         ts + CASE WHEN event_type = 'purchase' THEN INTERVAL 1 HOUR
+                   ELSE INTERVAL 30 MINUTES END AS w_end
+  FROM events),
+ordered AS (
+  SELECT *, MAX(w_end) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS prev_end
+  FROM gapped),
+marked AS (
+  SELECT *, CASE WHEN prev_end IS NULL OR ts >= prev_end
+                 THEN 1 ELSE 0 END AS new_s
+  FROM ordered),
+islands AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked),
+sess AS (
+  SELECT user_id, sid, COUNT(*) AS n_events,
+         CAST(floor(epoch(MIN(ts))) AS BIGINT) AS s_start,
+         CAST(floor(epoch(MAX(w_end))) AS BIGINT) AS s_end
+  FROM islands GROUP BY 1, 2)
+SELECT user_id, COUNT(*) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS total_events,
+       CAST(MAX(n_events) AS BIGINT) AS max_session_events,
+       CAST(SUM(s_end - s_start) AS BIGINT) AS total_dur_sec
+FROM sess GROUP BY user_id
+""")
+def q_dynamic_gap(spark, sf_dir):
+    """Dynamic-gap sessionization: the inactivity gap is a per-event
+    expression (1 h after a purchase, 30 min otherwise). Spark's native
+    session_window merges the per-row [ts, ts+gap) windows; the oracle
+    replays the merge as gaps-and-islands over a running max of window
+    ends — parity pins the half-open merge boundary exactly."""
+    return windows.dynamic_gap_sessions(load_table(spark, sf_dir, "events"))
+
+
+@register("kmv_set_algebra", f"""
+WITH ha AS (
+  SELECT DISTINCT ({sketches.KMV_A} * user_id + {sketches.KMV_B})
+         % {sketches.KMV_P} AS h
+  FROM events WHERE event_type = 'click'),
+hb AS (
+  SELECT DISTINCT ({sketches.KMV_A} * user_id + {sketches.KMV_B})
+         % {sketches.KMV_P} AS h
+  FROM events WHERE event_type = 'purchase'),
+sa AS (SELECT h FROM ha ORDER BY h ASC LIMIT {sketches.KMV_K}),
+sb AS (SELECT h FROM hb ORDER BY h ASC LIMIT {sketches.KMV_K}),
+merged AS (
+  SELECT DISTINCT h FROM (SELECT h FROM sa UNION ALL SELECT h FROM sb)
+  ORDER BY h ASC LIMIT {sketches.KMV_K}),
+est AS (
+  SELECT
+    (SELECT CASE WHEN COUNT(*) < {sketches.KMV_K} THEN COUNT(*)
+            ELSE CAST(floor(CAST({sketches.KMV_K} - 1 AS BIGINT) * {sketches.KMV_P}
+                            * 1.0 / MAX(h)) AS BIGINT) END FROM sa) AS est_a,
+    (SELECT CASE WHEN COUNT(*) < {sketches.KMV_K} THEN COUNT(*)
+            ELSE CAST(floor(CAST({sketches.KMV_K} - 1 AS BIGINT) * {sketches.KMV_P}
+                            * 1.0 / MAX(h)) AS BIGINT) END FROM sb) AS est_b,
+    (SELECT CASE WHEN COUNT(*) < {sketches.KMV_K} THEN COUNT(*)
+            ELSE CAST(floor(CAST({sketches.KMV_K} - 1 AS BIGINT) * {sketches.KMV_P}
+                            * 1.0 / MAX(h)) AS BIGINT) END
+     FROM merged) AS est_union,
+    (SELECT COUNT(*) FROM merged) AS k_merged,
+    (SELECT COUNT(*) FROM merged
+     WHERE h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb)) AS k_both)
+SELECT est_a, est_b, est_union, k_merged, CAST(k_both AS BIGINT) AS k_both,
+       CAST((k_both * est_union) // k_merged AS BIGINT) AS est_intersect
+FROM est
+""")
+def q_kmv_algebra(spark, sf_dir):
+    """Mergeable-sketch set algebra: KMV sketches of two user sets are
+    merged (min-k of the union IS the union's sketch) to estimate
+    |A∪B| and |A∩B| without revisiting raw data — the per-segment
+    sketch-merge pattern that replaces giant distinct shuffles. All
+    arithmetic deterministic; sub-k sets degrade to exact counts."""
+    return sketches.kmv_set_algebra(load_table(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------
 # Driver-gate ordering. The correctness sweep evaluates the registry in
 # insertion order, and round 1's sweep was cut off after ~49 entries —
@@ -3105,6 +3187,8 @@ def q_multires_rollup(spark, sf_dir):
 # rows that were already verified in a previous round.
 # ---------------------------------------------------------------------
 _FRONT = [
+    "session_dynamic_gap",
+    "kmv_set_algebra",
     "triangle_count_token_graph",
     "dedup_canonical_manifest",
     "doc_chunking_stats",

@@ -413,3 +413,21 @@ def test_multires_chain_equals_direct_day_agg(spark, sf_dir):
     chained = multires_rollup_chain(ev)
     assert chained.exceptAll(direct).count() == 0
     assert direct.exceptAll(chained).count() == 0
+
+
+def test_dynamic_gap_keeps_purchase_sessions_open(spark):
+    """A purchase at t0 holds the session open 1 h: a click 45 min later
+    merges into it; the same 45-min gap after a click starts a NEW
+    session (30-min default gap)."""
+    from movement_spark.operators.windows import dynamic_gap_sessions
+
+    ev = spark.createDataFrame(
+        [(1, "2026-01-01 00:00:00", 1, "purchase"),
+         (2, "2026-01-01 00:45:00", 1, "click"),
+         (3, "2026-01-01 00:00:00", 2, "click"),
+         (4, "2026-01-01 00:45:00", 2, "click")],
+        "event_id BIGINT, ts STRING, user_id BIGINT, event_type STRING"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r.user_id: r for r in dynamic_gap_sessions(ev).collect()}
+    assert out[1].n_sessions == 1 and out[1].total_events == 2
+    assert out[2].n_sessions == 2 and out[2].max_session_events == 1

@@ -127,3 +127,18 @@ def test_kmeans_assignment_partitions_corpus(spark, sf_dir):
     for r in rows:
         dims_per_cluster.setdefault(r.cluster, set()).add(r.dim)
     assert all(len(d) == 64 for d in dims_per_cluster.values())
+
+
+def test_kmv_set_algebra_exact_on_small_sets(spark):
+    """Below k, every estimate must be the exact cardinality: users
+    1..10 click, 5..12 purchase -> |A|=10, |B|=8, |A∪B|=12, |A∩B|=6."""
+    from movement_spark.operators.sketches import kmv_set_algebra
+
+    rows = [(i, "click", u) for i, u in enumerate(range(1, 11))]
+    rows += [(100 + i, "purchase", u) for i, u in enumerate(range(5, 13))]
+    ev = spark.createDataFrame(
+        [(eid, t, u) for eid, t, u in rows],
+        "event_id BIGINT, event_type STRING, user_id BIGINT")
+    r = kmv_set_algebra(ev).collect()[0]
+    assert (r.est_a, r.est_b, r.est_union, r.k_merged, r.k_both,
+            r.est_intersect) == (10, 8, 12, 12, 6, 6)
