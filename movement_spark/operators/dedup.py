@@ -185,15 +185,13 @@ def lsh_candidate_pairs(tokens: DataFrame) -> DataFrame:
     )
 
 
-def lsh_verified_neardups(tokens: DataFrame,
-                          jaccard_den: int = 2) -> DataFrame:
-    """The production LSH → exact-Jaccard pipeline, sample-free: MinHash
-    band buckets propose candidate pairs; exact n-gram Jaccard verifies
-    ONLY those pairs (keep if jaccard >= 1/jaccard_den). Gram extraction
+def _lsh_pair_overlap(tokens: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, n_inter, sz_a, sz_b) for every LSH candidate pair —
+    the shared exact-verification core of the Jaccard and containment
+    paths. MinHash band buckets propose candidate pairs; gram extraction
     runs solely over candidate docs (semi-join pushdown), and the
     intersection join is keyed (doc, gram) — every stage's row count is
-    bounded by the LSH collisions, never the corpus squared. This is the
-    at-scale wiring of ngram_jaccard_pairs' sampled shape.
+    bounded by the LSH collisions, never the corpus squared.
 
     The candidate set is consumed three times (doc_a extraction, doc_b
     extraction, the intersection join), so it is persisted — otherwise
@@ -221,12 +219,78 @@ def lsh_verified_neardups(tokens: DataFrame,
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return inter.join(sa, "doc_a").join(sb, "doc_b").select(
+        "doc_a", "doc_b", "n_inter", "sz_a", "sz_b")
+
+
+def lsh_verified_neardups(tokens: DataFrame,
+                          jaccard_den: int = 2) -> DataFrame:
+    """The production LSH → exact-Jaccard pipeline, sample-free: MinHash
+    band buckets propose candidate pairs; exact n-gram Jaccard verifies
+    ONLY those pairs (keep if jaccard >= 1/jaccard_den). This is the
+    at-scale wiring of ngram_jaccard_pairs' sampled shape."""
     return (
-        inter.join(sa, "doc_a").join(sb, "doc_b")
+        _lsh_pair_overlap(tokens)
         .select("doc_a", "doc_b", "n_inter",
                 (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
                 .alias("n_union"))
         .where(F.col("n_inter") * jaccard_den >= F.col("n_union"))
+    )
+
+
+def lsh_containment_pairs(tokens: DataFrame,
+                          containment_den: int = 2) -> DataFrame:
+    """Asymmetric shingle containment over the LSH candidate set:
+    |A∩B| / min(|A|, |B|) in integer permille. Jaccard misses the
+    subset-duplication case (a short doc wholly embedded in a long one
+    scores low because the union is dominated by the long doc);
+    containment against the SMALLER gram set flags exactly that. Keep a
+    pair when containment >= 1/containment_den. Same LSH-bounded plan as
+    lsh_verified_neardups — the only new work is the final projection."""
+    ov = _lsh_pair_overlap(tokens)
+    small = F.least(F.col("sz_a"), F.col("sz_b"))
+    return (
+        ov.where(F.col("n_inter") * containment_den >= small)
+        .select("doc_a", "doc_b", "n_inter", small.alias("sz_small"),
+                F.expr("(n_inter * 1000) div least(sz_a, sz_b)")
+                .alias("containment_pmil"))
+    )
+
+
+def incremental_ingest_dedup(documents: DataFrame,
+                             batch_mod: int = 5) -> DataFrame:
+    """Incremental-ingestion dedup: a new document batch is screened
+    against the fingerprint manifest of the already-ingested corpus —
+    the daily-crawl shape where the corpus is huge and append-only and
+    only the increment is new work. Corpus = doc_id % batch_mod != 0,
+    batch = the rest (deterministic stand-ins for yesterday/today).
+
+    The manifest join is keyed by content fingerprint (text.py:
+    fingerprint_expr — plain integer polynomial, oracle-recomputable),
+    so at 100 TB it is ONE shuffle of (fingerprint) pairs; the manifest
+    side would be a bucketed table on fingerprint in production, making
+    the screen a co-located join with zero manifest movement."""
+    from movement_spark.operators.text import fingerprint_expr
+
+    fp = F.expr(fingerprint_expr())
+    corpus_manifest = (
+        documents.where(F.col("doc_id") % batch_mod != 0)
+        .select(fp.alias("fingerprint"))
+        .distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    batch = (
+        documents.where(F.col("doc_id") % batch_mod == 0)
+        .select("doc_id", "source", fp.alias("fingerprint"))
+    )
+    return (
+        batch.join(corpus_manifest, "fingerprint", "left")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_batch"),
+             F.sum(F.when(F.col("seen").isNotNull(), 1).otherwise(0))
+             .cast("bigint").alias("n_dup_vs_corpus"),
+             F.sum(F.when(F.col("seen").isNull(), 1).otherwise(0))
+             .cast("bigint").alias("n_novel"))
     )
 
 

@@ -315,3 +315,79 @@ def session_touch_attribution(events: DataFrame,
              F.sum("sv").cast("decimal(18,2)").cast("double")
              .alias("sum_value"))
     )
+
+
+def event_transition_matrix(events: DataFrame) -> DataFrame:
+    """Markov next-event transition matrix: per user, events ordered by
+    (ts, event_id) — event_id breaks timestamp ties deterministically —
+    pair each event with its successor and report per-(from, to) counts
+    plus the integer-permille transition probability out of each source
+    state. The lead() window is partitioned by user (bounded frames);
+    the share window runs over the ALREADY aggregated |types|² matrix,
+    never raw rows."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .where(F.col("next_type").isNotNull())
+    )
+    counts = (pairs.groupBy("event_type", "next_type")
+              .agg(F.count("*").alias("n_trans")))
+    total = F.sum("n_trans").over(Window.partitionBy("event_type"))
+    return counts.withColumn(
+        "share_pmil",
+        F.floor(F.col("n_trans") * 1000 / total).cast("bigint"))
+
+
+def event_path_trigrams(events: DataFrame) -> DataFrame:
+    """Sequential path mining: per user, the 3-step event-type paths
+    (trigrams over the (ts, event_id)-ordered stream) with corpus-wide
+    counts — the CEP-adjacent "what do users do next" rollup. Output is
+    bounded by |types|³ regardless of input size; the only shuffle over
+    raw rows is the per-user window sort."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("e2", F.lead("event_type", 1).over(w))
+        .withColumn("e3", F.lead("event_type", 2).over(w))
+        .where(F.col("e3").isNotNull())
+    )
+    return (t.select(F.concat_ws(">", "event_type", "e2", "e3").alias("path"))
+            .groupBy("path").agg(F.count("*").alias("n_paths")))
+
+
+def event_copresence_lift(events: DataFrame,
+                          scale: int = 1_000_000) -> DataFrame:
+    """Market-basket co-presence lift: basket = (user, UTC day); for
+    every unordered pair of event types sharing a basket, lift =
+    P(a,b) / (P(a)·P(b)) reported as exact integer ppm
+    (n_ab · n_baskets · 10⁶ div (n_a · n_b)) — the association-rule
+    statistic behind "users who X also Y".
+
+    The pair join is keyed by basket, and pairs per basket are bounded
+    by C(|types|, 2), so the shuffle is O(rows), never O(rows²); the
+    per-type totals and the scalar basket count broadcast."""
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day")
+    baskets = events.select("user_id", day, "event_type").distinct()
+    totals = baskets.groupBy("event_type").agg(F.count("*").alias("n_type"))
+    n_baskets = (baskets.select("user_id", "day").distinct()
+                 .agg(F.count("*").alias("n_baskets")))
+    b = baskets.select("user_id", "day", F.col("event_type").alias("type_b"))
+    pairs = (
+        baskets.join(b, ["user_id", "day"])
+        .where(F.col("event_type") < F.col("type_b"))
+        .groupBy(F.col("event_type").alias("type_a"), "type_b")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    ta = totals.select(F.col("event_type").alias("type_a"),
+                       F.col("n_type").alias("n_a"))
+    tb = totals.select(F.col("event_type").alias("type_b"),
+                       F.col("n_type").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select("type_a", "type_b", "n_ab", "n_a", "n_b",
+                F.expr(f"(n_ab * n_baskets * {scale}L) div (n_a * n_b)")
+                .alias("lift_ppm"))
+    )

@@ -82,15 +82,24 @@ def langid_heuristic(documents: DataFrame) -> DataFrame:
     )
 
 
+def fingerprint_expr() -> str:
+    """Spark SQL expression for the rolling polynomial fingerprint of the
+    first FP_LEN chars: h = fold(h*31 + ascii(c)) mod FP_MOD. The ONE
+    content-digest rule shared by doc_fingerprints and the incremental-
+    ingest dedup manifest — change it here and in each query's oracle
+    SQL mirror, nowhere else."""
+    return (
+        f"aggregate(sequence(1, cast(least(n_chars, {FP_LEN}) as int)), 0L, "
+        f"(acc, i) -> (acc * 31 + ascii(substring(text, cast(i as int), 1))) % {FP_MOD})"
+    )
+
+
 def doc_fingerprints(documents: DataFrame, sample_mod: int = 25) -> DataFrame:
     """Rolling polynomial fingerprint of the first FP_LEN chars:
     h = fold(h*31 + ascii(c)) mod FP_MOD. Order-sensitive content digest
     (the text analog of merged_doc_check's poly hash)."""
     sampled = documents.where(F.col("doc_id") % sample_mod == 0)
-    fp = (
-        f"aggregate(sequence(1, cast(least(n_chars, {FP_LEN}) as int)), 0L, "
-        f"(acc, i) -> (acc * 31 + ascii(substring(text, cast(i as int), 1))) % {FP_MOD})"
-    )
+    fp = fingerprint_expr()
     return sampled.select(
         "doc_id", "lang", "source",
         F.expr(fp).alias("fingerprint"),

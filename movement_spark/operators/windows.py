@@ -294,3 +294,40 @@ def dynamic_gap_sessions(events: DataFrame) -> DataFrame:
              F.sum(F.col("s_end") - F.col("s_start")).cast("bigint")
              .alias("total_dur_sec"))
     )
+
+
+def event_type_daily_trend(events: DataFrame) -> DataFrame:
+    """Exact least-squares daily trend per event type: aggregate to the
+    (type, UTC day) grid, center x per type (slope is shift-invariant;
+    centering keeps every product comfortably in bigint), then the
+    closed-form slope (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) reported as a
+    floor(×1000) integer. All arithmetic is exact bigint until the final
+    division, so the DuckDB oracle reproduces it bit-for-bit; a
+    single-day type has zero variance and reports NULL.
+
+    Scale shape: the raw-row pass is one map-side-combined count to the
+    day grid; every later stage runs over |types|·|days| rows. No
+    per-row Python, no global window."""
+    from pyspark.sql.window import Window
+
+    daily = (
+        events.groupBy(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day"))
+        .agg(F.count("*").alias("y"))
+    )
+    x = (F.col("day")
+         - F.min("day").over(Window.partitionBy("event_type"))).alias("x")
+    centered = daily.select("event_type", x, "y")
+    s = centered.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"))
+    num = F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        "event_type", "n_days", F.col("sy").alias("total_events"),
+        F.when(den != 0, F.floor(num * 1000 / den))
+        .otherwise(F.lit(None)).cast("bigint").alias("slope_milli"))
