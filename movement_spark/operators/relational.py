@@ -391,3 +391,83 @@ def event_copresence_lift(events: DataFrame,
                 F.expr(f"(n_ab * n_baskets * {scale}L) div (n_a * n_b)")
                 .alias("lift_ppm"))
     )
+
+
+def part_best_supplier(lineitem: DataFrame, supplier: DataFrame) -> DataFrame:
+    """TPC-H Q2 shape (argmin-per-group): for every part, the supplier
+    with the lowest total supply cost, ties broken by suppkey. The
+    per-(part, supplier) aggregate shuffles once on the natural compound
+    key; the argmin is a row_number over that aggregate (partitioned by
+    part — high cardinality, even shuffle); the supplier dim broadcasts."""
+    cost = (
+        lineitem.groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+             .alias("cost_d"),
+             F.count("*").alias("n_lines"))
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.asc("cost_d"), F.asc("l_suppkey"))
+    best = cost.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1)
+    return (
+        best.join(F.broadcast(supplier),
+                  best.l_suppkey == supplier.s_suppkey)
+        .select(F.col("l_partkey").alias("p_partkey"),
+                F.col("l_suppkey").alias("best_suppkey"),
+                F.col("s_name").alias("supplier_name"),
+                F.round("cost_d", 2).cast("double").alias("best_cost"),
+                "n_lines")
+    )
+
+
+def brand_value_concentration(lineitem: DataFrame, part: DataFrame,
+                              threshold_ppm: int = 20000) -> DataFrame:
+    """TPC-H Q11 shape (HAVING against a global scalar): per-brand
+    discounted revenue, kept only where the brand's share exceeds
+    threshold_ppm of the corpus total. Money goes DECIMAL → exact cents
+    (bigint) before the share arithmetic, so the global comparison is
+    integer-exact; the share window runs over the tiny per-brand
+    aggregate, never raw rows."""
+    rev = (
+        lineitem.join(F.broadcast(part),
+                      lineitem.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")
+                   * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)")))
+             .alias("rev_d"))
+        .select("p_brand",
+                F.round(F.col("rev_d") * 100, 0).cast("bigint")
+                .alias("value_cents"))
+    )
+    total = F.sum("value_cents").over(
+        Window.partitionBy())  # global window over the ~25-brand aggregate
+    return (
+        rev.withColumn(
+            "share_ppm",
+            F.expr("value_cents * 1000000").cast("bigint") / total)
+        .withColumn("share_ppm", F.floor(F.col("share_ppm")).cast("bigint"))
+        .where(F.col("share_ppm") >= threshold_ppm)
+    )
+
+
+def top_supplier_quarter(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q15 shape (max view with ties kept): per calendar quarter,
+    the supplier(s) whose discounted revenue equals the quarter maximum.
+    Revenue stays DECIMAL end-to-end so the tie test is exact; the max
+    window is partitioned by quarter over the per-(quarter, supplier)
+    aggregate."""
+    quarter = F.concat(
+        F.year("l_shipdate").cast("string"), F.lit("Q"),
+        F.quarter("l_shipdate").cast("string")).alias("quarter")
+    rev = (
+        lineitem.groupBy(quarter, "l_suppkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")
+                   * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)")))
+             .alias("rev_d"))
+    )
+    mx = F.max("rev_d").over(Window.partitionBy("quarter"))
+    return (
+        rev.withColumn("mx", mx)
+        .where(F.col("rev_d") == F.col("mx"))
+        .select("quarter", F.col("l_suppkey").alias("top_suppkey"),
+                F.round("rev_d", 2).cast("double").alias("top_revenue"))
+    )

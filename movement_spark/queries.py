@@ -3328,6 +3328,73 @@ def q_incremental_ingest(spark, sf_dir):
         load_table(spark, sf_dir, "documents"))
 
 
+@register("part_best_supplier", """
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS cost_d,
+         COUNT(*) AS n_lines
+  FROM lineitem GROUP BY 1, 2),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY l_partkey
+                               ORDER BY cost_d ASC, l_suppkey ASC) AS rk
+  FROM cost)
+SELECT l_partkey AS p_partkey, l_suppkey AS best_suppkey,
+       s_name AS supplier_name,
+       CAST(ROUND(cost_d, 2) AS DOUBLE) AS best_cost, n_lines
+FROM ranked JOIN supplier ON s_suppkey = l_suppkey
+WHERE rk = 1
+""")
+def q_best_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: argmin-per-group (cheapest supplier per part,
+    DECIMAL-exact ordering, suppkey tiebreak), supplier dim broadcast."""
+    return relational.part_best_supplier(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"))
+
+
+@register("brand_value_concentration", """
+WITH rev AS (
+  SELECT p_brand,
+         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                        (1 - CAST(l_discount AS DECIMAL(18,4)))) * 100, 0)
+              AS BIGINT) AS value_cents
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1)
+SELECT p_brand, value_cents,
+       CAST(floor((value_cents * 1000000) / SUM(value_cents) OVER ())
+            AS BIGINT) AS share_ppm
+FROM rev
+QUALIFY share_ppm >= 20000
+""")
+def q_brand_concentration(spark, sf_dir):
+    """TPC-H Q11 shape: HAVING against a global scalar — per-brand
+    discounted revenue kept where its integer-ppm share of the corpus
+    total clears the threshold. Money → exact cents before the share
+    arithmetic; the global window runs over the ~25-brand aggregate."""
+    return relational.brand_value_concentration(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"))
+
+
+@register("top_supplier_quarter", """
+WITH rev AS (
+  SELECT CAST(year(l_shipdate) AS VARCHAR) || 'Q' ||
+         CAST(quarter(l_shipdate) AS VARCHAR) AS quarter,
+         l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+             (1 - CAST(l_discount AS DECIMAL(18,4)))) AS rev_d
+  FROM lineitem GROUP BY 1, 2)
+SELECT quarter, l_suppkey AS top_suppkey,
+       CAST(ROUND(rev_d, 2) AS DOUBLE) AS top_revenue
+FROM (SELECT *, MAX(rev_d) OVER (PARTITION BY quarter) AS mx FROM rev)
+WHERE rev_d = mx
+""")
+def q_top_supplier_quarter(spark, sf_dir):
+    """TPC-H Q15 shape: max view with ties KEPT — per quarter, the
+    supplier(s) at the exact DECIMAL revenue maximum."""
+    return relational.top_supplier_quarter(load_table(spark, sf_dir, "lineitem"))
+
+
 # ---------------------------------------------------------------------
 # Driver-gate ordering. The correctness sweep evaluates the registry in
 # insertion order, and round 1's sweep was cut off after ~49 entries —
@@ -3345,6 +3412,9 @@ _FRONT = [
     "event_type_daily_trend",
     "lsh_containment_pairs",
     "incremental_ingest_dedup",
+    "part_best_supplier",
+    "brand_value_concentration",
+    "top_supplier_quarter",
     # No green CORRECTNESS_r01 row — before anything r01-verified.
     "session_dynamic_gap",
     "kmv_set_algebra",
