@@ -471,3 +471,25 @@ def top_supplier_quarter(lineitem: DataFrame) -> DataFrame:
         .select("quarter", F.col("l_suppkey").alias("top_suppkey"),
                 F.round("rev_d", 2).cast("double").alias("top_revenue"))
     )
+
+
+def merge_upsert(target: DataFrame, source: DataFrame,
+                 keys: list[str]) -> DataFrame:
+    """ANSI MERGE as a relational composition: source rows win by key
+    (WHEN MATCHED UPDATE = replace, WHEN NOT MATCHED INSERT = append),
+    target rows survive only where no source key matches.
+
+    The reference's idempotent-output contract (TinkerPopGraphOutput's
+    element-exists-then-update path, SURVEY.md §2.5) re-expressed as a
+    batch plan; the streaming twin is sinks/idempotent.py's epoch MERGE.
+
+    Scale shape: one anti-join keyed on the merge key — both sides
+    shuffle once on ``keys``; with the target bucketed by key (the
+    deployment layout for any table that takes CDC batches) only the
+    small source side moves, and AQE turns the anti-join into a
+    broadcast when the batch is tiny.
+    """
+    return (
+        target.join(source.select(*keys).distinct(), keys, "left_anti")
+        .unionByName(source)
+    )

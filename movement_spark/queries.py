@@ -3395,6 +3395,137 @@ def q_top_supplier_quarter(spark, sf_dir):
     return relational.top_supplier_quarter(load_table(spark, sf_dir, "lineitem"))
 
 
+_PARTITIONED_DIRS: dict[str, str] = {}
+
+
+@register("partitioned_layout_prune", """
+SELECT event_type,
+       CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INT) AS epoch_day,
+       COUNT(*) AS n,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+            AS DOUBLE) AS sum_value
+FROM events
+WHERE event_type IN ('view', 'click')
+GROUP BY event_type, CAST(ts AS DATE)
+""")
+def q_partitioned_prune(spark, sf_dir):
+    """Hive-partitioned layout + partition pruning — the #1 scan lever
+    at 100 TB: events written ``partitionBy(event_type)`` (the
+    reference's DirectoryOutput per-label directories, at warehouse
+    scale), read back with a partition-column predicate so Catalyst
+    prunes entire directories before listing a single row group
+    (asserted by tests/test_plans.py::test_partitioned_read_prunes).
+    Parity with the unpartitioned source proves the layout lossless.
+    Directory cached per (process, sf_dir) like the CSV round trip."""
+    def _stage(base):
+        (load_table(spark, sf_dir, "events")
+         .select("event_id", "ts", "value", "event_type")
+         .write.mode("overwrite").partitionBy("event_type").parquet(base))
+
+    base = _cached_roundtrip_dir(_PARTITIONED_DIRS, sf_dir,
+                                 "ms_hivepart_", "_SUCCESS", _stage)
+    back = spark.read.parquet(base)
+    return (
+        back.where(F.col("event_type").isin("view", "click"))
+        .groupBy("event_type",
+                 F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+                 .alias("epoch_day"))
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("value").cast("decimal(18,2)"))
+             .cast("decimal(18,2)").cast("double").alias("sum_value"))
+    )
+
+
+_ORC_DIRS: dict[str, str] = {}
+
+
+@register("orc_roundtrip", """
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+           AS sum_price,
+       MAX(o_orderkey) AS max_key
+FROM orders GROUP BY o_orderstatus
+""")
+def q_orc_roundtrip(spark, sf_dir):
+    """ORC source/sink round trip (second columnar format beside
+    parquet; the reference's Encoder/Decoder pairs are format-pluggable
+    — SURVEY.md §2.3). Read back with an explicit schema (never
+    inference at scale), aggregate; parity with the parquet source
+    proves the ser/de lossless including double precision. Spark's
+    native ORC reader supports the same pushdown/pruning surface as
+    parquet, so the scan contract is unchanged."""
+    def _stage(base):
+        (load_table(spark, sf_dir, "orders")
+         .select("o_orderkey", "o_orderstatus", "o_totalprice")
+         .write.mode("overwrite").orc(base))
+
+    base = _cached_roundtrip_dir(_ORC_DIRS, sf_dir,
+                                 "ms_orc_", "_SUCCESS", _stage)
+    back = spark.read.schema(
+        "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE"
+    ).orc(base)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+             .cast("double").alias("sum_price"),
+             F.max("o_orderkey").alias("max_key"))
+    )
+
+
+@register("merge_upsert_orders", """
+WITH upd AS (
+  SELECT o_orderkey, 'U' AS o_orderstatus,
+         CAST(o_totalprice AS DECIMAL(18,4)) + 5 AS price_dec
+  FROM orders WHERE o_orderkey % 7 = 0),
+ins AS (
+  SELECT o_orderkey + 100000000 AS o_orderkey, 'N' AS o_orderstatus,
+         CAST(o_totalprice AS DECIMAL(18,4)) AS price_dec
+  FROM orders WHERE o_orderkey % 7 = 3),
+src AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+tgt AS (SELECT o_orderkey, o_orderstatus,
+               CAST(o_totalprice AS DECIMAL(18,4)) AS price_dec
+        FROM orders),
+merged AS (
+  SELECT t.* FROM tgt t
+  WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey)
+  UNION ALL SELECT * FROM src)
+SELECT o_orderstatus, COUNT(*) AS n_rows,
+       CAST(ROUND(SUM(price_dec), 2) AS DOUBLE) AS sum_price,
+       MAX(o_orderkey) AS max_key
+FROM merged GROUP BY o_orderstatus
+""")
+def q_merge_upsert(spark, sf_dir):
+    """Batch MERGE (upsert) semantics — the batch twin of the streaming
+    sink's epoch MERGE contract (sinks/idempotent.py): a CDC batch of
+    updates (price bump, status 'U') and inserts (new keys, status 'N')
+    is merged into the orders snapshot via relational.merge_upsert —
+    source rows win by key, target rows survive only where unmatched
+    (the WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT halves of ANSI
+    MERGE). The anti-join shuffles both sides once on the merge key; at
+    100 TB the target would be bucketed by key so only the (small) CDC
+    batch moves."""
+    orders = load_table(spark, sf_dir, "orders")
+    price_dec = F.col("o_totalprice").cast("decimal(18,4)")
+    tgt = orders.select("o_orderkey", "o_orderstatus",
+                        price_dec.alias("price_dec"))
+    upd = (orders.where(F.col("o_orderkey") % 7 == 0)
+           .select("o_orderkey", F.lit("U").alias("o_orderstatus"),
+                   (price_dec + F.lit(5)).alias("price_dec")))
+    ins = (orders.where(F.col("o_orderkey") % 7 == 3)
+           .select((F.col("o_orderkey") + 100_000_000).alias("o_orderkey"),
+                   F.lit("N").alias("o_orderstatus"),
+                   price_dec.alias("price_dec")))
+    merged = relational.merge_upsert(tgt, upd.unionByName(ins),
+                                     ["o_orderkey"])
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_rows"),
+             F.round(F.sum("price_dec"), 2).cast("double").alias("sum_price"),
+             F.max("o_orderkey").alias("max_key"))
+    )
+
+
 # ---------------------------------------------------------------------
 # Driver-gate ordering. The correctness sweep evaluates the registry in
 # insertion order, and round 1's sweep was cut off after ~49 entries —
@@ -3406,6 +3537,9 @@ def q_top_supplier_quarter(spark, sf_dir):
 # ---------------------------------------------------------------------
 _FRONT = [
     # Never driver-verified (added after the r02 gate ran) — first.
+    "partitioned_layout_prune",
+    "orc_roundtrip",
+    "merge_upsert_orders",
     "event_transition_matrix",
     "event_path_trigrams",
     "event_copresence_lift",

@@ -150,3 +150,18 @@ def test_aqe_splits_skewed_join_partitions(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_partitioned_read_prunes(spark, sf_dir):
+    """The hive-partitioned round trip must prune non-matching
+    event_type directories at planning time — the scan's partition
+    filter list carries the isin predicate, and the data filters
+    (anything pushed to row groups) must not have to re-derive it."""
+    from movement_spark.queries import q_partitioned_prune
+    df = q_partitioned_prune(spark, sf_dir)
+    txt = explain_text(df)
+    assert "PartitionFilters" in txt
+    # the isin predicate appears inside the PartitionFilters clause
+    pf = txt[txt.index("PartitionFilters"):]
+    pf = pf[:pf.index("]") + 1]
+    assert "event_type" in pf, f"partition filter missing: {pf}"
