@@ -535,3 +535,40 @@ def segment_dedup_stats(documents: DataFrame) -> DataFrame:
         .withColumn("dup_permille",
                     F.expr("(n_dup_occ * 1000) div n_segs"))
     )
+
+
+def fuzzy_blocked_matches(part: DataFrame, max_lev: int = 4) -> DataFrame:
+    """Blocked fuzzy record linkage (entity resolution): candidate
+    pairs come ONLY from equality blocks (noun word + size), then the
+    expensive edit-distance predicate runs inside each block.
+
+    The classic two-stage linkage plan — blocking is to string matching
+    what LSH banding is to Jaccard dedup (dedup.py:lsh_candidate_pairs):
+    the O(n²) comparison space never materializes; the join key bounds
+    it to O(sum block²). At 100 TB the block key comes from a cheap
+    canonical form (phonetic code, sorted tokens, or an LSH bucket) and
+    the block-size distribution is audited first (chunk_stats) so one
+    hot block can't quadratically dominate — the same skew discipline as
+    every other bucket join here. levenshtein() is classic dynamic-
+    programming edit distance, identical in Spark and DuckDB, so the
+    verdict is engine-exact.
+    """
+    blocked = part.select(
+        F.col("p_partkey").alias("pk"), F.col("p_name").alias("name"),
+        F.split(F.col("p_name"), " ").getItem(1).alias("noun"),
+        F.col("p_size").alias("size"))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.noun") == F.col("b.noun"))
+               & (F.col("a.size") == F.col("b.size"))
+               & (F.col("a.pk") < F.col("b.pk")))
+        .select(F.col("a.noun").alias("noun"),
+                F.levenshtein(F.col("a.name"), F.col("b.name")).alias("lev"))
+        .where(F.col("lev") <= max_lev)
+    )
+    return (
+        pairs.groupBy("noun")
+        .agg(F.count("*").alias("n_pairs"),
+             F.min("lev").alias("min_lev"),
+             F.sum("lev").cast("bigint").alias("sum_lev"))
+    )

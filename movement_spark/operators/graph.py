@@ -201,3 +201,55 @@ def triangle_count_stats(tokens: DataFrame,
     return tokens.sparkSession.createDataFrame(
         rows, schema="n_vertices bigint, n_edges bigint, max_degree int, "
                      "n_wedges bigint, n_triangles bigint")
+
+
+def bfs_depth_profile(tokens: DataFrame, rounds: int = 3,
+                      tok_mod: int = 50261,
+                      seed_mod: int = 29) -> DataFrame:
+    """Fixed-round breadth-first search on the token-transition graph:
+    min-hop distance from the seed set (tok % seed_mod == 0), profiled
+    as vertex counts per depth 0..rounds (oracle: bounded recursive
+    CTE).
+
+    The third fixed-point algorithm beside PageRank and label
+    propagation — BFS adds shortest-path semantics (a vertex belongs to
+    the EARLIEST round that reaches it, enforced by the anti-join
+    against the visited set). Scale shape mirrors the other two: the
+    edge relation persists once, each round is one shuffle keyed by the
+    frontier vertex plus one anti-join against visited; the frontier —
+    not the graph — is the only relation that grows, and the round
+    count is a deployment constant so lineage stays bounded.
+    """
+    edges = (token_transition_edges(tokens, tok_mod)
+             .select("u", "v").persist())
+    nodes = (edges.select(F.col("u").alias("t"))
+             .union(edges.select(F.col("v").alias("t")))
+             .distinct())
+    visited = (nodes.where(F.col("t") % seed_mod == 0)
+               .select(F.col("t").alias("vtx"))
+               .withColumn("depth", F.lit(0)).persist())
+    frontier = visited
+    for d in range(1, rounds + 1):
+        nxt = (
+            edges.join(frontier.select(F.col("vtx").alias("u")), "u")
+            .select(F.col("v").alias("vtx")).distinct()
+            .join(visited.select("vtx"), "vtx", "left_anti")
+            .withColumn("depth", F.lit(d))
+        )
+        visited_next = visited.unionByName(nxt).persist()
+        visited_next.count()  # materialize before dropping the parent
+        visited.unpersist()
+        visited = visited_next
+        frontier = visited.where(F.col("depth") == d)
+    profile = (
+        visited.groupBy("depth")
+        .agg(F.count("*").alias("n_vertices"),
+             F.min("vtx").cast("int").alias("min_tok"),
+             F.max("vtx").cast("int").alias("max_tok"))
+    )
+    rows = profile.collect()
+    edges.unpersist()
+    visited.unpersist()
+    return tokens.sparkSession.createDataFrame(
+        rows, schema="depth int, n_vertices bigint, min_tok int, "
+                     "max_tok int")

@@ -3526,6 +3526,109 @@ def q_merge_upsert(spark, sf_dir):
     )
 
 
+@register("bfs_token_reachability", with_token_cte("""
+, bg AS (
+  SELECT unnest(list_transform(range(n_tok - 1),
+         i -> CAST(tokens[i + 1] AS BIGINT) * 50261
+              + CAST(tokens[i + 2] AS BIGINT))) AS bg
+  FROM token_sequences WHERE n_tok >= 2),
+ed AS (SELECT DISTINCT bg // 50261 AS u, bg % 50261 AS v FROM bg),
+nodes AS (SELECT u AS t FROM ed UNION SELECT v FROM ed),
+d0 AS (SELECT t AS vtx FROM nodes WHERE t % 29 = 0),
+r1 AS (SELECT DISTINCT e.v AS vtx FROM ed e JOIN d0 ON e.u = d0.vtx
+       WHERE e.v NOT IN (SELECT vtx FROM d0)),
+r2 AS (SELECT DISTINCT e.v AS vtx FROM ed e JOIN r1 ON e.u = r1.vtx
+       WHERE e.v NOT IN (SELECT vtx FROM d0 UNION ALL
+                         SELECT vtx FROM r1)),
+r3 AS (SELECT DISTINCT e.v AS vtx FROM ed e JOIN r2 ON e.u = r2.vtx
+       WHERE e.v NOT IN (SELECT vtx FROM d0 UNION ALL
+                         SELECT vtx FROM r1 UNION ALL
+                         SELECT vtx FROM r2)),
+prof AS (
+  SELECT CAST(0 AS INT) AS depth, vtx FROM d0
+  UNION ALL SELECT CAST(1 AS INT), vtx FROM r1
+  UNION ALL SELECT CAST(2 AS INT), vtx FROM r2
+  UNION ALL SELECT CAST(3 AS INT), vtx FROM r3)
+SELECT depth, COUNT(*) AS n_vertices,
+       CAST(MIN(vtx) AS INT) AS min_tok, CAST(MAX(vtx) AS INT) AS max_tok
+FROM prof GROUP BY depth
+"""))
+def q_bfs_reachability(spark, sf_dir):
+    """Fixed-round BFS (min-hop distance from a seed set) on the token-
+    transition graph — the third fixed-point algorithm beside PageRank
+    and label propagation; the oracle unrolls the same 3 rounds as CTEs
+    with NOT-IN visited guards, proving the distributed frontier loop
+    exact."""
+    from movement_spark.operators.graph import bfs_depth_profile
+    return bfs_depth_profile(token_sequences(spark, sf_dir))
+
+
+@register("fuzzy_blocked_matches", """
+WITH blocked AS (
+  SELECT p_partkey AS pk, p_name AS name,
+         split_part(p_name, ' ', 2) AS noun, p_size AS size
+  FROM part),
+pairs AS (
+  SELECT a.noun, levenshtein(a.name, b.name) AS lev
+  FROM blocked a JOIN blocked b
+    ON a.noun = b.noun AND a.size = b.size AND a.pk < b.pk
+  WHERE levenshtein(a.name, b.name) <= 4)
+SELECT noun, COUNT(*) AS n_pairs, MIN(lev) AS min_lev,
+       CAST(SUM(lev) AS BIGINT) AS sum_lev
+FROM pairs GROUP BY noun
+""")
+def q_fuzzy_matches(spark, sf_dir):
+    """Blocked fuzzy record linkage: equality blocks (noun, size)
+    propose candidates, edit distance verifies inside the block — the
+    string-matching twin of LSH banding; the cross-pair space never
+    materializes."""
+    return dedup.fuzzy_blocked_matches(load_table(spark, sf_dir, "part"))
+
+
+@register("approx_quantile_audit", """
+SELECT COUNT(*) AS n,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50_exact,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90_exact,
+       1 AS p50_within, 1 AS p90_within
+FROM orders
+""")
+def q_approx_quantile_audit(spark, sf_dir):
+    """Native approx-percentile calibration audit (companion to
+    approx_distinct_audit): Spark's approx_percentile (Greenwald-Khanna,
+    accuracy 10000) must land within its published rank guarantee of the
+    exact quantile — the CHECKED values are the exact quantiles plus the
+    within-bound booleans (rank error ≤ n/accuracy, +2 slack for
+    boundary ties). The sketch output itself is engine-specific and
+    never hashed. This is the sign-off a deployment runs before swapping
+    percentile() for the bounded-memory sketch at 10^12 rows."""
+    orders = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    agg = orders.agg(
+        F.count("*").alias("n"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4)
+        .alias("p50_exact"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4)
+        .alias("p90_exact"),
+        F.expr("approx_percentile(o_totalprice, 0.5, 10000)").alias("a50"),
+        F.expr("approx_percentile(o_totalprice, 0.9, 10000)").alias("a90"))
+    ranked = (
+        orders.crossJoin(F.broadcast(agg))
+        .agg(F.max("n").alias("n"),
+             F.max("p50_exact").alias("p50_exact"),
+             F.max("p90_exact").alias("p90_exact"),
+             F.sum((F.col("o_totalprice") <= F.col("a50")).cast("long"))
+             .alias("r50"),
+             F.sum((F.col("o_totalprice") <= F.col("a90")).cast("long"))
+             .alias("r90"))
+    )
+    slack = F.col("n") / 10000 + 2
+    return ranked.select(
+        "n", "p50_exact", "p90_exact",
+        (F.abs(F.col("r50") - F.col("n") * 0.5) <= slack)
+        .cast("int").alias("p50_within"),
+        (F.abs(F.col("r90") - F.col("n") * 0.9) <= slack)
+        .cast("int").alias("p90_within"))
+
+
 # ---------------------------------------------------------------------
 # Driver-gate ordering. The correctness sweep evaluates the registry in
 # insertion order, and round 1's sweep was cut off after ~49 entries —
@@ -3537,6 +3640,9 @@ def q_merge_upsert(spark, sf_dir):
 # ---------------------------------------------------------------------
 _FRONT = [
     # Never driver-verified (added after the r02 gate ran) — first.
+    "bfs_token_reachability",
+    "fuzzy_blocked_matches",
+    "approx_quantile_audit",
     "partitioned_layout_prune",
     "orc_roundtrip",
     "merge_upsert_orders",

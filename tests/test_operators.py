@@ -431,3 +431,33 @@ def test_dynamic_gap_keeps_purchase_sessions_open(spark):
     out = {r.user_id: r for r in dynamic_gap_sessions(ev).collect()}
     assert out[1].n_sessions == 1 and out[1].total_events == 2
     assert out[2].n_sessions == 2 and out[2].max_session_events == 1
+
+
+def test_bfs_empty_graph_returns_typed_empty(spark):
+    """Empty corpus must give an empty typed depth profile (same
+    contract as the PageRank empty-graph path)."""
+    from movement_spark.operators.graph import bfs_depth_profile
+
+    empty = spark.createDataFrame(
+        [], "doc_id STRING, seq INT, tokens ARRAY<INT>, n_tok INT, "
+            "source STRING, ts TIMESTAMP")
+    out = bfs_depth_profile(empty)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "depth", "n_vertices", "min_tok", "max_tok"]
+
+
+def test_bfs_golden_chain(spark):
+    """3-node chain 0→1→2 with seed 0 (0 % 29 == 0): depths are exactly
+    {0:[0], 1:[1], 2:[2]} — and a 4th node beyond round 3 is NOT
+    reached, pinning the fixed-round bound."""
+    from movement_spark.operators.graph import bfs_depth_profile
+
+    # tokens [0,1,2,3,4] → transitions 0→1→2→3→4; seed = token 0
+    rows = [("d0", 0, [0, 1, 2, 3, 4], 5, "s", None)]
+    toks = spark.createDataFrame(
+        rows, "doc_id STRING, seq INT, tokens ARRAY<INT>, n_tok INT, "
+              "source STRING, ts TIMESTAMP")
+    got = {r.depth: (r.n_vertices, r.min_tok, r.max_tok)
+           for r in bfs_depth_profile(toks).collect()}
+    assert got == {0: (1, 0, 0), 1: (1, 1, 1), 2: (1, 2, 2), 3: (1, 3, 3)}
