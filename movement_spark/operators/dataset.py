@@ -304,3 +304,51 @@ def doc_chunking_stats(tokens: DataFrame, w: int = CHUNK_W,
                 (F.col("sum_chunk_tok") - F.col("total_tok"))
                 .cast("bigint").alias("overlap_tok"))
     )
+
+
+SAMPLE_K = 40  # weighted-sample size per source
+
+
+def weighted_sample_manifest(documents: DataFrame,
+                             k: int = SAMPLE_K) -> DataFrame:
+    """Per-source weighted sampling without replacement, fully
+    deterministic: each doc draws an integer priority
+    ``hash(doc_id) div weight`` (weight = n_chars div 100 + 1, a
+    quality/length proxy) and the k SMALLEST priorities per source win —
+    heavier docs divide their hash down and so win more often, the
+    integer-arithmetic analog of the Efraimidis–Spirakis reservoir key
+    (u^(1/w)) with the float pow replaced by exact division so any
+    engine reproduces the selected set bit-for-bit.
+
+    Scale shape: priorities are one JVM expression over the scan; the
+    per-source top-k is a single window rank bounded by k — at 100 TB
+    this is the map-side-truncatable pattern (each partition can pre-
+    prune to its local top-k before the shuffle; Spark's rank window
+    does the same via partial sort). No collect, no sampling pass, and
+    re-runs (or a second engine) select the identical manifest — the
+    property that makes weighted corpus subsampling auditable.
+    """
+    from pyspark.sql.window import Window
+
+    # integer div end-to-end: float division + cast is the classic
+    # cross-engine break (DuckDB's cast rounds, Spark's truncates)
+    weight = F.expr("cast(n_chars as bigint) div 100 + 1")
+    prio = F.expr(
+        f"((doc_id * {SPLIT_A} + {SPLIT_B}) % {SPLIT_P})"
+        " div (cast(n_chars as bigint) div 100 + 1)")
+    ranked = (
+        documents
+        .select("doc_id", "source", "n_chars",
+                weight.alias("w"), prio.alias("prio"))
+        .withColumn("rk", F.row_number().over(
+            Window.partitionBy("source")
+            .orderBy(F.asc("prio"), F.asc("doc_id"))))
+        .where(F.col("rk") <= k)
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(F.count("*").alias("n_selected"),
+             F.sum("n_chars").cast("bigint").alias("sum_chars"),
+             F.sum("w").cast("bigint").alias("sum_weight"),
+             F.max("prio").cast("bigint").alias("cutoff_prio"))
+    )

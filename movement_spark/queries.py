@@ -3629,6 +3629,33 @@ def q_approx_quantile_audit(spark, sf_dir):
         .cast("int").alias("p90_within"))
 
 
+@register("weighted_sample_manifest", """
+WITH w AS (
+  SELECT doc_id, source, n_chars,
+         CAST(n_chars AS BIGINT) // 100 + 1 AS w,
+         ((doc_id * 1103515245 + 12345) % 2147483647)
+           // (CAST(n_chars AS BIGINT) // 100 + 1) AS prio
+  FROM documents),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY prio ASC, doc_id ASC) AS rk
+  FROM w)
+SELECT source, COUNT(*) AS n_selected,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(w) AS BIGINT) AS sum_weight,
+       CAST(MAX(prio) AS BIGINT) AS cutoff_prio
+FROM r WHERE rk <= 40 GROUP BY source
+""")
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement (integer
+    Efraimidis–Spirakis analog): longer/heavier docs divide their hash
+    priority down and win more slots; the per-source top-k is one
+    window rank, the selected manifest bit-identical across engines and
+    re-runs."""
+    from movement_spark.operators.dataset import weighted_sample_manifest
+    return weighted_sample_manifest(load_table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------
 # Driver-gate ordering. The correctness sweep evaluates the registry in
 # insertion order, and round 1's sweep was cut off after ~49 entries —
@@ -3640,6 +3667,7 @@ def q_approx_quantile_audit(spark, sf_dir):
 # ---------------------------------------------------------------------
 _FRONT = [
     # Never driver-verified (added after the r02 gate ran) — first.
+    "weighted_sample_manifest",
     "bfs_token_reachability",
     "fuzzy_blocked_matches",
     "approx_quantile_audit",
