@@ -214,11 +214,10 @@ REP_PERMILLE_MIN = 600   # min distinct-bigram permille before "repetitive"
 MIN_CHARS = 120
 
 
-def corpus_filter_manifest(documents: DataFrame) -> DataFrame:
-    """End-to-end corpus filter funnel: every document gets exactly one
-    verdict — the FIRST tripped filter in precedence order
-    exact_dup → bad_lang → too_short → repetitive → keep — and the
-    manifest reports per (source, verdict) doc and char counts. This is
+def corpus_verdicts(documents: DataFrame) -> DataFrame:
+    """End-to-end corpus filter funnel, per-doc form: every document
+    gets exactly one verdict — the FIRST tripped filter in precedence
+    order exact_dup → bad_lang → too_short → repetitive → keep. This is
     the composition pass a pretraining pipeline actually ships: filters
     are cheap column work; what matters is that the precedence is
     deterministic so reruns and audits agree row-for-row.
@@ -247,11 +246,51 @@ def corpus_filter_manifest(documents: DataFrame) -> DataFrame:
         .when(F.col("n_chars") < MIN_CHARS, "too_short")
         .when((nw >= 2) & (rep_permille < REP_PERMILLE_MIN), "repetitive")
         .otherwise("keep"))
+    return docs.select("doc_id", "source", "n_chars",
+                       verdict.alias("verdict"))
+
+
+def corpus_filter_manifest(documents: DataFrame) -> DataFrame:
+    """Per-(source, verdict) rollup of the filter funnel — the drop
+    manifest a pretraining pipeline ships alongside the kept set."""
     return (
-        docs.withColumn("verdict", verdict)
+        corpus_verdicts(documents)
         .groupBy("source", "verdict")
         .agg(F.count("*").alias("n_docs"),
              F.sum("n_chars").cast("bigint").alias("sum_chars"))
+    )
+
+
+def training_set_manifest(documents: DataFrame,
+                          chars_per_tok: int = 5,
+                          context_len: int = CONTEXT_LEN) -> DataFrame:
+    """Capstone composition: the full corpus → training-set pipeline in
+    one plan — filter funnel (corpus_verdicts) → keep only survivors →
+    deterministic train/val/test assignment (split_column) → per-split
+    budget manifest (docs, chars, estimated tokens at chars_per_tok,
+    full context windows of context_len and the leftover tail).
+
+    This is the end-to-end artifact a data team signs off on before a
+    run: every number is a pure function of the corpus, so two engines
+    (or two re-runs over a grown corpus) produce byte-identical
+    manifests. Scale shape: the funnel's one corpus-global digest
+    groupBy dominates; everything after is per-row expressions plus a
+    3-row rollup — composing the stages adds NO new shuffle beyond the
+    funnel's own.
+    """
+    kept = corpus_verdicts(documents).where(F.col("verdict") == "keep")
+    est_tok = F.expr(f"cast(n_chars as bigint) div {chars_per_tok}")
+    return (
+        kept.withColumn("split", split_column(F.col("doc_id")))
+        .withColumn("est_tok", est_tok)
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_chars").cast("bigint").alias("sum_chars"),
+             F.sum("est_tok").cast("bigint").alias("est_tokens"),
+             F.expr(f"cast(sum(est_tok) div {context_len} as bigint)")
+             .alias("n_windows"),
+             F.expr(f"cast(sum(est_tok) % {context_len} as bigint)")
+             .alias("tail_tokens"))
     )
 
 

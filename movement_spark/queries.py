@@ -3656,6 +3656,52 @@ def q_weighted_sample(spark, sf_dir):
     return weighted_sample_manifest(load_table(spark, sf_dir, "documents"))
 
 
+@register("training_set_manifest", """
+WITH keepers AS (
+  SELECT text, MIN(doc_id) AS keeper_id FROM documents GROUP BY 1),
+feats AS (
+  SELECT d.doc_id, d.lang, d.n_chars, k.keeper_id,
+         string_split(d.text, ' ') AS w
+  FROM documents d JOIN keepers k USING (text)),
+f2 AS (
+  SELECT doc_id, lang, n_chars, keeper_id, len(w) AS nw,
+         CASE WHEN len(w) >= 2 THEN
+           len(list_distinct(list_transform(range(len(w) - 1),
+               i -> w[i + 1] || ' ' || w[i + 2])))
+         ELSE 0 END AS n_distinct_bg
+  FROM feats),
+kept AS (
+  SELECT doc_id, n_chars FROM f2
+  WHERE NOT (doc_id <> keeper_id)
+    AND NOT (lang <> 'en')
+    AND NOT (n_chars < 120)
+    AND NOT (nw >= 2 AND (n_distinct_bg * 1000) // (nw - 1) < 600)),
+s AS (
+  SELECT CASE
+           WHEN ((doc_id * 1103515245 + 12345) % 2147483647) % 100 < 80
+             THEN 'train'
+           WHEN ((doc_id * 1103515245 + 12345) % 2147483647) % 100 < 90
+             THEN 'val'
+           ELSE 'test' END AS split,
+         n_chars, CAST(n_chars AS BIGINT) // 5 AS est_tok
+  FROM kept)
+SELECT split, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(est_tok) AS BIGINT) AS est_tokens,
+       CAST(SUM(est_tok) // 2048 AS BIGINT) AS n_windows,
+       CAST(SUM(est_tok) % 2048 AS BIGINT) AS tail_tokens
+FROM s GROUP BY split
+""")
+def q_training_set_manifest(spark, sf_dir):
+    """Capstone end-to-end composition: filter funnel → keep survivors
+    → deterministic splits → per-split token/window budget. The whole
+    corpus→training-set pipeline as ONE declarative plan (no new
+    shuffle beyond the funnel's own dedup groupBy), byte-identical
+    across engines and re-runs."""
+    from movement_spark.operators.dataset import training_set_manifest
+    return training_set_manifest(load_table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------
 # Driver-gate ordering. The correctness sweep evaluates the registry in
 # insertion order, and round 1's sweep was cut off after ~49 entries —
@@ -3667,6 +3713,7 @@ def q_weighted_sample(spark, sf_dir):
 # ---------------------------------------------------------------------
 _FRONT = [
     # Never driver-verified (added after the r02 gate ran) — first.
+    "training_set_manifest",
     "weighted_sample_manifest",
     "bfs_token_reachability",
     "fuzzy_blocked_matches",
