@@ -45,35 +45,53 @@ _TOKENS_EXPR = (
 )
 
 
+# Derived-table cache, keyed by (Spark application, sf_dir). The token
+# table is the shared input of ~25 registered queries; a production
+# deployment materializes this derivation ONCE as a real table (it IS
+# the north rule's input table) — the session-scoped persist is the
+# local analog, so downstream queries re-scan the columnar cache
+# instead of re-running the explode+array build. (Measured honestly:
+# the warm derivation is cheap, so this trims seconds, not minutes,
+# off the sf0.01 gate — the win grows with SF.) Keyed by applicationId
+# so a restarted session never sees another session's cached plan.
+_TOKEN_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def token_sequences(spark: SparkSession, sf_dir: str,
                     keep_did: bool = False) -> DataFrame:
     """Derive the token-sequence table from ``documents`` — fully JVM-side.
 
     Every expression is a Spark built-in (sequence/transform/explode), so
     the whole derivation stays inside WholeStageCodegen with zero Python.
+    The derived frame is persisted per (application, sf_dir) — see
+    ``_TOKEN_CACHE`` above.
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
-        .select(F.col("doc_id").alias("did"), "source")
-    out = (
-        docs
-        .select("did", "source",
-                F.explode(F.expr("sequence(0, cast(did % 4 as int))")).alias("seq"))
-        .select(
-            F.concat(F.lit("d"), F.col("did").cast("string")).alias("doc_id"),
-            F.col("did"),
-            F.col("seq").cast("int").alias("seq"),
-            F.expr(_TOKENS_EXPR).alias("tokens"),
-            (1 + (F.col("did") * 7 + F.col("seq") * 13) % LEN_MOD)
-            .cast("int").alias("n_tok"),
-            F.col("source"),
-            F.timestamp_seconds(
-                F.lit(EPOCH_2026) + (F.col("did") * 37 + F.col("seq") * 11) % TS_MOD
-            ).alias("ts"),
-        )
-    )
-    if not keep_did:
-        out = out.drop("did")
-    return out
+    from pyspark import StorageLevel
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    base = _TOKEN_CACHE.get(key)
+    if base is None:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .select(F.col("doc_id").alias("did"), "source")
+        base = (
+            docs
+            .select("did", "source",
+                    F.explode(F.expr("sequence(0, cast(did % 4 as int))")).alias("seq"))
+            .select(
+                F.concat(F.lit("d"), F.col("did").cast("string")).alias("doc_id"),
+                F.col("did"),
+                F.col("seq").cast("int").alias("seq"),
+                F.expr(_TOKENS_EXPR).alias("tokens"),
+                (1 + (F.col("did") * 7 + F.col("seq") * 13) % LEN_MOD)
+                .cast("int").alias("n_tok"),
+                F.col("source"),
+                F.timestamp_seconds(
+                    F.lit(EPOCH_2026) + (F.col("did") * 37 + F.col("seq") * 11) % TS_MOD
+                ).alias("ts"),
+            )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        _TOKEN_CACHE[key] = base
+    return base if keep_did else base.drop("did")
 
 
 # DuckDB mirror of token_sequences(); prepend to every oracle query that
