@@ -3702,6 +3702,89 @@ def q_training_set_manifest(spark, sf_dir):
     return training_set_manifest(load_table(spark, sf_dir, "documents"))
 
 
+@register("locf_imputation", """
+WITH daily AS (
+  SELECT user_id,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INT) AS d,
+         SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(value AS DECIMAL(18,2)) END) AS pv
+  FROM events GROUP BY 1, 2),
+f AS (
+  SELECT user_id, pv,
+         last_value(pv IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf
+  FROM daily)
+SELECT user_id, COUNT(*) AS n_days,
+       CAST(SUM(CASE WHEN pv IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_missing,
+       CAST(CAST(SUM(COALESCE(locf, 0)) AS DECIMAL(18,2)) AS DOUBLE)
+           AS sum_locf
+FROM f GROUP BY user_id
+""")
+def q_locf_imputation(spark, sf_dir):
+    """Last-observation-carried-forward imputation — the standard
+    time-series cleaning step (the NULL-filling complement of the
+    zero-filling gap-fill resample): per user, days without a purchase
+    inherit the most recent purchase value via last(ignorenulls) over a
+    running ROWS frame. DECIMAL money end-to-end so the filled series
+    sums exactly. One shuffle on user_id covers both the daily rollup
+    and the ordered fill (same-key window rides the groupBy's
+    partitioning)."""
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.groupBy(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("d"))
+        .agg(F.sum(F.when(F.col("event_type") == "purchase",
+                          F.col("value").cast("decimal(18,2)")))
+             .alias("pv"))
+    )
+    w = (Window.partitionBy("user_id").orderBy("d")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    filled = daily.withColumn("locf", F.last("pv", ignorenulls=True).over(w))
+    return (
+        filled.groupBy("user_id")
+        .agg(F.count("*").alias("n_days"),
+             F.sum(F.col("pv").isNull().cast("int")).cast("bigint")
+             .alias("n_missing"),
+             F.sum(F.coalesce(F.col("locf"), F.lit(0)))
+             .cast("decimal(18,2)").cast("double").alias("sum_locf"))
+    )
+
+
+@register("set_ops_bag_semantics", """
+WITH a AS (SELECT o_custkey, o_orderpriority AS pri FROM orders
+           WHERE year(o_orderdate) = 1996),
+b AS (SELECT o_custkey, o_orderpriority AS pri FROM orders
+      WHERE year(o_orderdate) = 1997),
+ia AS (SELECT * FROM a INTERSECT ALL SELECT * FROM b),
+ea AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+SELECT 'intersect_all' AS op, pri, COUNT(*) AS n FROM ia GROUP BY pri
+UNION ALL
+SELECT 'except_all' AS op, pri, COUNT(*) AS n FROM ea GROUP BY pri
+""")
+def q_set_ops_bag(spark, sf_dir):
+    """Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL —
+    multiplicity-preserving, the SQL corner the DISTINCT forms miss):
+    a (custkey, priority) multiset from 1996 against 1997. Catalyst
+    plans both as a single aggregate computing per-row min/difference
+    of multiplicities — one shuffle each, no join explosion."""
+    orders = load_table(spark, sf_dir, "orders")
+    pri = orders.select(
+        "o_custkey", F.col("o_orderpriority").alias("pri"),
+        F.year("o_orderdate").alias("y"))
+    a = pri.where(F.col("y") == 1996).drop("y")
+    b = pri.where(F.col("y") == 1997).drop("y")
+    ia = (a.intersectAll(b).groupBy("pri").agg(F.count("*").alias("n"))
+          .withColumn("op", F.lit("intersect_all")))
+    ea = (a.exceptAll(b).groupBy("pri").agg(F.count("*").alias("n"))
+          .withColumn("op", F.lit("except_all")))
+    return ia.unionByName(ea).select("op", "pri", "n")
+
+
 # ---------------------------------------------------------------------
 # Driver-gate ordering. The correctness sweep evaluates the registry in
 # insertion order, and round 1's sweep was cut off after ~49 entries —
@@ -3713,6 +3796,8 @@ def q_training_set_manifest(spark, sf_dir):
 # ---------------------------------------------------------------------
 _FRONT = [
     # Never driver-verified (added after the r02 gate ran) — first.
+    "locf_imputation",
+    "set_ops_bag_semantics",
     "training_set_manifest",
     "weighted_sample_manifest",
     "bfs_token_reachability",
