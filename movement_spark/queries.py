@@ -3785,6 +3785,22 @@ def q_set_ops_bag(spark, sf_dir):
     return ia.unionByName(ea).select("op", "pri", "n")
 
 
+@register("streaming_fanout_counters", with_token_cte("""
+SELECT source, COUNT(*) AS n_seq,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+       COUNT(*) AS n_archived
+FROM token_sequences GROUP BY source
+"""))
+def q_streaming_fanout(spark, sf_dir):
+    """One streaming pass, two exactly-once outputs: raw epoch archive
+    + ADDITIVE counter sink (per-batch partials, zero stream state —
+    the counter-upsert pattern). The result self-checks: additive
+    totals must equal the archive's physical row counts AND the batch
+    oracle."""
+    from movement_spark.streaming.pipeline import run_streaming_fanout
+    return run_streaming_fanout(spark, sf_dir)
+
+
 # ---------------------------------------------------------------------
 # Driver-gate ordering. The correctness sweep evaluates the registry in
 # insertion order, and round 1's sweep was cut off after ~49 entries —
@@ -3796,6 +3812,7 @@ def q_set_ops_bag(spark, sf_dir):
 # ---------------------------------------------------------------------
 _FRONT = [
     # Never driver-verified (added after the r02 gate ran) — first.
+    "streaming_fanout_counters",
     "locf_imputation",
     "set_ops_bag_semantics",
     "training_set_manifest",

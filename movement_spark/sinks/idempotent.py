@@ -180,6 +180,12 @@ class IdempotentKeyedSink:
         if as_of_epoch is not None:
             df = df.where(F.col("epoch") <= as_of_epoch)
         df = self._apply_tombstones(spark, df)
+        return self._merge(df)
+
+    def _merge(self, df: DataFrame) -> DataFrame:
+        """Fold the epoch log into the logical table. Base semantic:
+        UPSERT — the highest epoch wins per key. Subclasses override
+        for other MERGE semantics (see AdditiveKeyedSink)."""
         w = Window.partitionBy(*self.keys).orderBy(F.desc("epoch"))
         return (
             df.withColumn("_rn", F.row_number().over(w))
@@ -369,3 +375,35 @@ class IdempotentKeyedSink:
     def metrics(self) -> dict[str, int]:
         """Output.getMetrics analog (DirectoryOutput.java:181-193)."""
         return {"io_ops": self.io_ops, "batches": self.batches}
+
+
+class AdditiveKeyedSink(IdempotentKeyedSink):
+    """Counter sink: ADDITIVE merge semantics over the same epoch log.
+
+    Each epoch carries the per-key PARTIAL aggregates of exactly one
+    micro-batch (the stream itself holds ZERO state — no update-mode
+    global aggregate, no per-key store), and the logical table is the
+    SUM across epochs: the Iceberg/Delta
+    ``MERGE ... WHEN MATCHED THEN UPDATE SET v = t.v + s.v`` contract.
+    Exactly-once comes from the inherited epoch-overwrite discipline —
+    a replayed batch replaces its OWN partials, so every batch
+    contributes exactly once to the fold.
+
+    This is the counter-upsert pattern that replaces a stateful
+    update-mode aggregate when the key space is too large to hold in
+    stream state: state cost moves from the stream (RAM, per key) to
+    the log (cheap storage, per batch×key), and maintenance —
+    ``compact()``, inherited, writes through ``read()`` — folds history
+    into a single summed snapshot that later epochs keep adding onto.
+    """
+
+    def __init__(self, path: str, keys: list[str], value_cols: list[str]):
+        super().__init__(path, keys)
+        self.value_cols = value_cols
+
+    def _merge(self, df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy(*self.keys)
+            .agg(*[F.sum(c).cast("bigint").alias(c)
+                   for c in self.value_cols])
+        )

@@ -902,3 +902,73 @@ def run_streaming_leaderboard(spark: SparkSession, sf_dir: str,
         .select("source", F.col("n_seq").cast("bigint").alias("n_seq"),
                 "sum_tok", "lb_rank")
     )
+
+
+def run_streaming_fanout(spark: SparkSession, sf_dir: str,
+                         stage_dir: str | None = None,
+                         archive_dir: str | None = None,
+                         sink_dir: str | None = None,
+                         checkpoint_dir: str | None = None,
+                         listener=None) -> DataFrame:
+    """One-pass fan-out: a SINGLE streaming query maintains TWO outputs
+    — the raw shard archive (epoch-partitioned parquet, replay-
+    idempotent by the same overwrite discipline as the sink) and an
+    ADDITIVE per-source counter sink (AdditiveKeyedSink) fed per-batch
+    partial aggregates.
+
+    The stream itself holds ZERO state: no update-mode global
+    aggregate, no per-key store — each micro-batch computes its own
+    partials and the sink's additive MERGE folds them. That is the
+    counter-upsert pattern deployed when the key space is too large for
+    stream state (state cost moves to cheap log storage), and the
+    fan-out shows foreachBatch as a multi-sink transaction: both writes
+    key on the SAME epoch id, so a replayed batch re-overwrites both
+    outputs consistently.
+
+    The returned frame self-checks exactly-once end to end: per-source
+    running totals from the additive fold joined against the archive's
+    actual row counts — n_seq must equal n_archived row for row, and
+    both must equal the batch oracle over the clean table.
+    """
+    from movement_spark.sinks.idempotent import AdditiveKeyedSink
+
+    stage = _resolve_stage(spark, sf_dir, stage_dir, "nosentinel")
+    src = read_token_stream(spark, stage)
+    archive = archive_dir or _tmp("msfo_arch_")
+    counters = AdditiveKeyedSink(sink_dir or _tmp("msfo_sink_"),
+                                 ["source"], ["n_seq", "sum_tok"])
+
+    def _fanout(batch: DataFrame, epoch_id: int) -> None:
+        batch.persist()
+        (batch.write.mode("overwrite")
+         .parquet(os.path.join(archive, f"epoch={epoch_id}")))
+        partials = (
+            batch.groupBy("source")
+            .agg(F.count("*").cast("bigint").alias("n_seq"),
+                 F.sum("n_tok").cast("bigint").alias("sum_tok")))
+        counters.foreach_batch(partials, epoch_id)
+        batch.unpersist()
+
+    spark_ = src.sparkSession
+    if listener is not None:
+        spark_.streams.addListener(listener)
+    q = (
+        src.writeStream
+        .outputMode("append")
+        .foreachBatch(_fanout)
+        .option("checkpointLocation", checkpoint_dir or _tmp("msfo_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if listener is not None:
+        spark_.streams.removeListener(listener)
+    totals = counters.read(spark)
+    archived = (
+        spark.read.parquet(archive)
+        .groupBy("source").agg(F.count("*").cast("bigint")
+                               .alias("n_archived")))
+    return (
+        totals.join(archived, "source")
+        .select("source", "n_seq", "sum_tok", "n_archived")
+    )

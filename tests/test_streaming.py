@@ -527,3 +527,25 @@ def test_sink_change_data_feed_between_epochs(spark):
     sink.compact(spark)
     with pytest.raises(ValueError, match="compaction watermark"):
         sink.changes(spark, 0, 2)
+
+
+def test_additive_sink_sums_epochs_exactly_once(spark):
+    """AdditiveKeyedSink: epochs are partial sums, read() is the
+    additive fold; a replayed epoch overwrites its own partials (never
+    double-counts), and compact() folds history into a snapshot that
+    later epochs keep adding onto."""
+    from movement_spark.sinks.idempotent import AdditiveKeyedSink
+
+    sink = AdditiveKeyedSink(_mkdir(), keys=["k"], value_cols=["n"])
+    df1 = spark.createDataFrame([("a", 2), ("b", 3)], "k string, n bigint")
+    df2 = spark.createDataFrame([("a", 5)], "k string, n bigint")
+    sink.foreach_batch(df1, 0)
+    sink.foreach_batch(df2, 1)
+    assert {r.k: r.n for r in sink.read(spark).collect()} == {"a": 7, "b": 3}
+    sink.foreach_batch(df2, 1)          # replay: overwrite, not add
+    assert {r.k: r.n for r in sink.read(spark).collect()} == {"a": 7, "b": 3}
+    sink.compact(spark)
+    assert {r.k: r.n for r in sink.read(spark).collect()} == {"a": 7, "b": 3}
+    sink.foreach_batch(
+        spark.createDataFrame([("b", 4)], "k string, n bigint"), 2)
+    assert {r.k: r.n for r in sink.read(spark).collect()} == {"a": 7, "b": 7}
