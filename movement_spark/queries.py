@@ -3801,6 +3801,32 @@ def q_streaming_fanout(spark, sf_dir):
     return run_streaming_fanout(spark, sf_dir)
 
 
+@register("streaming_full_outer_join", with_token_cte("""
+, even AS (SELECT doc_id, ts AS ts_a, n_tok AS n_tok_a
+           FROM token_sequences WHERE seq % 2 = 0),
+odd  AS (SELECT doc_id, ts AS ts_b, n_tok AS n_tok_b
+         FROM token_sequences WHERE seq % 2 = 1)
+SELECT COALESCE(e.doc_id, o.doc_id) AS doc_id, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN e.n_tok_a IS NOT NULL AND o.n_tok_b IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       CAST(SUM(CASE WHEN o.n_tok_b IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_lonely_left,
+       CAST(SUM(CASE WHEN e.n_tok_a IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_lonely_right,
+       CAST(SUM(COALESCE(e.n_tok_a, 0) + COALESCE(o.n_tok_b, 0))
+            AS BIGINT) AS pair_tok
+FROM even e FULL JOIN odd o
+  ON e.doc_id = o.doc_id AND abs(epoch(e.ts_a) - epoch(o.ts_b)) <= 60
+GROUP BY COALESCE(e.doc_id, o.doc_id)
+"""))
+def q_streaming_full_outer_join(spark, sf_dir):
+    """Stream-stream FULL OUTER join — both lonely sides emit with null
+    counterparts once both watermarks pass; completes the join family
+    (inner/left/full). Checked against the batch FULL JOIN oracle."""
+    from movement_spark.streaming.pipeline import run_streaming_full_outer_join
+    return run_streaming_full_outer_join(spark, sf_dir)
+
+
 # ---------------------------------------------------------------------
 # Driver-gate ordering. The correctness sweep evaluates the registry in
 # insertion order, and round 1's sweep was cut off after ~49 entries —
@@ -3813,6 +3839,7 @@ def q_streaming_fanout(spark, sf_dir):
 _FRONT = [
     # Never driver-verified (added after the r02 gate ran) — first.
     "streaming_fanout_counters",
+    "streaming_full_outer_join",
     "locf_imputation",
     "set_ops_bag_semantics",
     "training_set_manifest",

@@ -972,3 +972,66 @@ def run_streaming_fanout(spark: SparkSession, sf_dir: str,
         totals.join(archived, "source")
         .select("source", "n_seq", "sum_tok", "n_archived")
     )
+
+
+def run_streaming_full_outer_join(spark: SparkSession, sf_dir: str,
+                                  watermark: str = "10 minutes",
+                                  max_gap_sec: int = 60,
+                                  stage_dir: str | None = None,
+                                  sink_dir: str | None = None,
+                                  checkpoint_dir: str | None = None,
+                                  listener=None) -> DataFrame:
+    """Watermarked stream-stream FULL OUTER join — both lonely sides
+    emit: even shards with no odd partner AND odd shards with no even
+    partner surface with null counterparts once the min of the two
+    watermarks proves no partner can still arrive. Completes the outer-
+    join family (inner = shard_pair, left = run_streaming_left_join);
+    state eviction now happens on BOTH sides, so the sentinel
+    discipline is identical to the left join: sentinels flow through
+    both watermarks, no sentinel predicate exists anywhere in the
+    streaming plan, and sentinel artifacts are cut at sink-READ time.
+    """
+    stage = _resolve_stage(spark, sf_dir, stage_dir)
+    src = read_token_stream(spark, stage)
+    is_sent = F.col("source") == SENTINEL
+    even = (
+        src.where((F.col("seq") % 2 == 0) | is_sent)
+        .select("doc_id", F.col("seq").alias("seq_a"),
+                F.col("n_tok").alias("n_tok_a"), F.col("ts").alias("ts_a"))
+        .withWatermark("ts_a", watermark)
+    )
+    odd = (
+        src.where((F.col("seq") % 2 == 1) | is_sent)
+        .select(F.col("doc_id").alias("doc_id_b"),
+                F.col("seq").alias("seq_b"),
+                F.col("n_tok").alias("n_tok_b"), F.col("ts").alias("ts_b"))
+        .withWatermark("ts_b", watermark)
+    )
+    joined = even.join(
+        odd,
+        (even.doc_id == odd.doc_id_b)
+        & (odd.ts_b >= even.ts_a - F.expr(f"INTERVAL {max_gap_sec} SECONDS"))
+        & (odd.ts_b <= even.ts_a + F.expr(f"INTERVAL {max_gap_sec} SECONDS")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("doc_id"), F.col("doc_id_b")).alias("doc_id"),
+        F.coalesce("seq_a", F.lit(-1)).alias("seq_a"),
+        F.coalesce("n_tok_a", F.lit(0)).alias("n_tok_a"),
+        F.coalesce("seq_b", F.lit(-1)).alias("seq_b"),
+        F.coalesce("n_tok_b", F.lit(0)).alias("n_tok_b"))
+    sink = IdempotentKeyedSink(sink_dir or _tmp("msfj_sink_"),
+                               ["doc_id", "seq_a", "seq_b"])
+    _run_to_sink(joined, sink, checkpoint_dir or _tmp("msfj_ck_"), listener)
+    out = sink.read(spark).where(F.col("doc_id") != SENTINEL)
+    return (
+        out.groupBy("doc_id")
+        .agg(F.count("*").alias("n_rows"),
+             F.sum(((F.col("seq_a") >= 0) & (F.col("seq_b") >= 0))
+                   .cast("int")).cast("bigint").alias("n_matched"),
+             F.sum((F.col("seq_b") < 0).cast("int")).cast("bigint")
+             .alias("n_lonely_left"),
+             F.sum((F.col("seq_a") < 0).cast("int")).cast("bigint")
+             .alias("n_lonely_right"),
+             F.sum(F.col("n_tok_a") + F.col("n_tok_b")).cast("bigint")
+             .alias("pair_tok"))
+    )
