@@ -493,3 +493,47 @@ def merge_upsert(target: DataFrame, source: DataFrame,
         target.join(source.select(*keys).distinct(), keys, "left_anti")
         .unionByName(source)
     )
+
+
+def pattern_match_stats(events: DataFrame,
+                        pattern: str = "v+cp") -> DataFrame:
+    """MATCH_RECOGNIZE-lite: declarative row-pattern matching over each
+    user's event history. The per-user ordered event stream is encoded
+    as a character sequence (one char per event type) and the pattern —
+    here ``v+cp``: one-or-more views, then a click, then a purchase —
+    is scanned with leftmost non-overlapping regex semantics, exactly
+    SQL:2016 MATCH_RECOGNIZE's ONE ROW PER MATCH / AFTER MATCH SKIP
+    PAST LAST ROW mode for a concatenation-of-symbols pattern.
+
+    The encoding trick makes CEP pattern matching a pure column
+    expression: collect_list → array_sort by (ts, event_id) →
+    char-join → regexp_extract_all, all JVM-side, one shuffle on
+    user_id. Scale note: per-user history must fit a row (true for
+    session-bounded scans; at unbounded history, pre-segment by
+    session exactly like session_touch_attribution and match within
+    sessions). The pattern alphabet is the event-type initial — any
+    richer predicate-per-symbol compiles to the same shape with a CASE
+    producing the symbol.
+    """
+    ch = F.expr("substring(event_type, 1, 1)")
+    per_user = (
+        events.select("user_id", "ts", "event_id", ch.alias("ch"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"),
+             F.expr("array_join(transform(array_sort(collect_list("
+                    "struct(ts, event_id, ch))), x -> x.ch), '')")
+             .alias("seq"))
+    )
+    m = F.expr(f"regexp_extract_all(seq, '{pattern}', 0)")
+    return per_user.select(
+        "user_id", "n_events",
+        F.size(m).alias("n_matches"),
+        F.coalesce(
+            F.expr(f"aggregate(transform(regexp_extract_all(seq, "
+                   f"'{pattern}', 0), x -> length(x)), 0, "
+                   f"(a, b) -> a + b)"),
+            F.lit(0)).cast("int").alias("sum_match_len"),
+        F.coalesce(
+            F.expr(f"array_max(transform(regexp_extract_all(seq, "
+                   f"'{pattern}', 0), x -> length(x)))"),
+            F.lit(0)).cast("int").alias("max_match_len"))

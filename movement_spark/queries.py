@@ -3827,6 +3827,30 @@ def q_streaming_full_outer_join(spark, sf_dir):
     return run_streaming_full_outer_join(spark, sf_dir)
 
 
+@register("pattern_match_stats", """
+WITH s AS (
+  SELECT user_id, COUNT(*) AS n_events,
+         string_agg(substr(event_type, 1, 1), ''
+                    ORDER BY ts, event_id) AS seq
+  FROM events GROUP BY user_id),
+m AS (SELECT user_id, n_events,
+             regexp_extract_all(seq, 'v+cp') AS ms FROM s)
+SELECT user_id, n_events,
+       CAST(len(ms) AS INT) AS n_matches,
+       CAST(COALESCE(list_sum(list_transform(ms, x -> length(x))), 0)
+            AS INT) AS sum_match_len,
+       CAST(COALESCE(list_max(list_transform(ms, x -> length(x))), 0)
+            AS INT) AS max_match_len
+FROM m
+""")
+def q_pattern_match(spark, sf_dir):
+    """MATCH_RECOGNIZE-lite CEP: per-user ordered event stream encoded
+    as a char sequence, pattern v+cp (views → click → purchase) scanned
+    with leftmost non-overlapping semantics — SQL:2016 row-pattern
+    matching as a pure column expression."""
+    return relational.pattern_match_stats(load_table(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------
 # Driver-gate ordering. The correctness sweep evaluates the registry in
 # insertion order, and round 1's sweep was cut off after ~49 entries —
@@ -3838,6 +3862,7 @@ def q_streaming_full_outer_join(spark, sf_dir):
 # ---------------------------------------------------------------------
 _FRONT = [
     # Never driver-verified (added after the r02 gate ran) — first.
+    "pattern_match_stats",
     "streaming_fanout_counters",
     "streaming_full_outer_join",
     "locf_imputation",
