@@ -549,3 +549,45 @@ def test_additive_sink_sums_epochs_exactly_once(spark):
     sink.foreach_batch(
         spark.createDataFrame([("b", 4)], "k string, n bigint"), 2)
     assert {r.k: r.n for r in sink.read(spark).collect()} == {"a": 7, "b": 7}
+
+
+def test_streaming_dim_refresh_visible_per_batch(spark):
+    """Refreshable-dimension enrichment (slowly-changing dim): when the
+    dim is re-resolved inside foreachBatch, an update landing between
+    micro-batches is visible to the NEXT batch — the deployment pattern
+    for dim refresh without restarting the stream. Batch 0 must join
+    the v1 dim, batch 1 the v2 dim, deterministically."""
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src_dir, dim_dir, out_dir, ck = (_mkdir() for _ in range(4))
+    # two single-row source FILES (plain files, not dataset dirs),
+    # mtime-ordered so maxFilesPerTrigger=1 yields exactly two batches
+    for i, key in enumerate(["a", "b"]):
+        p = os.path.join(src_dir, f"f{i}.parquet")
+        pq.write_table(pa.table({"k": [key]}), p)
+        t = _time.time() - 100 + i * 10
+        os.utime(p, (t, t))
+    spark.createDataFrame([("a", "v1"), ("b", "v1")], "k string, label string") \
+        .write.mode("overwrite").parquet(dim_dir)
+
+    def fb(batch, eid):
+        dim = spark.read.parquet(dim_dir)
+        (batch.join(dim, "k", "left")
+         .write.mode("overwrite").parquet(os.path.join(out_dir, f"epoch={eid}")))
+        if eid == 0:  # dim update lands after the first batch commits
+            spark.createDataFrame([("a", "v2"), ("b", "v2")],
+                                  "k string, label string") \
+                .write.mode("overwrite").parquet(dim_dir)
+
+    q = (spark.readStream.schema("k string")
+         .option("maxFilesPerTrigger", 1).parquet(src_dir)
+         .writeStream.foreachBatch(fb)
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r.k, r.label) for r in spark.read.parquet(out_dir).collect()}
+    assert got == {("a", "v1"), ("b", "v2")}
