@@ -310,21 +310,31 @@ def dup_cluster_labels(tokens: DataFrame, sample_mod: int = 25,
     only — all data stays distributed; convergence is checked with a
     single scalar aggregate per round.
     """
-    verts = (
-        tokens.where(F.col("did") % sample_mod == 0)
-        .select("doc_id", "did").distinct()
-    )
-    pairs = ngram_jaccard_pairs(tokens, sample_mod=sample_mod) \
-        .select("doc_a", "doc_b")
-    labels = _propagate_min_labels(
-        verts.select("doc_id", F.col("did").alias("label")),
-        pairs, max_iters)
+    _, labels = _sampled_component_labels(tokens, sample_mod, max_iters)
     return (
         labels.groupBy("label")
         .agg(F.count("*").alias("n_docs"),
              F.min("doc_id").alias("rep_doc"))
         .select(F.col("label").alias("component"), "n_docs", "rep_doc")
     )
+
+
+def _sampled_component_labels(tokens: DataFrame, sample_mod: int,
+                              max_iters: int):
+    """Shared preamble of dup_cluster_labels and
+    dedup_canonical_manifest: deterministic did-mod sample → vertex
+    set → near-dup candidate pairs → min-label propagation. One
+    definition so the sampling and pair predicate (mirrored in both
+    DuckDB oracles) cannot drift between the two queries. Returns
+    (sampled rows, converged (doc_id, label) frame)."""
+    sample = tokens.where(F.col("did") % sample_mod == 0)
+    verts = sample.select("doc_id", "did").distinct()
+    pairs = ngram_jaccard_pairs(tokens, sample_mod=sample_mod) \
+        .select("doc_a", "doc_b")
+    labels = _propagate_min_labels(
+        verts.select("doc_id", F.col("did").alias("label")),
+        pairs, max_iters)
+    return sample, labels
 
 
 def _propagate_min_labels(labels: DataFrame, pairs: DataFrame,
@@ -393,15 +403,9 @@ def dedup_canonical_manifest(tokens: DataFrame, sample_mod: int = 25,
     """
     from pyspark.sql.window import Window
 
-    sample = tokens.where(F.col("did") % sample_mod == 0)
-    verts = sample.select("doc_id", "did").distinct()
+    sample, labels = _sampled_component_labels(tokens, sample_mod, max_iters)
     doc_tok = sample.groupBy("doc_id", "did").agg(
         F.sum("n_tok").cast("bigint").alias("tok"))
-    pairs = ngram_jaccard_pairs(tokens, sample_mod=sample_mod) \
-        .select("doc_a", "doc_b")
-    labels = _propagate_min_labels(
-        verts.select("doc_id", F.col("did").alias("label")),
-        pairs, max_iters)
     member = labels.join(doc_tok, "doc_id")
     w = Window.partitionBy("label").orderBy(F.desc("tok"), F.asc("did"))
     ranked = member.withColumn("rk", F.row_number().over(w))

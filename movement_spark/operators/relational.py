@@ -275,6 +275,28 @@ def segment_priority_mode(orders: DataFrame,
     )
 
 
+def gap_session_ids(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
+    """Per-user gaps-and-islands session assignment — THE shared
+    boundary semantics for every fixed-gap session query (a gap of
+    >= gap_sec seconds starts a new session; ties inside a session
+    break on (ts, event_id) so derived firsts/lasts are deterministic
+    under equal timestamps). Adds ``ets`` (epoch seconds) and ``sid``
+    (1-based per-user session ordinal). Partition key is user_id —
+    bounded frames, never a global window. Both daily_bounce_rate and
+    session_touch_attribution build on this one definition so a change
+    to the cut rule (>= vs >) lands everywhere — their DuckDB oracles
+    must be updated in lockstep."""
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ets = F.unix_timestamp("ts")
+    prev = F.lag(ets).over(w_user)
+    marked = events.withColumn("ets", ets).withColumn(
+        "new_s",
+        (prev.isNull() | ((ets - prev) >= gap_sec)).cast("int"))
+    sid = F.sum("new_s").over(
+        w_user.rowsBetween(Window.unboundedPreceding, 0))
+    return marked.withColumn("sid", sid).drop("new_s")
+
+
 def session_touch_attribution(events: DataFrame,
                               gap_sec: int = 1800) -> DataFrame:
     """First-touch / last-touch attribution over gap-based sessions:
@@ -282,24 +304,14 @@ def session_touch_attribution(events: DataFrame,
     first and last event types, and session value rolls up per
     (first_touch, last_touch) pair — the marketing-attribution rollup.
 
-    Gaps-and-islands with per-user windows (partition key = user_id,
-    never global); the attribution rollup runs over one row per
-    session. Ties inside a session break on (ts, event_id) so first/
-    last are deterministic under equal timestamps.
+    Session boundaries come from ``gap_session_ids``; the attribution
+    rollup runs over one row per session.
     """
-    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ets = F.unix_timestamp("ts")
-    prev = F.lag(ets).over(w_user)
-    marked = events.withColumn(
-        "new_s",
-        (prev.isNull() | ((ets - prev) >= gap_sec)).cast("int"))
-    sid = F.sum("new_s").over(
-        w_user.rowsBetween(Window.unboundedPreceding, 0))
     w_sess = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
     w_full = w_sess.rowsBetween(Window.unboundedPreceding,
                                 Window.unboundedFollowing)
     per_event = (
-        marked.withColumn("sid", sid)
+        gap_session_ids(events, gap_sec)
         .withColumn("first_touch", F.first("event_type").over(w_sess))
         .withColumn("last_touch", F.last("event_type").over(w_full))
     )
@@ -334,9 +346,11 @@ def event_transition_matrix(events: DataFrame) -> DataFrame:
     counts = (pairs.groupBy("event_type", "next_type")
               .agg(F.count("*").alias("n_trans")))
     total = F.sum("n_trans").over(Window.partitionBy("event_type"))
-    return counts.withColumn(
-        "share_pmil",
-        F.floor(F.col("n_trans") * 1000 / total).cast("bigint"))
+    return (counts.withColumn("_total", total)
+            .withColumn("share_pmil",
+                        F.expr("(n_trans * 1000L) div _total")
+                        .cast("bigint"))
+            .drop("_total"))
 
 
 def event_path_trigrams(events: DataFrame) -> DataFrame:

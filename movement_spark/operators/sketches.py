@@ -188,6 +188,13 @@ def loglog_register_profile(df: DataFrame, key: str) -> DataFrame:
     )
 
 
+# Shared by kmv_distinct_sketch (queries.py) and kmv_set_algebra —
+# the single source of truth for the parity-critical a*x+b mod p
+# constants. The multiplier must be large enough that a*x WRAPS p many
+# times even for small consecutive key ranges — with a small multiplier
+# the hashes of keys 0..n form a short arithmetic progression near zero
+# and the k-th minimum wildly under-represents the range (estimate off
+# by 100×+, caught by tests/test_sketches.py::test_kmv_estimate_within_20pct).
 KMV_A, KMV_B, KMV_P, KMV_K = 1_103_515_245, 12_345, (1 << 31) - 1, 64
 
 

@@ -1112,12 +1112,12 @@ def q_quantiles(spark, sf_dir):
     )
 
 
-# The multiplier must be large enough that a*x WRAPS p many times even
-# for small consecutive key ranges — with a small multiplier the hashes
-# of keys 0..n form a short arithmetic progression near zero and the
-# k-th minimum wildly under-represents the range (estimate off by 100×+,
-# caught by tests/test_sketches.py::test_kmv_estimate_within_20pct).
-KMV_A, KMV_B, KMV_P, KMV_K = 1_103_515_245, 12_345, (1 << 31) - 1, 64
+# Parity-critical KMV hash constants live in operators/sketches.py
+# (single source of truth — kmv_set_algebra shares them); the
+# multiplier-wrap rationale is documented there and pinned by
+# tests/test_sketches.py::test_kmv_estimate_within_20pct.
+from movement_spark.operators.sketches import (  # noqa: E402
+    KMV_A, KMV_B, KMV_K, KMV_P)
 
 
 @register("kmv_distinct_sketch", f"""
@@ -2892,9 +2892,11 @@ def q_window_share(spark, sf_dir):
            .select(F.unix_timestamp("w.start").alias("ws"), "source",
                    "sum_tok"))
     total = F.sum("sum_tok").over(Window.partitionBy("ws"))
-    return agg.withColumn(
-        "share_ppm",
-        F.floor(F.col("sum_tok") * 1_000_000 / total).cast("bigint"))
+    return (agg.withColumn("_total", total)
+            .withColumn("share_ppm",
+                        F.expr("(sum_tok * 1000000L) div _total")
+                        .cast("bigint"))
+            .drop("_total"))
 
 
 @register("daily_bounce_rate", """
@@ -2930,21 +2932,15 @@ FROM daily GROUP BY day_no
 def q_bounce_rate(spark, sf_dir):
     """Web-analytics daily summary over 30-min-gap sessions: bounce
     rate (single-event sessions, integer permille), session duration
-    totals — sessions attributed to their start day. Gaps-and-islands
-    per user, then two tiny rollups."""
-    from pyspark.sql.window import Window
+    totals — sessions attributed to their start day. Session
+    boundaries come from the shared ``gap_session_ids`` (one
+    definition with session_touch_attribution), then two tiny
+    rollups."""
+    from movement_spark.operators.relational import gap_session_ids
 
     events = load_table(spark, sf_dir, "events")
-    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ets = F.unix_timestamp("ts")
-    prev = F.lag(ets).over(w_user)
-    marked = events.withColumn(
-        "ets", ets).withColumn(
-        "new_s", (prev.isNull() | ((ets - prev) >= 1800)).cast("int"))
-    sid = F.sum("new_s").over(
-        w_user.rowsBetween(Window.unboundedPreceding, 0))
     sessions = (
-        marked.withColumn("sid", sid)
+        gap_session_ids(events, gap_sec=1800)
         .groupBy("user_id", "sid")
         .agg(F.min("ets").alias("s_start"), F.max("ets").alias("s_end"),
              F.count("*").alias("n_events"))
