@@ -87,7 +87,10 @@ class IdempotentKeyedSink:
 
     # -- write path (foreachBatch target) --------------------------------
     def foreach_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
-        if self._schema is None:
+        if self._schema is None or batch_df.schema != self._schema:
+            # (re)write on first batch AND on schema evolution — a stale
+            # narrow schema on disk would make a fresh process's
+            # empty-sink read drop the evolved columns
             os.makedirs(self.path, exist_ok=True)
             with open(self._schema_file(), "w") as f:
                 json.dump(batch_df.schema.jsonValue(), f)
@@ -102,19 +105,24 @@ class IdempotentKeyedSink:
             import pyarrow.parquet as pq
             n = pq.ParquetDataset(out).read(columns=[]).num_rows
         except Exception:
-            n = 0
+            # counting is metrics-only — NEVER fail open: a count error
+            # must not be treated as "empty" or the reclaim below would
+            # delete a committed batch's rows
+            n = None
         if n == 0:
+            # genuinely empty epoch (count SUCCEEDED): reclaim the dir so
+            # all-gap streams leave no epoch log behind
             import shutil
             shutil.rmtree(out, ignore_errors=True)
             return
-        self.io_ops += n
+        self.io_ops += n or 0
         self.batches += 1
 
     # -- read path (MERGE-on-read) ----------------------------------------
-    def epochs(self) -> list[int]:
-        """Live epoch ids above the compaction watermark — the visible
-        commit log (Iceberg snapshot-list analog)."""
-        wm = self.compaction_watermark()
+    def _live_epoch_ids(self, wm: int | None) -> list[int]:
+        """Epoch ids above the given watermark — THE one definition of
+        the 'eid > wm' visibility rule (epochs at/below it are replay
+        residue already folded into the snapshot)."""
         out = []
         if os.path.isdir(self.path):
             for d in os.listdir(self.path):
@@ -123,6 +131,11 @@ class IdempotentKeyedSink:
                     if wm is None or eid > wm:
                         out.append(eid)
         return sorted(out)
+
+    def epochs(self) -> list[int]:
+        """Live epoch ids above the compaction watermark — the visible
+        commit log (Iceberg snapshot-list analog)."""
+        return self._live_epoch_ids(self.compaction_watermark())
 
     def read(self, spark: SparkSession,
              as_of_epoch: int | None = None) -> DataFrame:
@@ -136,25 +149,18 @@ class IdempotentKeyedSink:
         (empty epochs are reclaimed); that is a VALID state — a stream
         of gaps, PotentialSequence-style — and reads as a typed empty
         table, not an error."""
-        wm = self.compaction_watermark()
+        state = self._watermark_state()  # ONE load per read()
+        wm = state.get("compacted_through") if state else None
         if as_of_epoch is not None and wm is not None and as_of_epoch < wm:
             raise ValueError(
                 f"time travel to epoch {as_of_epoch} predates the "
                 f"compaction watermark {wm}: that snapshot was collapsed "
                 f"by compact() and no longer exists")
-        snap_dir = os.path.join(self.path, self._snapshot_dirname())
+        snap_name = (state["snapshot"] if state and "snapshot" in state
+                     else "_snapshot")
+        snap_dir = os.path.join(self.path, snap_name)
         has_snapshot = wm is not None and os.path.isdir(snap_dir)
-        live_epochs = []
-        if os.path.isdir(self.path):
-            for d in os.listdir(self.path):
-                if d.startswith("epoch="):
-                    eid = int(d.split("=", 1)[1])
-                    # epochs at/below the watermark are replay residue:
-                    # their rows are already folded into the snapshot
-                    # (ignoring them is what makes replays harmless
-                    # after a compaction)
-                    if wm is None or eid > wm:
-                        live_epochs.append(d)
+        live_epochs = [f"epoch={e}" for e in self._live_epoch_ids(wm)]
         frames = []
         if has_snapshot:
             frames.append(spark.read.parquet(snap_dir)
@@ -324,6 +330,8 @@ class IdempotentKeyedSink:
         the watermark claims it is folded.
         """
         import shutil
+        if not os.path.isdir(self.path):
+            return  # never-written (or dropped) sink: nothing to fold
         old = [d for d in os.listdir(self.path) if d.startswith("epoch=")]
         if not old:
             return  # nothing to fold (all-empty sink is a valid state)
@@ -332,7 +340,16 @@ class IdempotentKeyedSink:
         max_epoch = max(int(d.split("=", 1)[1]) for d in old)
         if prev_wm is not None:
             max_epoch = max(max_epoch, prev_wm)
-        snap = self.read(spark)
+        # The tombstones the snapshot read will apply physically — loaded
+        # BEFORE the read so a concurrent erase landing mid-compaction is
+        # never cleared below without having been applied. (If the read
+        # itself sees newer stones they ARE applied too; keeping them in
+        # the file is harmless — they filter already-absent rows.)
+        applied = self._load_tombstones()
+        # Bound the snapshot at max_epoch: an epoch landing AFTER the
+        # listing above must stay live-only — folding it while leaving it
+        # above the watermark would double-count it under additive merge
+        snap = self.read(spark, as_of_epoch=max_epoch)
         new_dirname = f"_snapshot_v{max_epoch}"
         if new_dirname == prev_snap:
             new_dirname = f"_snapshot_v{max_epoch}b"
@@ -358,13 +375,21 @@ class IdempotentKeyedSink:
                 shutil.rmtree(os.path.join(self.path, d),
                               ignore_errors=True)
         # tombstoned rows were excluded from the snapshot (read() applied
-        # them) — the delete is physical now; clear the list. A crash
-        # before this line leaves tombstones filtering already-absent
-        # rows, which is harmless.
-        if self._load_tombstones():
+        # them) — those deletes are physical now; clear ONLY the stones
+        # that were loaded before the snapshot read. A stone recorded by
+        # a concurrent erase_keys mid-compaction stays in the file (its
+        # rows may sit unfolded in the snapshot) — never wiped unapplied.
+        # A crash before this line leaves applied tombstones filtering
+        # already-absent rows, which is harmless.
+        if applied:
+            applied_set = {(tuple(s["key"]), s["max_epoch"])
+                           for s in applied}
+            remaining = [s for s in self._load_tombstones()
+                         if (tuple(s["key"]), s["max_epoch"])
+                         not in applied_set]
             tmp = self._tombstone_file() + ".tmp"
             with open(tmp, "w") as f:
-                json.dump({"keys": []}, f)
+                json.dump({"keys": remaining}, f)
             os.replace(tmp, self._tombstone_file())
 
     def drop_storage(self) -> None:

@@ -184,21 +184,31 @@ def read_token_stream(spark: SparkSession, stage_dir: str,
 
 
 def _run_to_sink(result: DataFrame, sink: IdempotentKeyedSink,
-                 checkpoint_dir: str, listener=None):
+                 checkpoint_dir: str, listener=None,
+                 output_mode: str = "append", batch_fn=None):
+    """Start → drain (availableNow) → clean up — THE one
+    run-and-cleanup dance for every foreachBatch pipeline.
+    ``batch_fn`` overrides the sink's foreach_batch (multi-sink
+    fan-out); the listener is detached in a finally so a failing query
+    can't leak it onto the shared SparkSession where it would receive
+    every later query's events."""
     spark = result.sparkSession
     if listener is not None:
         spark.streams.addListener(listener)
-    q = (
-        result.writeStream
-        .outputMode("append")
-        .foreachBatch(sink.foreach_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    if listener is not None:
-        spark.streams.removeListener(listener)
+    try:
+        q = (
+            result.writeStream
+            .outputMode(output_mode)
+            .foreachBatch(batch_fn if batch_fn is not None
+                          else sink.foreach_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if listener is not None:
+            spark.streams.removeListener(listener)
 
 
 def _tmp(prefix: str) -> str:
@@ -471,20 +481,8 @@ def run_streaming_update_mode(spark: SparkSession, sf_dir: str,
                 "n_seq", "sum_tok")
     )
     sink = IdempotentKeyedSink(sink_dir or _tmp("msu_sink_"), ["ws", "source"])
-    spark_ = agg.sparkSession
-    if listener is not None:
-        spark_.streams.addListener(listener)
-    q = (
-        agg.writeStream
-        .outputMode("update")
-        .foreachBatch(sink.foreach_batch)
-        .option("checkpointLocation", checkpoint_dir or _tmp("msu_ck_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    if listener is not None:
-        spark_.streams.removeListener(listener)
+    _run_to_sink(agg, sink, checkpoint_dir or _tmp("msu_ck_"),
+                 listener=listener, output_mode="update")
     return sink.read(spark)
 
 
@@ -669,6 +667,48 @@ def run_streaming_ordered_merge_jvm(spark: SparkSession, sf_dir: str,
     )
 
 
+def _parity_shard_streams(src: DataFrame, watermark: str,
+                          max_gap_sec: int, keep_sentinels: bool):
+    """Even/odd shard split + interval-join condition — the shared,
+    parity-critical core of the stream-stream join family
+    (inner = shard_join, left/full = the outer pipelines): one
+    definition of the seq-parity predicates and the ±max_gap condition
+    so a boundary change cannot silently miss one variant.
+
+    ``keep_sentinels``: the OUTER joins must let the flush sentinels
+    FLOW THROUGH both watermark operators (outer emission needs the min
+    of both watermarks past the real data, and any sentinel predicate
+    in the plan is pushed below EventTimeWatermark — CLAUDE.md sentinel
+    invariant, join corollary), so their parity predicates admit
+    sentinel rows; the inner join drops sentinels at source instead.
+    Returns (even, odd, join condition)."""
+    is_sent = F.col("source") == SENTINEL
+    even_pred = F.col("seq") % 2 == 0
+    odd_pred = F.col("seq") % 2 == 1
+    if keep_sentinels:
+        even_pred = even_pred | is_sent
+        odd_pred = odd_pred | is_sent
+    even = (
+        src.where(even_pred)
+        .select("doc_id", F.col("seq").alias("seq_a"),
+                F.col("n_tok").alias("n_tok_a"), F.col("ts").alias("ts_a"))
+        .withWatermark("ts_a", watermark)
+    )
+    odd = (
+        src.where(odd_pred)
+        .select(F.col("doc_id").alias("doc_id_b"),
+                F.col("seq").alias("seq_b"),
+                F.col("n_tok").alias("n_tok_b"), F.col("ts").alias("ts_b"))
+        .withWatermark("ts_b", watermark)
+    )
+    cond = (
+        (even.doc_id == odd.doc_id_b)
+        & (odd.ts_b >= even.ts_a - F.expr(f"INTERVAL {max_gap_sec} SECONDS"))
+        & (odd.ts_b <= even.ts_a + F.expr(f"INTERVAL {max_gap_sec} SECONDS"))
+    )
+    return even, odd, cond
+
+
 def run_streaming_shard_join(spark: SparkSession, sf_dir: str,
                              watermark: str = "10 minutes",
                              max_gap_sec: int = 60,
@@ -681,26 +721,10 @@ def run_streaming_shard_join(spark: SparkSession, sf_dir: str,
     pairs matches the batch shard_pair_join oracle."""
     stage = _resolve_stage(spark, sf_dir, stage_dir)
     src = read_token_stream(spark, stage).where(F.col("source") != SENTINEL)
-    even = (
-        src.select("doc_id", F.col("seq").alias("seq_a"),
-                   F.col("n_tok").alias("n_tok_a"), F.col("ts").alias("ts_a"))
-        .where(F.col("seq_a") % 2 == 0)
-        .withWatermark("ts_a", watermark)
-    )
-    odd = (
-        src.select(F.col("doc_id").alias("doc_id_b"),
-                   F.col("seq").alias("seq_b"),
-                   F.col("n_tok").alias("n_tok_b"), F.col("ts").alias("ts_b"))
-        .where(F.col("seq_b") % 2 == 1)
-        .withWatermark("ts_b", watermark)
-    )
-    pairs = even.join(
-        odd,
-        (even.doc_id == odd.doc_id_b)
-        & (odd.ts_b >= even.ts_a - F.expr(f"INTERVAL {max_gap_sec} SECONDS"))
-        & (odd.ts_b <= even.ts_a + F.expr(f"INTERVAL {max_gap_sec} SECONDS")),
-        "inner",
-    ).select("doc_id", "seq_a", "seq_b", "n_tok_a", "n_tok_b")
+    even, odd, cond = _parity_shard_streams(
+        src, watermark, max_gap_sec, keep_sentinels=False)
+    pairs = even.join(odd, cond, "inner") \
+        .select("doc_id", "seq_a", "seq_b", "n_tok_a", "n_tok_b")
     sink = IdempotentKeyedSink(sink_dir or _tmp("msj_sink_"),
                                ["doc_id", "seq_a", "seq_b"])
     _run_to_sink(pairs, sink, checkpoint_dir or _tmp("msj_ck_"), listener)
@@ -741,27 +765,9 @@ def run_streaming_left_join(spark: SparkSession, sf_dir: str,
     """
     stage = _resolve_stage(spark, sf_dir, stage_dir)
     src = read_token_stream(spark, stage)
-    is_sent = F.col("source") == SENTINEL
-    even = (
-        src.where((F.col("seq") % 2 == 0) | is_sent)
-        .select("doc_id", F.col("seq").alias("seq_a"),
-                F.col("n_tok").alias("n_tok_a"), F.col("ts").alias("ts_a"))
-        .withWatermark("ts_a", watermark)
-    )
-    odd = (
-        src.where((F.col("seq") % 2 == 1) | is_sent)
-        .select(F.col("doc_id").alias("doc_id_b"),
-                F.col("seq").alias("seq_b"),
-                F.col("n_tok").alias("n_tok_b"), F.col("ts").alias("ts_b"))
-        .withWatermark("ts_b", watermark)
-    )
-    joined = even.join(
-        odd,
-        (even.doc_id == odd.doc_id_b)
-        & (odd.ts_b >= even.ts_a - F.expr(f"INTERVAL {max_gap_sec} SECONDS"))
-        & (odd.ts_b <= even.ts_a + F.expr(f"INTERVAL {max_gap_sec} SECONDS")),
-        "left_outer",
-    ).select(
+    even, odd, cond = _parity_shard_streams(
+        src, watermark, max_gap_sec, keep_sentinels=True)
+    joined = even.join(odd, cond, "left_outer").select(
         "doc_id", "seq_a", "n_tok_a",
         F.coalesce("seq_b", F.lit(-1)).alias("seq_b"),
         F.coalesce("n_tok_b", F.lit(0)).alias("n_tok_b"))
@@ -879,20 +885,8 @@ def run_streaming_leaderboard(spark: SparkSession, sf_dir: str,
              F.sum("n_tok").cast("bigint").alias("sum_tok"))
     )
     sink = IdempotentKeyedSink(sink_dir or _tmp("mslb_sink_"), ["source"])
-    spark_ = totals.sparkSession
-    if listener is not None:
-        spark_.streams.addListener(listener)
-    q = (
-        totals.writeStream
-        .outputMode("update")
-        .foreachBatch(sink.foreach_batch)
-        .option("checkpointLocation", checkpoint_dir or _tmp("mslb_ck_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    if listener is not None:
-        spark_.streams.removeListener(listener)
+    _run_to_sink(totals, sink, checkpoint_dir or _tmp("mslb_ck_"),
+                 listener=listener, output_mode="update")
     from pyspark.sql.window import Window
     out = sink.read(spark)
     w = Window.orderBy(F.desc("sum_tok"), F.asc("source"))
@@ -949,20 +943,8 @@ def run_streaming_fanout(spark: SparkSession, sf_dir: str,
         counters.foreach_batch(partials, epoch_id)
         batch.unpersist()
 
-    spark_ = src.sparkSession
-    if listener is not None:
-        spark_.streams.addListener(listener)
-    q = (
-        src.writeStream
-        .outputMode("append")
-        .foreachBatch(_fanout)
-        .option("checkpointLocation", checkpoint_dir or _tmp("msfo_ck_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    if listener is not None:
-        spark_.streams.removeListener(listener)
+    _run_to_sink(src, counters, checkpoint_dir or _tmp("msfo_ck_"),
+                 listener=listener, batch_fn=_fanout)
     totals = counters.read(spark)
     archived = (
         spark.read.parquet(archive)
@@ -993,27 +975,9 @@ def run_streaming_full_outer_join(spark: SparkSession, sf_dir: str,
     """
     stage = _resolve_stage(spark, sf_dir, stage_dir)
     src = read_token_stream(spark, stage)
-    is_sent = F.col("source") == SENTINEL
-    even = (
-        src.where((F.col("seq") % 2 == 0) | is_sent)
-        .select("doc_id", F.col("seq").alias("seq_a"),
-                F.col("n_tok").alias("n_tok_a"), F.col("ts").alias("ts_a"))
-        .withWatermark("ts_a", watermark)
-    )
-    odd = (
-        src.where((F.col("seq") % 2 == 1) | is_sent)
-        .select(F.col("doc_id").alias("doc_id_b"),
-                F.col("seq").alias("seq_b"),
-                F.col("n_tok").alias("n_tok_b"), F.col("ts").alias("ts_b"))
-        .withWatermark("ts_b", watermark)
-    )
-    joined = even.join(
-        odd,
-        (even.doc_id == odd.doc_id_b)
-        & (odd.ts_b >= even.ts_a - F.expr(f"INTERVAL {max_gap_sec} SECONDS"))
-        & (odd.ts_b <= even.ts_a + F.expr(f"INTERVAL {max_gap_sec} SECONDS")),
-        "full_outer",
-    ).select(
+    even, odd, cond = _parity_shard_streams(
+        src, watermark, max_gap_sec, keep_sentinels=True)
+    joined = even.join(odd, cond, "full_outer").select(
         F.coalesce(F.col("doc_id"), F.col("doc_id_b")).alias("doc_id"),
         F.coalesce("seq_a", F.lit(-1)).alias("seq_a"),
         F.coalesce("n_tok_a", F.lit(0)).alias("n_tok_a"),

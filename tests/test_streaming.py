@@ -591,3 +591,96 @@ def test_streaming_dim_refresh_visible_per_batch(spark):
     q.awaitTermination()
     got = {(r.k, r.label) for r in spark.read.parquet(out_dir).collect()}
     assert got == {("a", "v1"), ("b", "v2")}
+
+
+def test_sink_count_failure_never_deletes_committed_rows(spark, monkeypatch):
+    """The parquet-footer row count after an epoch write is metrics-only;
+    a transient counting error must NOT be treated as "empty batch" —
+    the fail-open path would rmtree a committed epoch's rows while the
+    checkpoint already marks the batch done (r02 review finding)."""
+    import pyarrow.parquet as _pq
+
+    sink = IdempotentKeyedSink(_mkdir(), ["k"])
+
+    def boom(*a, **k):
+        raise OSError("transient footer read failure")
+
+    monkeypatch.setattr(_pq, "ParquetDataset", boom)
+    sink.foreach_batch(spark.createDataFrame([(1, 10)], "k INT, v INT"), 0)
+    monkeypatch.undo()
+    rows = {(r.k, r.v) for r in sink.read(spark).collect()}
+    assert rows == {(1, 10)}, "count failure must keep the epoch's rows"
+
+
+def test_compact_on_never_written_sink_is_noop(spark):
+    """compact() on a sink whose stream produced zero batches (path
+    never created) is the documented nothing-to-fold no-op, not a raw
+    FileNotFoundError."""
+    sink = IdempotentKeyedSink(
+        os.path.join(_mkdir(), "never_written"), ["k"])
+    sink.compact(spark)  # must not raise
+
+
+def test_schema_file_tracks_evolution_for_fresh_process(spark):
+    """_schema.json is rewritten on schema evolution, so a FRESH process
+    reading a sink whose epochs were all reclaimed still sees the
+    EVOLVED columns (a stale narrow schema would drop them)."""
+    path = _mkdir()
+    sink = IdempotentKeyedSink(path, ["k"])
+    sink.foreach_batch(spark.createDataFrame([(1, 10)], "k INT, v INT"), 0)
+    sink.foreach_batch(spark.createDataFrame(
+        [(2, 20, "x")], "k INT, v INT, note STRING"), 1)
+    # simulate operational reclamation of every epoch + a fresh process
+    for d in os.listdir(path):
+        if d.startswith("epoch="):
+            shutil.rmtree(os.path.join(path, d))
+    fresh = IdempotentKeyedSink(path, ["k"])
+    out = fresh.read(spark)
+    assert out.count() == 0
+    assert "note" in out.columns, "evolved column lost from disk schema"
+
+
+def test_compact_keeps_tombstones_recorded_mid_compaction(spark):
+    """A tombstone recorded AFTER compact() snapshots its applied list
+    must survive the post-compaction cleanup: wiping it unapplied would
+    resurrect the erased key (fail-closed right-to-be-forgotten)."""
+    sink = IdempotentKeyedSink(_mkdir(), ["k"])
+    sink.foreach_batch(
+        spark.createDataFrame([(1, 10), (2, 20)], "k INT, v INT"), 0)
+    orig_read = sink.read
+
+    def read_with_concurrent_erase(spark_, as_of_epoch=None):
+        out = orig_read(spark_, as_of_epoch=as_of_epoch)
+        # lands between compact()'s applied-list load and its clear
+        sink.erase_keys([(2,)])
+        return out
+
+    sink.read = read_with_concurrent_erase
+    sink.compact(spark)
+    sink.read = orig_read
+    rows = {(r.k, r.v) for r in sink.read(spark).collect()}
+    assert rows == {(1, 10)}, "mid-compaction erasure was wiped unapplied"
+
+
+def test_compact_bounds_snapshot_at_listed_epochs(spark):
+    """An epoch landing mid-compaction (after the directory listing)
+    must stay live-only: folding it into the snapshot while it remains
+    above the watermark would double-count it under additive merge."""
+    from movement_spark.sinks.idempotent import AdditiveKeyedSink
+
+    sink = AdditiveKeyedSink(_mkdir(), ["k"], ["v"])
+    sink.foreach_batch(spark.createDataFrame([(1, 10)], "k INT, v INT"), 0)
+    orig_read = sink.read
+
+    def read_with_concurrent_epoch(spark_, as_of_epoch=None):
+        # a new micro-batch commits between compact()'s listing and its
+        # snapshot materialization
+        sink.foreach_batch(
+            spark.createDataFrame([(1, 5)], "k INT, v INT"), 5)
+        return orig_read(spark_, as_of_epoch=as_of_epoch)
+
+    sink.read = read_with_concurrent_epoch
+    sink.compact(spark)
+    sink.read = orig_read
+    rows = {(r.k, r.v) for r in sink.read(spark).collect()}
+    assert rows == {(1, 15)}, "mid-compaction epoch was double-counted"
