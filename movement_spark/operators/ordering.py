@@ -62,14 +62,24 @@ def merged_doc_check(tokens: DataFrame) -> DataFrame:
     """
     merged = merge_doc_shards(tokens)
     return merged.select(
-        "doc_id", "n_shard", "total_tok",
-        F.expr("aggregate(merged, 0L, (acc, x) -> acc + cast(x as bigint)) ")
+        "doc_id", "n_shard", "total_tok", *doc_digest_cols())
+
+
+def doc_digest_cols() -> list:
+    """THE digest expressions of the parity contract, over a ``merged``
+    token-array column: ``tok_sum`` (content) and ``poly_hash``
+    (order). One definition shared by merged_doc_check and both
+    streaming assembler pipelines — streaming-vs-batch parity hinges
+    on the (i+1) weight and the bigint casts staying identical in
+    every site, so they exist exactly once."""
+    return [
+        F.expr("aggregate(merged, 0L, (acc, x) -> acc + cast(x as bigint))")
         .alias("tok_sum"),
         F.expr(
             "aggregate(transform(merged, (x, i) -> cast(x as bigint) * (i + 1)),"
             " 0L, (acc, x) -> acc + x)"
         ).alias("poly_hash"),
-    )
+    ]
 
 
 # ------------------------------------------------------------ streaming ----
@@ -87,6 +97,13 @@ STATE_SCHEMA = StructType([
     StructField("toks", ArrayType(ArrayType(IntegerType()))),
     StructField("expected", IntegerType()),
 ])
+
+# `expected` sentinel marking a doc already emitted: its state row stays
+# as an empty-array tombstone until the event-time timeout clears it,
+# shielding the sink from at-least-once duplicates arriving after
+# completion (fresh state + a later timeout would otherwise emit a
+# spurious audit row over the real merged row).
+_COMPLETED = -2
 
 
 def _assemble(key, pdfs: Iterable[pd.DataFrame], state,
@@ -106,22 +123,32 @@ def _assemble(key, pdfs: Iterable[pd.DataFrame], state,
     """
     (doc_id,) = key
     if state.hasTimedOut:
-        # Watermark passed with the doc incomplete: drop-and-count policy
+        # Watermark passed. A COMPLETED marker (see below) just expires
+        # silently; an incomplete doc is the drop-and-count policy
         # (the streaming analog of dropDanglingEdges).
         if emit_incomplete and state.exists:
             seqs, _, expected = state.get
-            state.remove()
-            yield pd.DataFrame({
-                "doc_id": [doc_id],
-                "n_shard": [len(list(seqs))],
-                "total_tok": [-int(expected)],
-                "merged": [[]],
-            })
-            return
+            if expected != _COMPLETED:
+                state.remove()
+                yield pd.DataFrame({
+                    "doc_id": [doc_id],
+                    "n_shard": [len(list(seqs))],
+                    "total_tok": [-int(expected)],
+                    "merged": [[]],
+                })
+                return
         state.remove()
         return
     if state.exists:
         seqs, toks, expected = state.get
+        if expected == _COMPLETED:
+            # Doc already emitted; this batch is an at-least-once
+            # duplicate arriving AFTER completion. Without the marker it
+            # would resurrect fresh state and (under emit_incomplete)
+            # later emit a spurious audit row that overwrites the real
+            # merged row in the doc_id-keyed sink. Ignore; the marker
+            # expires with its existing timeout.
+            return
         seqs, toks = list(seqs), list(toks)
     else:
         seqs, toks, expected = [], [], -1
@@ -146,7 +173,13 @@ def _assemble(key, pdfs: Iterable[pd.DataFrame], state,
         merged = np.concatenate(
             [np.asarray(toks[k], dtype=np.int64) for k in order]
         ).astype(np.int32).tolist() if len(order) else []
-        state.remove()
+        # Leave a tiny COMPLETED marker (empty arrays) instead of
+        # removing state outright: it absorbs post-completion duplicate
+        # deliveries until the watermark clears it via the same timeout.
+        state.update(([], [], _COMPLETED))
+        if max_ts is not None:
+            state.setTimeoutTimestamp(
+                int(max_ts.timestamp() * 1000) + timeout_margin_ms)
         yield pd.DataFrame({
             "doc_id": [doc_id],
             "n_shard": [len(seqs)],

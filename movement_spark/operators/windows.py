@@ -61,18 +61,19 @@ def session_token_windows(tokens: DataFrame, gap: str = "90 seconds") -> DataFra
 
 
 def sessionize_events(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
-    """Sessionization of the generic event stream per user."""
+    """Sessionization of the generic event stream per user
+    (session_window groupBy → per-user rollup). Oracle-gated through
+    the ``events_sessionization`` query, which calls this operator."""
     sess = (
         events
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
-        .agg(F.count("*").alias("n_events"),
-             F.round(F.sum("value"), 4).alias("sum_value"))
+        .agg(F.count("*").alias("n_events"))
     )
     return (
         sess.groupBy("user_id")
         .agg(F.count("*").alias("n_sessions"),
              F.max("n_events").alias("max_session_events"),
-             F.sum("n_events").alias("total_events"))
+             F.sum("n_events").cast("bigint").alias("total_events"))
     )
 
 
@@ -146,9 +147,20 @@ def token_rate_anomalies(tokens: DataFrame, width: str = "5 minutes",
     """Self-baselined throughput anomaly scan: each (source, window)
     token volume is scored against the mean of its own trailing
     ``lookback`` windows; deviation is an integer permille
-    floor(vol * 1000 * n_prev / sum_prev) so the monitor's flags are
-    engine-exact (the production alert threshold must not depend on
-    float rounding). Windows with no history score 1000 (baseline).
+    (vol * 1000 * n_prev) div sum_prev — exact integer division, so
+    the monitor's flags are engine-exact even past 2^53 (the
+    production alert threshold must not depend on float rounding).
+    Windows with no history score 1000 (baseline); a window whose
+    whole trailing baseline is ZERO volume scores 2000 (resume after
+    silence — anomalous) when it has volume, 1000 when it is also
+    silent — never a division by zero (Spark 4 ANSI mode would throw).
+
+    Known limit (shared with the oracle, documented not hidden): the
+    trailing frame is a ROWS window over PRESENT windows — zero-volume
+    windows that produce no rows at all don't occupy frame slots, so
+    the baseline is "last N active windows", not "last N calendar
+    windows". The gap-filled calendar variant is rolling_user_features
+    / gap_fill_daily below.
 
     Scale shape: the anomaly pass runs OVER the windowed aggregate
     (already one map-side-combined shuffle); the trailing frame is a
@@ -169,9 +181,10 @@ def token_rate_anomalies(tokens: DataFrame, width: str = "5 minutes",
         .withColumn("trail_cnt", F.count("sum_tok").over(trail))
         .withColumn(
             "dev_permille",
-            F.when(F.col("trail_cnt") > 0,
-                   F.floor(F.col("sum_tok") * 1000 * F.col("trail_cnt")
-                           / F.col("trail_sum")))
+            F.when((F.col("trail_cnt") > 0) & (F.col("trail_sum") > 0),
+                   F.expr("(sum_tok * 1000L * trail_cnt) div trail_sum"))
+            .when(F.col("trail_cnt") > 0,
+                  F.when(F.col("sum_tok") > 0, 2000).otherwise(1000))
             .otherwise(1000).cast("bigint"))
         .select("ws", "source", "sum_tok",
                 F.coalesce("trail_sum", F.lit(0)).cast("bigint")
@@ -325,9 +338,21 @@ def event_type_daily_trend(events: DataFrame) -> DataFrame:
         F.sum("y").cast("bigint").alias("sy"),
         F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
         F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"))
-    num = F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")
-    den = F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")
-    return s.select(
+    nd = s.select(
+        "event_type", "n_days", "sy",
+        (F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .alias("num"),
+        (F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .alias("den"))
+    # floor(num*1000/den) computed in PURE bigint arithmetic (den > 0 by
+    # construction): float division would round in the double mantissa
+    # past 2^53. Sign-normalize so both operands are non-negative —
+    # there Spark's `div` (trunc) and DuckDB's `//` agree exactly, and
+    # the negative branch's ceiling adjustment reproduces floor.
+    return nd.select(
         "event_type", "n_days", F.col("sy").alias("total_events"),
-        F.when(den != 0, F.floor(num * 1000 / den))
+        F.when(F.col("den") != 0,
+               F.when(F.col("num") >= 0,
+                      F.expr("(num * 1000) div den"))
+               .otherwise(-F.expr("((-num) * 1000 + den - 1) div den")))
         .otherwise(F.lit(None)).cast("bigint").alias("slope_milli"))

@@ -394,17 +394,7 @@ SELECT user_id, COUNT(*) AS n_sessions, MAX(n_events) AS max_session_events,
 FROM sess GROUP BY user_id
 """)
 def q_sessionize(spark, sf_dir):
-    ev = load_table(spark, sf_dir, "events")
-    sess = (
-        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
-        .agg(F.count("*").alias("n_events"))
-    )
-    return (
-        sess.groupBy("user_id")
-        .agg(F.count("*").alias("n_sessions"),
-             F.max("n_events").alias("max_session_events"),
-             F.sum("n_events").cast("bigint").alias("total_events"))
-    )
+    return windows.sessionize_events(load_table(spark, sf_dir, "events"))
 
 
 # =====================================================================
@@ -2463,8 +2453,10 @@ d AS (
   SELECT ws, source, sum_tok,
          CAST(COALESCE(trail_sum, 0) AS BIGINT) AS trail_sum,
          CAST(COALESCE(trail_cnt, 0) AS BIGINT) AS trail_cnt,
-         CAST(CASE WHEN trail_cnt > 0
-                   THEN floor(sum_tok * 1000 * trail_cnt / trail_sum)
+         CAST(CASE WHEN trail_cnt > 0 AND trail_sum > 0
+                   THEN (sum_tok * 1000 * trail_cnt) // trail_sum
+                   WHEN trail_cnt > 0
+                   THEN CASE WHEN sum_tok > 0 THEN 2000 ELSE 1000 END
                    ELSE 1000 END AS BIGINT) AS dev_permille
   FROM t)
 SELECT *, CASE WHEN dev_permille > 1500 OR dev_permille < 500
@@ -3274,13 +3266,18 @@ s AS (
          CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
          CAST(SUM(x * x) AS BIGINT) AS sxx,
          CAST(SUM(x * y) AS BIGINT) AS sxy
-  FROM centered GROUP BY 1)
+  FROM centered GROUP BY 1),
+nd AS (
+  SELECT event_type, n_days, sy,
+         n_days * sxy - sx * sy AS num,
+         n_days * sxx - sx * sx AS den
+  FROM s)
 SELECT event_type, n_days, sy AS total_events,
-       CASE WHEN n_days * sxx - sx * sx = 0 THEN NULL
-            ELSE CAST(floor((n_days * sxy - sx * sy) * 1000
-                            / (n_days * sxx - sx * sx)) AS BIGINT)
+       CASE WHEN den = 0 THEN NULL
+            WHEN num >= 0 THEN CAST((num * 1000) // den AS BIGINT)
+            ELSE CAST(-(((-num) * 1000 + den - 1) // den) AS BIGINT)
        END AS slope_milli
-FROM s
+FROM nd
 """)
 def q_daily_trend(spark, sf_dir):
     """Exact closed-form least-squares slope of daily volume per event

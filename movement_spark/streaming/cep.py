@@ -44,12 +44,20 @@ def _runtime_available() -> bool:
         return False
 
 
-def doc_completion(shards: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+def doc_completion(shards: DataFrame, watermark: str = "10 minutes",
+                   eviction_margin_ms: int = 3_600_000) -> DataFrame:
     """Per-doc completion detector: emits one (doc_id, n_shard, total_tok)
-    row the moment all ``n_shards`` shards of a doc have been seen —
-    count-based (order-free) completion, complementing the order-based
-    assembly in ordered_doc_assembler. State is one small value row per
-    OPEN doc, cleared on emit."""
+    row the moment all ``n_shards`` DISTINCT shards of a doc have been
+    seen — count-based (order-free) completion, complementing the
+    order-based assembly in ordered_doc_assembler. State is one small
+    value row per OPEN doc, cleared on emit; a doc that never completes
+    is evicted by an event-time TIMER once the watermark passes its
+    first arrival by ``eviction_margin_ms`` (the same drop-and-forget
+    dangling policy as the assembler — without the timer, state for
+    permanently-incomplete docs would grow without bound). Duplicate
+    shard deliveries (at-least-once source) are deduped per ``seq``
+    before counting, so a replay can neither inflate ``total_tok`` nor
+    trigger a premature completion."""
     if not _runtime_available():
         raise NotImplementedError(
             "transformWithStateInPandas requires a working google.protobuf; "
@@ -61,21 +69,42 @@ def doc_completion(shards: DataFrame, watermark: str = "10 minutes") -> DataFram
 
     class DocCompletion(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle):
+            self.handle = handle
             self.state = handle.getValueState(
-                "agg", "seen INT, tok BIGINT, want INT")
+                "agg", "seqs ARRAY<INT>, tok BIGINT, want INT")
 
         def handleInputRows(self, key, rows, timer_values):
-            seen, tok, want = self.state.get() or (0, 0, -1)
+            got = self.state.get()
+            first_batch = got is None
+            seqs, tok, want = got or ([], 0, -1)
+            seen = set(seqs)
             for pdf in rows:
-                seen += len(pdf)
-                tok += int(pdf["n_tok"].sum())
+                batch = pdf.drop_duplicates(subset=["seq"], keep="first")
+                fresh = batch[~batch["seq"].isin(list(seen))]
+                fresh_seqs = fresh["seq"].astype(int).tolist()
+                seqs = list(seqs) + fresh_seqs
+                seen.update(fresh_seqs)
+                tok += int(fresh["n_tok"].sum())
                 want = int(pdf["n_shards"].iloc[-1])
-            if 0 < want <= seen:
+            if 0 < want <= len(seqs):
                 self.state.clear()
-                yield pd.DataFrame({"doc_id": [key[0]], "n_shard": [seen],
+                yield pd.DataFrame({"doc_id": [key[0]],
+                                    "n_shard": [len(seqs)],
                                     "total_tok": [tok]})
             else:
-                self.state.update((seen, tok, want))
+                self.state.update((seqs, tok, want))
+                if first_batch:
+                    # one eviction timer per open doc, armed on first
+                    # arrival: fires once the watermark has passed it by
+                    # the margin, clearing abandoned state
+                    self.handle.registerTimer(
+                        timer_values.getCurrentWatermarkInMs()
+                        + eviction_margin_ms)
+
+        def handleExpiredTimer(self, key, timer_values, expired_timer_info):
+            # drop-and-forget: the doc never completed inside the margin
+            self.state.clear()
+            yield from ()
 
         def close(self):
             pass

@@ -619,14 +619,10 @@ def run_streaming_ordered_merge(spark: SparkSession, sf_dir: str,
     sink = IdempotentKeyedSink(sink_dir or _tmp("mso_sink_"), ["doc_id"])
     _run_to_sink(merged, sink, checkpoint_dir or _tmp("mso_ck_"), listener)
     out = sink.read(spark)
+    from movement_spark.operators.ordering import doc_digest_cols
     return out.select(
         "doc_id", F.col("n_shard").cast("int").alias("n_shard"),
-        "total_tok",
-        F.expr("aggregate(merged, 0L, (acc, x) -> acc + cast(x as bigint))")
-        .alias("tok_sum"),
-        F.expr("aggregate(transform(merged, (x, i) -> cast(x as bigint) * (i + 1)),"
-               " 0L, (acc, x) -> acc + x)").alias("poly_hash"),
-    )
+        "total_tok", *doc_digest_cols())
 
 
 def run_streaming_ordered_merge_jvm(spark: SparkSession, sf_dir: str,
@@ -657,14 +653,10 @@ def run_streaming_ordered_merge_jvm(spark: SparkSession, sf_dir: str,
     sink = IdempotentKeyedSink(sink_dir or _tmp("msoj_sink_"), ["doc_id"])
     _run_to_sink(merged, sink, checkpoint_dir or _tmp("msoj_ck_"), listener)
     out = sink.read(spark)
+    from movement_spark.operators.ordering import doc_digest_cols
     return out.select(
         "doc_id", F.col("n_shard").cast("int").alias("n_shard"),
-        "total_tok",
-        F.expr("aggregate(merged, 0L, (acc, x) -> acc + cast(x as bigint))")
-        .alias("tok_sum"),
-        F.expr("aggregate(transform(merged, (x, i) -> cast(x as bigint) * (i + 1)),"
-               " 0L, (acc, x) -> acc + x)").alias("poly_hash"),
-    )
+        "total_tok", *doc_digest_cols())
 
 
 def _parity_shard_streams(src: DataFrame, watermark: str,
