@@ -72,3 +72,65 @@ def zorder_layout_stats(orders: DataFrame) -> DataFrame:
         .withColumn("day_span",
                     (F.col("max_day") - F.col("min_day")).cast("int"))
     )
+
+
+# =====================================================================
+# Bucketed (co-located) joins — the pre-shuffled layout
+# =====================================================================
+
+N_BUCKETS = 8  # matches the pinned stateful-shuffle deployment constant
+
+
+def stage_bucketed_pair(spark, orders: DataFrame, lineitem: DataFrame,
+                        base: str, tag: str) -> dict[str, str]:
+    """Write orders + lineitem as co-bucketed data-source tables.
+
+    ``bucketBy(N, key)`` is Spark's persisted hash-partitioning: both
+    tables land pre-shuffled on the join key, so every later join or
+    aggregate on that key reads bucket-aligned files with ZERO Exchange
+    — at 100 TB this converts the biggest fact-fact shuffle in the
+    system into a metadata no-op, paid once at write time. The
+    ``repartition(N, key)`` before the write uses the same hash family
+    as the bucket spec, so each task holds exactly one bucket's rows
+    and emits one file per bucket (``sortBy`` then keeps each bucket
+    file sorted, eliminating the join's per-side sort as well when
+    files stay 1:1). Returns {short_name: catalog_table_name}.
+    """
+    import os
+
+    names: dict[str, str] = {}
+    specs = (("orders", orders, "o_orderkey"),
+             ("lineitem", lineitem, "l_orderkey"))
+    for short, df, key in specs:
+        name = f"ms_bkt_{short}_{tag}"
+        (df.repartition(N_BUCKETS, F.col(key))
+         .write.mode("overwrite")
+         .option("path", os.path.join(base, short))
+         .bucketBy(N_BUCKETS, key).sortBy(key)
+         .saveAsTable(name))
+        names[short] = name
+    return names
+
+
+def colocated_order_lines(spark, orders_tbl: str,
+                          lineitem_tbl: str) -> DataFrame:
+    """Per-order line stats over the co-bucketed pair.
+
+    The whole stage — scan, sort-merge join, per-order aggregate — runs
+    inside the bucket layout: the scans report HashPartitioning on the
+    bucket key, the join consumes it on both sides, and the groupBy on
+    (o_orderkey, ...) is satisfied by the same clustering, so the plan
+    contains no Exchange at all (pinned by
+    tests/test_plans.py::test_bucketed_join_is_shuffle_free).
+    """
+    o = spark.table(orders_tbl).select("o_orderkey", "o_orderstatus")
+    li = spark.table(lineitem_tbl).select(
+        "l_orderkey", "l_extendedprice", "l_discount")
+    rev = (F.col("l_extendedprice").cast("decimal(18,4)")
+           * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)")))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderstatus")
+        .agg(F.count("*").alias("n_lines"),
+             F.sum(rev).alias("rev"))
+    )

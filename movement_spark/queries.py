@@ -3844,6 +3844,69 @@ def q_pattern_match(spark, sf_dir):
     return relational.pattern_match_stats(load_table(spark, sf_dir, "events"))
 
 
+_BUCKETED_DIRS: dict[str, str] = {}
+
+
+def _bucketed_tables(spark, sf_dir: str) -> tuple[str, str]:
+    """Stage (once per process+sf_dir) the co-bucketed orders/lineitem
+    pair and return their catalog table names. Re-stages if a fresh
+    SparkSession lost the catalog entries (saveAsTable metadata is
+    session-scoped even though the files persist)."""
+    import tempfile
+    import zlib
+
+    from movement_spark.operators.layout import stage_bucketed_pair
+
+    tag = format(zlib.crc32(sf_dir.encode()), "08x")
+    names = {s: f"ms_bkt_{s}_{tag}" for s in ("orders", "lineitem")}
+    base = _BUCKETED_DIRS.get(sf_dir)
+    if base is None or not all(
+            spark.catalog.tableExists(n) for n in names.values()):
+        base = tempfile.mkdtemp(prefix="ms_bkt_")
+        stage_bucketed_pair(
+            spark,
+            load_table(spark, sf_dir, "orders"),
+            load_table(spark, sf_dir, "lineitem"),
+            base, tag)
+        _BUCKETED_DIRS[sf_dir] = base
+    return names["orders"], names["lineitem"]
+
+
+@register("bucketed_colocated_join", """
+WITH per_order AS (
+  SELECT o_orderkey, o_orderstatus, COUNT(*) AS n_lines,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+             (1 - CAST(l_discount AS DECIMAL(18,4)))) AS rev
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_orderkey, o_orderstatus)
+SELECT o_orderstatus, n_lines, COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(rev), 2) AS DOUBLE) AS sum_rev,
+       MAX(o_orderkey) AS max_key
+FROM per_order GROUP BY 1, 2
+""")
+def q_bucketed_join(spark, sf_dir):
+    """Co-bucketed fact-fact join — the pre-shuffled layout. Both fact
+    tables are written ``bucketBy(8, order key)`` (operators/layout.py:
+    stage_bucketed_pair), so the lineitem⋈orders join AND the per-order
+    aggregate run with zero Exchange: the scans themselves report the
+    hash partitioning the join needs. This is the batch analog of the
+    reference keeping its WorkChunk streams pre-partitioned by id range
+    (RangedWorkChunkDriver, SURVEY.md §2.2) — pay the shuffle once at
+    write time, never again per query. Shuffle-freedom is pinned by
+    tests/test_plans.py::test_bucketed_join_is_shuffle_free; parity with
+    the plain (unbucketed) join proves the layout lossless."""
+    from movement_spark.operators.layout import colocated_order_lines
+
+    o_tbl, li_tbl = _bucketed_tables(spark, sf_dir)
+    per_order = colocated_order_lines(spark, o_tbl, li_tbl)
+    return (
+        per_order.groupBy("o_orderstatus", "n_lines")
+        .agg(F.count("*").alias("n_orders"),
+             F.round(F.sum("rev"), 2).cast("double").alias("sum_rev"),
+             F.max("o_orderkey").alias("max_key"))
+    )
+
+
 # ---------------------------------------------------------------------
 # Driver-gate ordering. The correctness sweep evaluates the registry in
 # insertion order, and round 1's sweep was cut off after ~49 entries —
@@ -3855,6 +3918,7 @@ def q_pattern_match(spark, sf_dir):
 # ---------------------------------------------------------------------
 _FRONT = [
     # Never driver-verified (added after the r02 gate ran) — first.
+    "bucketed_colocated_join",
     "pattern_match_stats",
     "streaming_fanout_counters",
     "streaming_full_outer_join",

@@ -165,3 +165,24 @@ def test_partitioned_read_prunes(spark, sf_dir):
     pf = txt[txt.index("PartitionFilters"):]
     pf = pf[:pf.index("]") + 1]
     assert "event_type" in pf, f"partition filter missing: {pf}"
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    """The co-bucketed orders/lineitem pair must join AND aggregate
+    per-order with zero Exchange: the bucketed scans already provide
+    the hash partitioning the SortMergeJoin and groupBy need. Broadcast
+    is disabled so the test exercises the layout, not the small-side
+    shortcut that sf0.001 would otherwise take."""
+    from movement_spark.operators.layout import colocated_order_lines
+    from movement_spark.queries import _bucketed_tables
+
+    o_tbl, li_tbl = _bucketed_tables(spark, sf_dir)
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = colocated_order_lines(spark, o_tbl, li_tbl)
+        txt = explain_text(df)
+        assert "SortMergeJoin" in txt, txt
+        assert "Exchange" not in txt, txt
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
