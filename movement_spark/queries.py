@@ -3820,6 +3820,28 @@ def q_streaming_full_outer_join(spark, sf_dir):
     return run_streaming_full_outer_join(spark, sf_dir)
 
 
+@register("streaming_join_then_window", with_token_cte("""
+, even AS (SELECT doc_id, ts AS ts_a, n_tok AS n_tok_a
+           FROM token_sequences WHERE seq % 2 = 0),
+odd  AS (SELECT doc_id, ts AS ts_b, n_tok AS n_tok_b
+         FROM token_sequences WHERE seq % 2 = 1)
+SELECT CAST(epoch(time_bucket(INTERVAL 5 MINUTES, e.ts_a)) AS BIGINT) AS ws,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(e.n_tok_a + o.n_tok_b) AS BIGINT) AS pair_tok
+FROM even e JOIN odd o
+  ON e.doc_id = o.doc_id AND abs(epoch(e.ts_a) - epoch(o.ts_b)) <= 60
+GROUP BY 1
+"""))
+def q_streaming_join_then_window(spark, sf_dir):
+    """TWO stateful operators chained in ONE streaming query: interval
+    join state feeding tumbling-window aggregation state (no
+    intermediate sink). Checked against the batch join+GROUP BY
+    time_bucket oracle."""
+    from movement_spark.streaming.pipeline import (
+        run_streaming_join_then_window)
+    return run_streaming_join_then_window(spark, sf_dir)
+
+
 @register("pattern_match_stats", """
 WITH s AS (
   SELECT user_id, COUNT(*) AS n_events,
@@ -3918,6 +3940,7 @@ def q_bucketed_join(spark, sf_dir):
 # ---------------------------------------------------------------------
 _FRONT = [
     # Never driver-verified (added after the r02 gate ran) — first.
+    "streaming_join_then_window",
     "bucketed_colocated_join",
     "pattern_match_stats",
     "streaming_fanout_counters",

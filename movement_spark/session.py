@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 import tempfile
 import zipfile
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -75,6 +76,53 @@ def ensure_shipped(spark: SparkSession) -> None:
                     zf.write(full, rel)
     sc.addPyFile(zip_path)
     sc._movement_spark_shipped = True
+
+
+_STATE_PROVIDERS = {
+    "rocksdb": ("org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider"),
+    "hdfs": ("org.apache.spark.sql.execution.streaming.state."
+             "HDFSBackedStateStoreProvider"),
+}
+
+
+@contextmanager
+def state_backend(spark: SparkSession, backend: str = "rocksdb"):
+    """Pin the state-store backend for streaming queries STARTED inside
+    the block (the provider is captured at query start and pinned into
+    the checkpoint; it cannot change across a resume).
+
+    ``rocksdb`` is the deployment backend for the 100 TB target: state
+    lives off-heap/on-disk per executor instead of in the JVM heap, so
+    per-key state (open docs in the CEP assembler, join buffers) scales
+    with local disk, not memory — with changelog checkpointing enabled
+    so per-batch checkpoint cost is the delta, not a full SST upload.
+    The sandbox default stays HDFSBacked (in-memory) because at oracle
+    scale the RocksDB JNI round trip is pure overhead; this context
+    manager is how benches/tests opt pipelines into the scale backend
+    and prove result parity between the two.
+    """
+    keys = {
+        "spark.sql.streaming.stateStore.providerClass":
+            _STATE_PROVIDERS[backend],
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled": "true",
+    }
+    prior: dict[str, str | None] = {}
+    for k, v in keys.items():
+        try:
+            prior[k] = spark.conf.get(k)
+        except Exception:
+            prior[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield spark
+    finally:
+        for k, old in prior.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)
 
 
 def tune_session(spark: SparkSession) -> SparkSession:

@@ -991,3 +991,47 @@ def run_streaming_full_outer_join(spark: SparkSession, sf_dir: str,
              F.sum(F.col("n_tok_a") + F.col("n_tok_b")).cast("bigint")
              .alias("pair_tok"))
     )
+
+
+def run_streaming_join_then_window(spark: SparkSession, sf_dir: str,
+                                   watermark: str = "10 minutes",
+                                   max_gap_sec: int = 60,
+                                   width: str = "5 minutes",
+                                   stage_dir: str | None = None,
+                                   sink_dir: str | None = None,
+                                   checkpoint_dir: str | None = None,
+                                   listener=None) -> DataFrame:
+    """TWO chained stateful operators in ONE streaming query: the
+    watermarked stream-stream interval join feeds a tumbling window
+    aggregation downstream — join state AND window state live in the
+    same query (Spark's multiple-stateful-operator support), so pair
+    throughput per window emits end-to-end without an intermediate
+    sink. This is the reference's Emitter→(zip)→Encoder→Output chain
+    with BOTH coordination stages stateful (PinionSystem zip feeding
+    the windowed OutputMonitor counters) rather than one-per-query.
+
+    Sentinel discipline: sentinels flow through both pre-join
+    watermarks (keep_sentinels=True; the downstream append-mode window
+    only emits once the post-join watermark passes it) and their
+    far-future self-pairs are cut INSIDE the plan by a predicate on the
+    window column — the one filter shape that cannot be pushed below
+    the EventTimeWatermark nodes (CLAUDE.md sentinel invariant).
+    """
+    stage = _resolve_stage(spark, sf_dir, stage_dir)
+    src = read_token_stream(spark, stage)
+    even, odd, cond = _parity_shard_streams(
+        src, watermark, max_gap_sec, keep_sentinels=True)
+    flush_cut = F.timestamp_seconds(F.lit(EPOCH_2026 + TS_MOD + 3600))
+    agg = (
+        even.join(odd, cond, "inner")
+        .groupBy(F.window("ts_a", width).alias("w"))
+        .agg(F.count("*").alias("n_pairs"),
+             F.sum(F.col("n_tok_a") + F.col("n_tok_b")).cast("bigint")
+             .alias("pair_tok"))
+        .where(F.col("w.start") < flush_cut)
+        .select(F.unix_timestamp("w.start").alias("ws"),
+                "n_pairs", "pair_tok")
+    )
+    sink = IdempotentKeyedSink(sink_dir or _tmp("msjw_sink_"), ["ws"])
+    _run_to_sink(agg, sink, checkpoint_dir or _tmp("msjw_ck_"), listener)
+    return sink.read(spark)
