@@ -259,3 +259,57 @@ def bfs_depth_profile(tokens: DataFrame, rounds: int = 3,
     return tokens.sparkSession.createDataFrame(
         rows, schema="depth int, n_vertices bigint, min_tok int, "
                      "max_tok int")
+
+
+def connected_components(verts: DataFrame, edges: DataFrame,
+                         max_rounds: int = 16) -> DataFrame:
+    """Pointer-doubling connected components: O(log d) rounds instead
+    of the O(d) min-label propagation in dedup._propagate_min_labels
+    (whose docstring points here for deep graphs).
+
+    ``verts`` is (id: bigint), ``edges`` is (a, b) unordered pairs over
+    those ids. Each round does (1) a neighbor-min step — every vertex's
+    parent drops to the min parent in its closed neighborhood, one
+    shuffle keyed by dst — and (2) a pointer-doubling step — parent :=
+    parent(parent), a self-join on the parent column, so label chains
+    halve every round. Parents are monotone non-increasing and every
+    label is a live vertex id, which makes the doubling join an inner
+    equi-join and the fixpoint the component-min label (at a fixpoint
+    both endpoints of every edge share a label, and the min vertex can
+    only point at itself). Driver holds one convergence scalar per
+    round; all data stays distributed. Returns (id, component).
+    """
+    sym = edges.select("a", "b").unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym = sym.cache()
+    # localCheckpoint (not cache) each round: the doubling step self-joins
+    # the round's frame, so an uncut lineage would double in size every
+    # round and the optimizer itself becomes the memory bound. Truncating
+    # keeps each round's plan constant-size; data stays on executors.
+    p = verts.select("id", F.col("id").alias("p")).localCheckpoint()
+    prev_sum = None
+    converged = False
+    for _ in range(max_rounds):
+        nbr = (
+            sym.join(p, sym.a == p.id)
+            .groupBy(F.col("b").alias("nid"))
+            .agg(F.min("p").alias("nbr_p"))
+        )
+        p1 = (
+            p.join(nbr, p.id == nbr.nid, "left")
+            .select("id", F.least("p", F.coalesce("nbr_p", "p")).alias("p"))
+        )
+        grand = p1.select(F.col("id").alias("pid"), F.col("p").alias("gp"))
+        p = p1.join(grand, p1.p == grand.pid) \
+            .select("id", F.col("gp").alias("p")).localCheckpoint()
+        cur_sum = p.agg(F.sum("p")).collect()[0][0]
+        if cur_sum == prev_sum:
+            converged = True
+            break
+        prev_sum = cur_sum
+    sym.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"pointer-doubling components did not converge within "
+            f"{max_rounds} rounds — need > {1 << max_rounds} diameter")
+    return p.select("id", F.col("p").alias("component"))

@@ -532,6 +532,30 @@ def q_dup_clusters(spark, sf_dir):
         token_sequences(spark, sf_dir, keep_did=True))
 
 
+@register("cc_pointer_doubling",
+          _CLUSTER_SQL.format(token_cte=TOKEN_SEQ_DUCKDB_CTE))
+def q_cc_pointer_doubling(spark, sf_dir):
+    """Connected components via POINTER DOUBLING (graph.py:
+    connected_components, O(log d) rounds) over the same sampled
+    near-dup candidate graph and the same recursive-CTE oracle as
+    dedup_cluster_components — the two component algorithms
+    cross-validate through one oracle."""
+    from movement_spark.operators.graph import connected_components
+    toks = token_sequences(spark, sf_dir, keep_did=True)
+    verts = (toks.where(F.col("did") % 25 == 0)
+             .select(F.col("did").alias("id")).distinct())
+    pairs = dedup.ngram_jaccard_pairs(toks, sample_mod=25).select(
+        F.substring("doc_a", 2, 19).cast("bigint").alias("a"),
+        F.substring("doc_b", 2, 19).cast("bigint").alias("b"))
+    comp = connected_components(verts, pairs)
+    return (
+        comp.groupBy("component")
+        .agg(F.count("*").alias("n_docs"),
+             F.min(F.concat(F.lit("d"), F.col("id").cast("string")))
+             .alias("rep_doc"))
+    )
+
+
 @register("simhash_docs", _SIMHASH_SQL)
 def q_simhash(spark, sf_dir):
     return dedup.simhash_docs(token_sequences(spark, sf_dir, keep_did=True))
@@ -3941,6 +3965,7 @@ def q_bucketed_join(spark, sf_dir):
 _FRONT = [
     # Never driver-verified (added after the r02 gate ran) — first.
     "streaming_join_then_window",
+    "cc_pointer_doubling",
     "bucketed_colocated_join",
     "pattern_match_stats",
     "streaming_fanout_counters",

@@ -461,3 +461,24 @@ def test_bfs_golden_chain(spark):
     got = {r.depth: (r.n_vertices, r.min_tok, r.max_tok)
            for r in bfs_depth_profile(toks).collect()}
     assert got == {0: (1, 0, 0), 1: (1, 1, 1), 2: (1, 2, 2), 3: (1, 3, 3)}
+
+
+def test_pointer_doubling_handles_deep_chains(spark):
+    """A 64-vertex path graph (diameter 63) — far beyond the 20-round
+    cap that makes plain min-label propagation raise — must fully
+    converge under pointer doubling in <= ceil(log2) + const rounds,
+    labeling every vertex with the component min. Two disjoint paths
+    guard against a single global min masking a merge bug."""
+    from movement_spark.operators.graph import connected_components
+
+    n = 64
+    verts = spark.range(2 * n).select(F.col("id"))
+    chain = spark.range(n - 1)
+    edges = chain.select(F.col("id").alias("a"),
+                         (F.col("id") + 1).alias("b")) \
+        .unionByName(chain.select((F.col("id") + n).alias("a"),
+                                  (F.col("id") + n + 1).alias("b")))
+    out = connected_components(verts, edges, max_rounds=10)
+    got = {(r.id, r.component) for r in out.collect()}
+    want = {(i, 0) for i in range(n)} | {(i, n) for i in range(n, 2 * n)}
+    assert got == want
