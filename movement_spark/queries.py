@@ -702,6 +702,34 @@ def q_idle_rich(spark, sf_dir):
         load_table(spark, sf_dir, "customer"))
 
 
+@register("customer_order_distribution", """
+WITH per_cust AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey)
+SELECT c_count, COUNT(*) AS custdist
+FROM per_cust GROUP BY c_count
+""")
+def q_customer_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: distribution of customers by order count,
+    INCLUDING zero-order customers (the left-join null group). Scale
+    shape: aggregate orders FIRST (one shuffle over the fact keyed by
+    custkey, map-side combined), then join the small per-customer
+    counts to the dim — never the row-level fact-dim join Q13 is
+    usually written as; the second agg runs over |customer| rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    per_cust_orders = orders.groupBy("o_custkey") \
+        .agg(F.count("*").alias("n_orders"))
+    per_cust = (
+        customer.select("c_custkey")
+        .join(per_cust_orders,
+              customer.c_custkey == per_cust_orders.o_custkey, "left")
+        .select(F.coalesce("n_orders", F.lit(0)).alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
 @register("grouping_sets_volume", """
 SELECT r_name, c_mktsegment, COUNT(*) AS n_cust,
        CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_bal
@@ -3866,7 +3894,7 @@ def q_streaming_join_then_window(spark, sf_dir):
     return run_streaming_join_then_window(spark, sf_dir)
 
 
-@register("pattern_match_stats", """
+_PATTERN_MATCH_SQL = """
 WITH s AS (
   SELECT user_id, COUNT(*) AS n_events,
          string_agg(substr(event_type, 1, 1), ''
@@ -3881,13 +3909,48 @@ SELECT user_id, n_events,
        CAST(COALESCE(list_max(list_transform(ms, x -> length(x))), 0)
             AS INT) AS max_match_len
 FROM m
-""")
+"""
+
+
+@register("streaming_window_rollup", with_token_cte("""
+, fine AS (
+  SELECT time_bucket(INTERVAL 5 MINUTES, ts) AS w5, source,
+         COUNT(*) AS n_seq, CAST(SUM(n_tok) AS BIGINT) AS sum_tok
+  FROM token_sequences GROUP BY 1, 2)
+SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, w5)) AS BIGINT) AS ws,
+       source,
+       COUNT(*) AS n_fine,
+       CAST(SUM(n_seq) AS BIGINT) AS n_seq,
+       CAST(SUM(sum_tok) AS BIGINT) AS sum_tok
+FROM fine GROUP BY 1, 2
+"""))
+def q_streaming_window_rollup(spark, sf_dir):
+    """Chained window aggregations in ONE streaming query: 5-minute
+    per-source partials re-windowed into 1-hour totals (multiple
+    stateful operators, shape #2 beside join→window). Oracle: the same
+    two-level rollup in SQL."""
+    from movement_spark.streaming.pipeline import run_streaming_window_rollup
+    return run_streaming_window_rollup(spark, sf_dir)
+
+
+@register("pattern_match_stats", _PATTERN_MATCH_SQL)
 def q_pattern_match(spark, sf_dir):
     """MATCH_RECOGNIZE-lite CEP: per-user ordered event stream encoded
     as a char sequence, pattern v+cp (views → click → purchase) scanned
     with leftmost non-overlapping semantics — SQL:2016 row-pattern
     matching as a pure column expression."""
     return relational.pattern_match_stats(load_table(spark, sf_dir, "events"))
+
+
+@register("streaming_pattern_match", _PATTERN_MATCH_SQL)
+def q_streaming_pattern_match(spark, sf_dir):
+    """The STREAMING half of the CEP matcher: applyInPandasWithState
+    buffers each user's events and emits the pattern stats when the
+    watermark closes the activity episode (operators/patterns.py) —
+    same oracle as the batch pattern_match_stats, so the stateful and
+    columnar implementations cross-validate."""
+    from movement_spark.streaming.pipeline import run_streaming_pattern_match
+    return run_streaming_pattern_match(spark, sf_dir)
 
 
 _BUCKETED_DIRS: dict[str, str] = {}
@@ -3966,6 +4029,9 @@ _FRONT = [
     # Never driver-verified (added after the r02 gate ran) — first.
     "streaming_join_then_window",
     "cc_pointer_doubling",
+    "streaming_pattern_match",
+    "customer_order_distribution",
+    "streaming_window_rollup",
     "bucketed_colocated_join",
     "pattern_match_stats",
     "streaming_fanout_counters",

@@ -1035,3 +1035,80 @@ def run_streaming_join_then_window(spark: SparkSession, sf_dir: str,
     sink = IdempotentKeyedSink(sink_dir or _tmp("msjw_sink_"), ["ws"])
     _run_to_sink(agg, sink, checkpoint_dir or _tmp("msjw_ck_"), listener)
     return sink.read(spark)
+
+
+def run_streaming_pattern_match(spark: SparkSession, sf_dir: str,
+                                pattern: str = "v+cp",
+                                watermark: str = "1 day",
+                                stage_dir: str | None = None,
+                                sink_dir: str | None = None,
+                                checkpoint_dir: str | None = None,
+                                files_per_trigger: int | None = None,
+                                listener=None) -> DataFrame:
+    """Streaming CEP row-pattern matching over the events stream: the
+    stateful matcher (operators/patterns.py:user_pattern_stats) closes
+    each user's activity episode on event-time timeout and emits the
+    MATCH_RECOGNIZE stats row; the sink is keyed by user_id. Sentinel
+    rows become the user_id = -1 episode and are dropped after the
+    stateful stage (a post-stage filter cannot be pushed below the
+    watermark through a Python stage)."""
+    from movement_spark.operators.patterns import user_pattern_stats
+
+    stage = _resolve_stage(spark, sf_dir, stage_dir, "events")
+    src = (spark.readStream.schema(EVENTS_SCHEMA)
+           .option("maxFilesPerTrigger",
+                   files_per_trigger or _auto_trigger(stage))
+           .parquet(stage))
+    stats = user_pattern_stats(src, pattern=pattern, watermark=watermark) \
+        .where(F.col("user_id") >= 0)
+    sink = IdempotentKeyedSink(sink_dir or _tmp("mspm_sink_"), ["user_id"])
+    _run_to_sink(stats, sink, checkpoint_dir or _tmp("mspm_ck_"), listener)
+    return sink.read(spark)
+
+
+def run_streaming_window_rollup(spark: SparkSession, sf_dir: str,
+                                fine: str = "5 minutes",
+                                coarse: str = "1 hour",
+                                watermark: str = "10 minutes",
+                                stage_dir: str | None = None,
+                                sink_dir: str | None = None,
+                                checkpoint_dir: str | None = None,
+                                listener=None) -> DataFrame:
+    """Chained WINDOW aggregations in one streaming query (the second
+    multiple-stateful-operator shape, next to join→window): 5-minute
+    per-source partials re-aggregated into 1-hour totals by windowing
+    ON the first aggregate's window column — the streaming form of a
+    multiresolution rollup chain (batch analog: multires_rollup_chain).
+    At scale this is how a high-resolution stream feeds a low-
+    resolution dashboard without a second pipeline or an intermediate
+    sink: both window states advance on one watermark front, and the
+    coarse agg reads the fine agg's EMITTED rows (append semantics).
+
+    Sentinels flow through the watermark untouched; their far-future
+    fine windows are cut AFTER the coarse aggregation by a predicate on
+    the coarse window column (the only pushdown-safe filter shape —
+    cutting between the two aggs would push below the first window)."""
+    stage = _resolve_stage(spark, sf_dir, stage_dir)
+    src = read_token_stream(spark, stage)
+    flush_cut = F.timestamp_seconds(F.lit(EPOCH_2026 + TS_MOD + 3600))
+    fine_agg = (
+        src.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", fine).alias("w5"), "source")
+        .agg(F.count("*").alias("n_seq"),
+             F.sum("n_tok").cast("bigint").alias("sum_tok"))
+    )
+    coarse_agg = (
+        fine_agg
+        .groupBy(F.window(F.col("w5"), coarse).alias("w"), "source")
+        .agg(F.count("*").alias("n_fine"),
+             F.sum("n_seq").cast("bigint").alias("n_seq"),
+             F.sum("sum_tok").cast("bigint").alias("sum_tok"))
+        .where(F.col("w.start") < flush_cut)
+        .select(F.unix_timestamp("w.start").alias("ws"), "source",
+                "n_fine", "n_seq", "sum_tok")
+    )
+    sink = IdempotentKeyedSink(sink_dir or _tmp("mswr_sink_"),
+                               ["ws", "source"])
+    _run_to_sink(coarse_agg, sink, checkpoint_dir or _tmp("mswr_ck_"),
+                 listener)
+    return sink.read(spark)

@@ -722,3 +722,23 @@ def test_ordered_merge_on_rocksdb_state_store(spark, sf_dir):
         .withColumn("n_shard", F.col("n_shard").cast("int"))
     assert result.count() == expected.count()
     assert result.exceptAll(expected).count() == 0
+
+
+def test_pattern_match_invariant_to_batch_boundaries(spark, sf_dir):
+    """The CEP matcher's episode-close timeout must not fire mid-history:
+    with one file per micro-batch (many watermark advances instead of
+    the auto-fast single hop) every user must still emit exactly one
+    whole-history row equal to the batch matcher's."""
+    from movement_spark.operators.relational import pattern_match_stats
+    from movement_spark.streaming.pipeline import run_streaming_pattern_match
+    from movement_spark.sources.tables import load_table
+
+    result = run_streaming_pattern_match(
+        spark, sf_dir, stage_dir=_mkdir(), sink_dir=_mkdir(),
+        checkpoint_dir=_mkdir(), files_per_trigger=1)
+    expected = pattern_match_stats(load_table(spark, sf_dir, "events")) \
+        .withColumn("n_matches", F.col("n_matches").cast("int")) \
+        .withColumn("sum_match_len", F.col("sum_match_len").cast("int")) \
+        .withColumn("max_match_len", F.col("max_match_len").cast("int"))
+    assert result.count() == expected.count()
+    assert result.exceptAll(expected).count() == 0
