@@ -183,6 +183,9 @@ def read_token_stream(spark: SparkSession, stage_dir: str,
     )
 
 
+STATE_PARTITIONS = 8  # pinned deployment constant (see CLAUDE.md / SCALE.md)
+
+
 def _run_to_sink(result: DataFrame, sink: IdempotentKeyedSink,
                  checkpoint_dir: str, listener=None,
                  output_mode: str = "append", batch_fn=None):
@@ -191,10 +194,20 @@ def _run_to_sink(result: DataFrame, sink: IdempotentKeyedSink,
     ``batch_fn`` overrides the sink's foreach_batch (multi-sink
     fan-out); the listener is detached in a finally so a failing query
     can't leak it onto the shared SparkSession where it would receive
-    every later query's events."""
+    every later query's events.
+
+    Stateful shuffle partitions are scoped to the pinned deployment
+    constant around query START (the value is captured into the
+    checkpoint and can never change across a resume — pinning here
+    keeps every pipeline and every resume on one constant instead of
+    inheriting whatever the ambient session uses; it also cuts
+    state-store commit fan-out ~4x at oracle scale). The ambient value
+    is restored for the caller's batch plans."""
     spark = result.sparkSession
     if listener is not None:
         spark.streams.addListener(listener)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STATE_PARTITIONS))
     try:
         q = (
             result.writeStream
@@ -207,6 +220,7 @@ def _run_to_sink(result: DataFrame, sink: IdempotentKeyedSink,
         )
         q.awaitTermination()
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         if listener is not None:
             spark.streams.removeListener(listener)
 
