@@ -53,6 +53,7 @@ class ProgressRecord:
     observed: dict = field(default_factory=dict)
     state_rows: int = 0
     rows_dropped_late: int = 0
+    state_operators: list = field(default_factory=list)
 
 
 class RuntimeMetricsListener(StreamingQueryListener):
@@ -82,6 +83,7 @@ class RuntimeMetricsListener(StreamingQueryListener):
             observed=p.get("observedMetrics", {}),
             state_rows=state_rows,
             rows_dropped_late=dropped,
+            state_operators=[s.get("operatorName", "") for s in state_ops],
         )
         self.records.append(rec)
         self.total_rows += rec.num_input_rows

@@ -742,3 +742,29 @@ def test_pattern_match_invariant_to_batch_boundaries(spark, sf_dir):
         .withColumn("max_match_len", F.col("max_match_len").cast("int"))
     assert result.count() == expected.count()
     assert result.exceptAll(expected).count() == 0
+
+
+def test_chained_pipelines_run_two_stateful_operators(spark, sf_dir):
+    """The multiple-stateful-operator claims, asserted from the engine's
+    own progress records: join→window runs a symmetric-hash-join AND a
+    window aggregation in one query; the 5min→1h rollup runs TWO window
+    aggregations — not one operator with a rewritten plan."""
+    from movement_spark.streaming.pipeline import (
+        run_streaming_join_then_window, run_streaming_window_rollup)
+
+    lst = RuntimeMetricsListener()
+    run_streaming_join_then_window(
+        spark, sf_dir, stage_dir=_mkdir(), sink_dir=_mkdir(),
+        checkpoint_dir=_mkdir(), listener=lst)
+    ops = {op for r in lst.records for op in r.state_operators}
+    assert any("symmetricHashJoin" in o for o in ops), ops
+    assert any("stateStoreSave" in o for o in ops), ops
+
+    lst2 = RuntimeMetricsListener()
+    run_streaming_window_rollup(
+        spark, sf_dir, stage_dir=_mkdir(), sink_dir=_mkdir(),
+        checkpoint_dir=_mkdir(), listener=lst2)
+    per_batch = {tuple(r.state_operators) for r in lst2.records}
+    assert all(len(t) == 2 for t in per_batch), per_batch
+    assert all(all("stateStoreSave" in o for o in t) for t in per_batch), \
+        per_batch
