@@ -391,3 +391,40 @@ def weighted_sample_manifest(documents: DataFrame,
              F.sum("w").cast("bigint").alias("sum_weight"),
              F.max("prio").cast("bigint").alias("cutoff_prio"))
     )
+
+
+def leakage_safe_split_stats(tokens: DataFrame, sample_mod: int = 25,
+                             max_iters: int = 20) -> DataFrame:
+    """Near-dup-aware train/val/test split: assign every doc to the
+    split of its DUPLICATE-CLUSTER representative (the min-did label
+    from the candidate-graph components), so two near-duplicates can
+    never land in different splits — the leakage guard a naive per-doc
+    hash split lacks. Emits per-split docs/clusters/tokens plus
+    ``would_leak_docs``: docs whose naive own-id split differs from
+    their cluster split, i.e. exactly the contamination the operator
+    prevents.
+
+    Scale shape: label propagation is the dedup components loop (one
+    shuffle per round over candidate edges); everything after is one
+    doc-level join plus one tiny aggregate. Split assignment stays the
+    same integer hash as dataset_split_stats — only the KEY changes
+    (cluster label instead of own id)."""
+    from movement_spark.operators.dedup import _sampled_component_labels
+
+    sample, labels = _sampled_component_labels(tokens, sample_mod,
+                                               max_iters)
+    docs = sample.groupBy("doc_id", "did").agg(
+        F.sum("n_tok").cast("bigint").alias("tok"))
+    labeled = docs.join(labels, "doc_id")
+    assigned = labeled.select(
+        "tok", "label",
+        split_column(F.col("label")).alias("split"),
+        split_column(F.col("did")).alias("naive_split"))
+    return (
+        assigned.groupBy("split")
+        .agg(F.count("*").alias("n_docs"),
+             F.countDistinct("label").alias("n_clusters"),
+             F.sum("tok").cast("bigint").alias("sum_tok"),
+             F.sum((F.col("naive_split") != F.col("split")).cast("int"))
+             .cast("bigint").alias("would_leak_docs"))
+    )

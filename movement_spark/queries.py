@@ -487,7 +487,7 @@ FROM votes GROUP BY doc_id
 """)
 
 
-_CLUSTER_SQL = f"""
+_CLUSTER_PREFIX = f"""
 WITH RECURSIVE {{token_cte}},
 sample_docs AS (SELECT * FROM token_sequences WHERE did % 25 = 0),
 grams AS (
@@ -516,6 +516,9 @@ reach AS (
   UNION
   SELECT e.dst AS doc, r.label AS label FROM reach r JOIN edges e ON e.src = r.doc),
 comp AS (SELECT doc, MIN(label) AS component FROM reach GROUP BY doc)
+"""
+
+_CLUSTER_SQL = _CLUSTER_PREFIX + """
 SELECT component, COUNT(*) AS n_docs, MIN(doc) AS rep_doc
 FROM comp GROUP BY component
 """
@@ -554,6 +557,44 @@ def q_cc_pointer_doubling(spark, sf_dir):
              F.min(F.concat(F.lit("d"), F.col("id").cast("string")))
              .alias("rep_doc"))
     )
+
+
+def _leakage_split_sql() -> str:
+    from movement_spark.operators.dataset import (
+        SPLIT_A, SPLIT_B, SPLIT_P, TRAIN_PCT, VAL_PCT)
+    case = ("CASE WHEN (({k} * %d + %d) %% %d) %% 100 < %d THEN 'train' "
+            "WHEN (({k} * %d + %d) %% %d) %% 100 < %d THEN 'val' "
+            "ELSE 'test' END") % (
+        SPLIT_A, SPLIT_B, SPLIT_P, TRAIN_PCT,
+        SPLIT_A, SPLIT_B, SPLIT_P, TRAIN_PCT + VAL_PCT)
+    return _CLUSTER_PREFIX + f"""
+, doc_tok AS (
+  SELECT doc_id, did, CAST(SUM(n_tok) AS BIGINT) AS tok
+  FROM sample_docs GROUP BY 1, 2),
+assigned AS (
+  SELECT d.tok, c.component AS label,
+         {case.format(k='c.component')} AS split,
+         {case.format(k='d.did')} AS naive_split
+  FROM doc_tok d JOIN comp c ON c.doc = d.doc_id)
+SELECT split, COUNT(*) AS n_docs,
+       COUNT(DISTINCT label) AS n_clusters,
+       CAST(SUM(tok) AS BIGINT) AS sum_tok,
+       CAST(SUM(CASE WHEN naive_split <> split THEN 1 ELSE 0 END)
+            AS BIGINT) AS would_leak_docs
+FROM assigned GROUP BY split
+"""
+
+
+@register("leakage_safe_split_stats",
+          _leakage_split_sql().format(token_cte=TOKEN_SEQ_DUCKDB_CTE))
+def q_leakage_safe_split(spark, sf_dir):
+    """Near-dup-aware train/val/test split: every doc takes its
+    duplicate-CLUSTER representative's hash split, so near-duplicates
+    can never straddle splits; would_leak_docs counts exactly the
+    contamination a naive per-doc split would have caused."""
+    from movement_spark.operators.dataset import leakage_safe_split_stats
+    return leakage_safe_split_stats(
+        token_sequences(spark, sf_dir, keep_did=True))
 
 
 @register("simhash_docs", _SIMHASH_SQL)
@@ -4032,6 +4073,7 @@ _FRONT = [
     "streaming_pattern_match",
     "customer_order_distribution",
     "streaming_window_rollup",
+    "leakage_safe_split_stats",
     "bucketed_colocated_join",
     "pattern_match_stats",
     "streaming_fanout_counters",
