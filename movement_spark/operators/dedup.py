@@ -576,3 +576,42 @@ def fuzzy_blocked_matches(part: DataFrame, max_lev: int = 4) -> DataFrame:
              F.min("lev").alias("min_lev"),
              F.sum("lev").cast("bigint").alias("sum_lev"))
     )
+
+
+def span_ownership_stats(tokens: DataFrame, sample_mod: int = 10,
+                         tok_mod: int = 50261) -> DataFrame:
+    """Substring-LEVEL dedup accounting (the span analog of doc-level
+    near-dup): every exact packed bigram gets one OWNER — the earliest
+    (min-did) doc containing it — and each later doc counts the spans
+    it would lose to earlier owners (``n_foreign`` of ``n_grams``,
+    plus an exact-integer ppm ratio). This is the bookkeeping pass of
+    cross-document span dedup: a doc that is mostly foreign spans is a
+    concatenation/quotation of earlier corpus content even when no
+    single whole-doc pair is similar enough for the pairwise paths.
+
+    Scale shape: one explode to (doc, gram) distinct pairs, one
+    min-agg keyed by gram (map-side combined), one co-keyed join back
+    — row counts are O(total grams), never O(docs^2); ownership needs
+    no pair enumeration at all. Grams are per-shard (a bigram never
+    spans a shard boundary), matching the oracle's per-row lambda.
+    """
+    from movement_spark.operators.text import packed_bigram_expr
+
+    base = tokens.where(F.col("did") % sample_mod == 0)
+    grams = (
+        base.select("doc_id", "did",
+                    F.explode(F.expr(packed_bigram_expr(tok_mod)))
+                    .alias("g"))
+        .distinct()
+    )
+    owners = grams.groupBy("g").agg(F.min("did").alias("owner"))
+    return (
+        grams.join(owners, "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_grams"),
+             F.sum((F.col("owner") < F.col("did")).cast("int"))
+             .cast("bigint").alias("n_foreign"))
+        .select("doc_id", "n_grams", "n_foreign",
+                F.expr("cast(n_foreign * 1000000L div n_grams as bigint)")
+                .alias("foreign_ppm"))
+    )

@@ -597,6 +597,32 @@ def q_leakage_safe_split(spark, sf_dir):
         token_sequences(spark, sf_dir, keep_did=True))
 
 
+@register("span_ownership_stats", with_token_cte("""
+, sample_docs AS (SELECT * FROM token_sequences WHERE did % 10 = 0),
+grams AS (
+  SELECT DISTINCT doc_id, did,
+         unnest(CASE WHEN n_tok >= 2 THEN
+           list_transform(range(0, n_tok - 1), i ->
+             CAST(tokens[i + 1] AS BIGINT) * 50261
+             + CAST(tokens[i + 2] AS BIGINT))
+           ELSE CAST([] AS BIGINT[]) END) AS g
+  FROM sample_docs),
+owners AS (SELECT g, MIN(did) AS owner FROM grams GROUP BY g)
+SELECT doc_id, COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN owner < did THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_foreign,
+       CAST((SUM(CASE WHEN owner < did THEN 1 ELSE 0 END) * 1000000)
+            // COUNT(*) AS BIGINT) AS foreign_ppm
+FROM grams JOIN owners USING (g) GROUP BY doc_id
+"""))
+def q_span_ownership(spark, sf_dir):
+    """Substring-level dedup accounting: each exact bigram is owned by
+    its earliest doc; later docs count the spans they'd lose — catches
+    concatenation/quotation duplication no whole-doc pair test sees."""
+    return dedup.span_ownership_stats(
+        token_sequences(spark, sf_dir, keep_did=True))
+
+
 @register("simhash_docs", _SIMHASH_SQL)
 def q_simhash(spark, sf_dir):
     return dedup.simhash_docs(token_sequences(spark, sf_dir, keep_did=True))
@@ -4074,6 +4100,7 @@ _FRONT = [
     "customer_order_distribution",
     "streaming_window_rollup",
     "leakage_safe_split_stats",
+    "span_ownership_stats",
     "bucketed_colocated_join",
     "pattern_match_stats",
     "streaming_fanout_counters",
