@@ -4000,6 +4000,29 @@ def q_streaming_window_rollup(spark, sf_dir):
     return run_streaming_window_rollup(spark, sf_dir)
 
 
+@register("streaming_dedup_join_window", with_token_cte("""
+, even AS (SELECT doc_id, ts AS ts_a, n_tok AS n_tok_a
+           FROM token_sequences WHERE seq % 2 = 0),
+odd  AS (SELECT doc_id, ts AS ts_b, n_tok AS n_tok_b
+         FROM token_sequences WHERE seq % 2 = 1)
+SELECT CAST(epoch(time_bucket(INTERVAL 5 MINUTES, e.ts_a)) AS BIGINT) AS ws,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(e.n_tok_a + o.n_tok_b) AS BIGINT) AS pair_tok
+FROM even e JOIN odd o
+  ON e.doc_id = o.doc_id AND abs(epoch(e.ts_a) - epoch(o.ts_b)) <= 60
+GROUP BY 1
+"""))
+def q_streaming_dedup_join_window(spark, sf_dir):
+    """THREE stateful operators in one streaming query under
+    at-least-once delivery (every chunk staged twice): per-side
+    dropDuplicatesWithinWatermark → interval join → tumbling window.
+    The oracle is the CLEAN batch join+rollup — duplicates must leave
+    no trace anywhere in the chain."""
+    from movement_spark.streaming.pipeline import (
+        run_streaming_dedup_join_window)
+    return run_streaming_dedup_join_window(spark, sf_dir)
+
+
 @register("pattern_match_stats", _PATTERN_MATCH_SQL)
 def q_pattern_match(spark, sf_dir):
     """MATCH_RECOGNIZE-lite CEP: per-user ordered event stream encoded
@@ -4101,6 +4124,7 @@ _FRONT = [
     "streaming_window_rollup",
     "leakage_safe_split_stats",
     "span_ownership_stats",
+    "streaming_dedup_join_window",
     "bucketed_colocated_join",
     "pattern_match_stats",
     "streaming_fanout_counters",

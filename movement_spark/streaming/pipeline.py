@@ -1126,3 +1126,64 @@ def run_streaming_window_rollup(spark: SparkSession, sf_dir: str,
     _run_to_sink(coarse_agg, sink, checkpoint_dir or _tmp("mswr_ck_"),
                  listener)
     return sink.read(spark)
+
+
+def run_streaming_dedup_join_window(spark: SparkSession, sf_dir: str,
+                                    watermark: str = "10 minutes",
+                                    max_gap_sec: int = 60,
+                                    width: str = "5 minutes",
+                                    stage_dir: str | None = None,
+                                    sink_dir: str | None = None,
+                                    checkpoint_dir: str | None = None,
+                                    listener=None) -> DataFrame:
+    """THREE chained stateful operators in ONE streaming query, under
+    at-least-once delivery: per-side dropDuplicatesWithinWatermark
+    restores exactly-once rows (every staged chunk arrives TWICE), the
+    watermarked interval join pairs the restored sides, and a tumbling
+    window aggregates the pairs — dedup state, join buffers, and window
+    partials all live in one checkpoint and advance on one watermark
+    front. The oracle is the clean batch join+rollup: the duplicated
+    input must leave NO trace.
+
+    Sentinel note: the per-key dedup drops the SECOND flush sentinel
+    (same (doc_id, seq) key), which is harmless — watermark advancement
+    happens at the per-side EventTimeWatermark nodes below the dedup,
+    which see both sentinel files; surviving far-future rows are cut by
+    the window-column predicate as in every windowed pipeline."""
+    stage = _resolve_stage(spark, sf_dir, stage_dir, "dedup")
+    src = read_token_stream(spark, stage)
+    is_sent = F.col("source") == SENTINEL
+    even = (
+        src.where((F.col("seq") % 2 == 0) | is_sent)
+        .select("doc_id", F.col("seq").alias("seq_a"),
+                F.col("n_tok").alias("n_tok_a"), F.col("ts").alias("ts_a"))
+        .withWatermark("ts_a", watermark)
+        .dropDuplicatesWithinWatermark(["doc_id", "seq_a"])
+    )
+    odd = (
+        src.where((F.col("seq") % 2 == 1) | is_sent)
+        .select(F.col("doc_id").alias("doc_id_b"),
+                F.col("seq").alias("seq_b"),
+                F.col("n_tok").alias("n_tok_b"), F.col("ts").alias("ts_b"))
+        .withWatermark("ts_b", watermark)
+        .dropDuplicatesWithinWatermark(["doc_id_b", "seq_b"])
+    )
+    cond = (
+        (even.doc_id == odd.doc_id_b)
+        & (odd.ts_b >= even.ts_a - F.expr(f"INTERVAL {max_gap_sec} SECONDS"))
+        & (odd.ts_b <= even.ts_a + F.expr(f"INTERVAL {max_gap_sec} SECONDS"))
+    )
+    flush_cut = F.timestamp_seconds(F.lit(EPOCH_2026 + TS_MOD + 3600))
+    agg = (
+        even.join(odd, cond, "inner")
+        .groupBy(F.window("ts_a", width).alias("w"))
+        .agg(F.count("*").alias("n_pairs"),
+             F.sum(F.col("n_tok_a") + F.col("n_tok_b")).cast("bigint")
+             .alias("pair_tok"))
+        .where(F.col("w.start") < flush_cut)
+        .select(F.unix_timestamp("w.start").alias("ws"),
+                "n_pairs", "pair_tok")
+    )
+    sink = IdempotentKeyedSink(sink_dir or _tmp("msdjw_sink_"), ["ws"])
+    _run_to_sink(agg, sink, checkpoint_dir or _tmp("msdjw_ck_"), listener)
+    return sink.read(spark)
