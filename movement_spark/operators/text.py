@@ -254,3 +254,27 @@ def scrub_audit(events: DataFrame, pattern: str = SCRUB_PATTERN) -> DataFrame:
              F.sum("len_raw").cast("bigint").alias("bytes_raw"),
              F.sum("len_red").cast("bigint").alias("bytes_redacted"))
     )
+
+
+def normalized_dup_stats(documents: DataFrame) -> DataFrame:
+    """Normalization-aware exact dedup: how many near-identical docs
+    become exact duplicates once text is canonicalized (lowercase,
+    non-alphanumeric runs collapsed to single spaces, trimmed) — the
+    standard preprocessing step before hash dedup, quantified per
+    source as ``n_dup_norm_only`` = distinct raw texts that collapse
+    together under normalization.
+
+    Everything is JVM column expressions + one map-side-combined
+    distinct aggregate per source; the normalization regex is the
+    parity contract and appears verbatim in the oracle (Java and RE2
+    agree on this character-class-only pattern)."""
+    norm = F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " "))
+    return (
+        documents.select("source", "text", norm.alias("norm"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"),
+             F.countDistinct("text").alias("n_distinct_raw"),
+             F.countDistinct("norm").alias("n_distinct_norm"),
+             (F.countDistinct("text") - F.countDistinct("norm"))
+             .cast("bigint").alias("n_dup_norm_only"))
+    )

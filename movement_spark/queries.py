@@ -401,6 +401,25 @@ def q_sessionize(spark, sf_dir):
 # Dedup / similarity / text (training-data toolbox)
 # =====================================================================
 
+@register("normalized_dup_stats", """
+WITH n AS (
+  SELECT source, text,
+         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+  FROM documents)
+SELECT source, COUNT(*) AS n_docs,
+       COUNT(DISTINCT text) AS n_distinct_raw,
+       COUNT(DISTINCT norm) AS n_distinct_norm,
+       CAST(COUNT(DISTINCT text) - COUNT(DISTINCT norm) AS BIGINT)
+         AS n_dup_norm_only
+FROM n GROUP BY source
+""")
+def q_normalized_dup(spark, sf_dir):
+    """Normalization-aware dedup: docs that become exact duplicates
+    only after canonical text normalization (lowercase, non-alnum runs
+    → single space, trim) — the preprocessing step before hash dedup."""
+    return text.normalized_dup_stats(load_table(spark, sf_dir, "documents"))
+
+
 @register("dedup_exact_stats", """
 SELECT COUNT(*) AS n_docs,
        COUNT(DISTINCT md5(text)) AS n_distinct,
@@ -4121,6 +4140,7 @@ _FRONT = [
     # time-boxed gate (r01 truncated at 49 rows) still covers them all.
     "customer_order_distribution",
     "span_ownership_stats",
+    "normalized_dup_stats",
     "leakage_safe_split_stats",
     "cc_pointer_doubling",
     "streaming_window_rollup",

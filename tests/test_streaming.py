@@ -812,3 +812,25 @@ def test_triple_stateful_chain_resumes_from_checkpoint(spark, sf_dir):
                 "n_pairs", "pair_tok"))
     assert result.count() == expected.count()
     assert result.exceptAll(expected).count() == 0
+
+
+def test_state_backend_restores_conf_on_error(spark):
+    """state_backend must restore the ambient provider even when the
+    block raises — a leaked RocksDB conf would silently flip every
+    later pipeline's state format mid-process."""
+    from movement_spark.session import state_backend
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        before = spark.conf.get(key)
+    except Exception:
+        before = None
+    with pytest.raises(RuntimeError, match="boom"):
+        with state_backend(spark, "rocksdb"):
+            assert "RocksDB" in spark.conf.get(key)
+            raise RuntimeError("boom")
+    try:
+        after = spark.conf.get(key)
+    except Exception:
+        after = None
+    assert after == before
