@@ -20,6 +20,17 @@ def test_all_queries_have_oracles():
     assert not missing, f"queries without oracle: {missing}"
 
 
+def test_driver_order_list_is_consistent():
+    """_FRONT (the driver-gate evaluation order) must reference only
+    live registry names and contain no duplicates — a stale or
+    misspelled entry would silently drop the reordering for everything
+    after it."""
+    front = Q._FRONT
+    assert len(front) == len(set(front)), "duplicate names in _FRONT"
+    stale = set(front) - set(Q.queries())
+    assert not stale, f"_FRONT names not in registry: {stale}"
+
+
 def test_batch_parity(spark, sf_dir):
     results = run_parity(spark, sf_dir, only=BATCH)
     assert len(results) == len(BATCH)
