@@ -834,3 +834,47 @@ def test_state_backend_restores_conf_on_error(spark):
     except Exception:
         after = None
     assert after == before
+
+
+def test_triple_stateful_chain_on_rocksdb(spark, sf_dir):
+    """Deployment matrix point: the dedup→join→window chain (three
+    state formats in one checkpoint) on the RocksDB backend with
+    changelog checkpointing, including a kill/resume — backend choice
+    must not change chained-operator semantics either."""
+    from movement_spark.session import state_backend
+    from movement_spark.streaming.pipeline import (
+        run_streaming_dedup_join_window, stage_token_stream)
+
+    full_stage = _mkdir()
+    stage_token_stream(spark, sf_dir, full_stage, duplicate_factor=2)
+    files = sorted(os.listdir(full_stage))
+    part_stage, ck, sink_dir = _mkdir(), _mkdir(), _mkdir()
+    for f in files[: len(files) // 2]:
+        shutil.copy2(os.path.join(full_stage, f), os.path.join(part_stage, f))
+    with state_backend(spark, "rocksdb"):
+        run_streaming_dedup_join_window(spark, sf_dir, stage_dir=part_stage,
+                                        sink_dir=sink_dir, checkpoint_dir=ck)
+        for f in files[len(files) // 2:]:
+            shutil.copy2(os.path.join(full_stage, f),
+                         os.path.join(part_stage, f))
+        result = run_streaming_dedup_join_window(
+            spark, sf_dir, stage_dir=part_stage, sink_dir=sink_dir,
+            checkpoint_dir=ck)
+    t = token_sequences(spark, sf_dir)
+    e = t.where(F.col("seq") % 2 == 0).select(
+        "doc_id", F.col("ts").alias("ts_a"), F.col("n_tok").alias("n_tok_a"))
+    o = t.where(F.col("seq") % 2 == 1).select(
+        F.col("doc_id").alias("doc_id_b"), F.col("ts").alias("ts_b"),
+        F.col("n_tok").alias("n_tok_b"))
+    pairs = e.join(o, (e.doc_id == o.doc_id_b)
+                   & (F.abs(F.unix_timestamp("ts_b")
+                            - F.unix_timestamp("ts_a")) <= 60), "inner")
+    expected = (
+        pairs.groupBy(F.window("ts_a", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n_pairs"),
+             F.sum(F.col("n_tok_a") + F.col("n_tok_b")).cast("bigint")
+             .alias("pair_tok"))
+        .select(F.unix_timestamp("w.start").alias("ws"),
+                "n_pairs", "pair_tok"))
+    assert result.count() == expected.count()
+    assert result.exceptAll(expected).count() == 0
