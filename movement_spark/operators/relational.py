@@ -551,3 +551,45 @@ def pattern_match_stats(events: DataFrame,
             F.expr(f"array_max(transform(regexp_extract_all(seq, "
                    f"'{pattern}', 0), x -> length(x)))"),
             F.lit(0)).cast("int").alias("max_match_len"))
+
+
+def ushape_attribution(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution in exact
+    integer basis points: every session carries 10,000 bps of credit —
+    40% to the first touch, 40% to the last, 20% split evenly across
+    the middles (integer division; the remainder goes to the FIRST
+    middle so the split is deterministic and always sums to 10,000).
+    1-event sessions give the whole 10,000 to their only touch;
+    2-event sessions split 5,000/5,000. Credit then rolls up per
+    event_type — the multi-touch complement of the first/last rollup
+    in session_touch_attribution.
+
+    Session boundaries come from gap_session_ids (ties break on
+    (ts, event_id), so position is deterministic); per-session windows
+    are user-partitioned and bounded. All arithmetic is integer bps —
+    engine-exact by construction.
+    """
+    w_sess = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    per_event = (
+        gap_session_ids(events, gap_sec)
+        .withColumn("rn", F.row_number().over(w_sess))
+        .withColumn("n", F.count("*").over(
+            w_sess.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)))
+    )
+    n, rn = F.col("n"), F.col("rn")
+    mid_each = F.expr("2000 div (n - 2)")
+    mid_rem = F.lit(2000) - (n - 2) * mid_each
+    credit = (
+        F.when(n == 1, 10000)
+        .when(n == 2, 5000)
+        .when(rn == 1, 4000)
+        .when(rn == n, 4000)
+        .otherwise(mid_each + F.when(rn == 2, mid_rem).otherwise(0))
+    )
+    return (
+        per_event.withColumn("bps", credit.cast("bigint"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("touches"),
+             F.sum("bps").cast("bigint").alias("credit_bps"))
+    )

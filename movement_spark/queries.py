@@ -2791,6 +2791,48 @@ def q_unpivot(spark, sf_dir):
     ).where(F.col("n") > 0)
 
 
+@register("ushape_attribution", """
+WITH ordered AS (
+  SELECT user_id, event_id, event_type, ts,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ets
+  FROM events),
+marked AS (
+  SELECT *, CASE WHEN lag(ets) OVER w IS NULL
+                 OR ets - lag(ets) OVER w >= 1800 THEN 1 ELSE 0 END AS new_s
+  FROM ordered
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+islands AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked),
+pos AS (
+  SELECT *, row_number() OVER ws AS rn,
+         COUNT(*) OVER (PARTITION BY user_id, sid) AS n
+  FROM islands
+  WINDOW ws AS (PARTITION BY user_id, sid ORDER BY ts, event_id)),
+credited AS (
+  SELECT event_type,
+         CASE WHEN n = 1 THEN 10000
+              WHEN n = 2 THEN 5000
+              WHEN rn = 1 THEN 4000
+              WHEN rn = n THEN 4000
+              ELSE CAST(floor(2000.0 / (n - 2)) AS BIGINT)
+                   + CASE WHEN rn = 2 THEN
+                       2000 - (n - 2) * CAST(floor(2000.0 / (n - 2)) AS BIGINT)
+                     ELSE 0 END
+         END AS bps
+  FROM pos)
+SELECT event_type, COUNT(*) AS touches,
+       CAST(SUM(bps) AS BIGINT) AS credit_bps
+FROM credited GROUP BY event_type
+""")
+def q_ushape_attribution(spark, sf_dir):
+    """Position-based (U-shaped) multi-touch attribution: 40/20/40
+    integer basis points per session (remainder to the first middle),
+    rolled up per event type — exact by integer construction."""
+    return relational.ushape_attribution(load_table(spark, sf_dir, "events"))
+
+
 @register("session_touch_attribution", """
 WITH ordered AS (
   SELECT user_id, event_id, event_type, value, ts,
@@ -4141,6 +4183,7 @@ _FRONT = [
     "customer_order_distribution",
     "span_ownership_stats",
     "normalized_dup_stats",
+    "ushape_attribution",
     "leakage_safe_split_stats",
     "cc_pointer_doubling",
     "streaming_window_rollup",
