@@ -19,7 +19,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from movement_spark import queries as Q                     # noqa: E402
 from movement_spark.benchmarks import (                     # noqa: E402
-    HEADLINE, cep_assembler_throughput, streaming_throughput, time_query,
+    HEADLINE, cep_assembler_throughput, streaming_throughput,
+    time_query_stats,
 )
 from movement_spark.session import get_spark                # noqa: E402
 from movement_spark.sources.synth import stage_synth_stream  # noqa: E402
@@ -48,9 +49,16 @@ def main() -> None:
     qs["tumbling_token_throughput"](spark, sf_dir).write \
         .format("noop").mode("overwrite").save()
 
+    # Median-of-3 per query, with the min/max spread recorded so the
+    # judge can tell a real regression (median outside last round's
+    # band) from hypervisor noise (VERDICT r02 action #3).
     timings: dict[str, float] = {}
+    spread: dict[str, dict] = {}
     for name in HEADLINE:
-        timings[name] = round(time_query(qs[name], spark, sf_dir), 3)
+        st = time_query_stats(qs[name], spark, sf_dir, runs=3)
+        timings[name] = round(st["median"], 3)
+        spread[name] = {"min": round(st["min"], 3),
+                        "max": round(st["max"], 3), "runs": st["runs"]}
 
     # Round-2 operator families, timed separately so the headline total
     # stays comparable round-over-round.
@@ -63,7 +71,9 @@ def main() -> None:
     extended: dict[str, float] = {}
     for name in EXTENDED:
         if name in qs:
-            extended[name] = round(time_query(qs[name], spark, sf_dir), 3)
+            extended[name] = round(
+                time_query_stats(qs[name], spark, sf_dir, runs=3)["median"],
+                3)
 
     # Streaming throughput. state_partitions pinned at 8: stateful
     # shuffle layout is a deployment constant sized to key cardinality
@@ -119,6 +129,7 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "query_spread": spread,
         "extended_queries": extended,
         "sf": sf,
         "cpus": cpus,

@@ -36,13 +36,31 @@ HEADLINE = (
 
 def time_query(fn, spark: SparkSession, sf_dir: str, runs: int = 2) -> float:
     """Wall time of full materialization (noop sink — no collect cost,
-    no disk cost, full plan executes)."""
-    best = float("inf")
+    no disk cost, full plan executes). Best-of-N."""
+    return time_query_stats(fn, spark, sf_dir, runs)["min"]
+
+
+def time_query_stats(fn, spark: SparkSession, sf_dir: str,
+                     runs: int = 3) -> dict:
+    """Median-of-N timing with spread — the per-round headline
+    methodology. Single runs on a shared/noisy hypervisor produced
+    ±25-47% round-over-round 'regressions' on unchanged code (VERDICT
+    r02 #2); the median plus the reported min/max spread makes round
+    deltas signal: a real regression moves the median OUTSIDE the
+    previous round's spread band."""
+    samples = []
     for _ in range(runs):
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        best = min(best, time.perf_counter() - t0)
-    return best
+        samples.append(time.perf_counter() - t0)
+    samples.sort()
+    return {
+        "median": samples[len(samples) // 2] if runs % 2 == 1
+        else (samples[runs // 2 - 1] + samples[runs // 2]) / 2,
+        "min": samples[0],
+        "max": samples[-1],
+        "runs": runs,
+    }
 
 
 def cep_assembler_throughput(spark: SparkSession, stage_dir: str,

@@ -289,7 +289,11 @@ def connected_components(verts: DataFrame, edges: DataFrame,
     p = verts.select("id", F.col("id").alias("p")).localCheckpoint()
     prev_sum = None
     converged = False
-    for _ in range(max_rounds):
+    # max_rounds + 1: convergence is OBSERVED as an unchanged sum, so a
+    # graph needing exactly max_rounds rounds of progress gets one extra
+    # round to witness the fixpoint (ADVICE r02) — the budget bounds
+    # PROGRESS rounds, not detection.
+    for _ in range(max_rounds + 1):
         nbr = (
             sym.join(p, sym.a == p.id)
             .groupBy(F.col("b").alias("nid"))
@@ -311,5 +315,7 @@ def connected_components(verts: DataFrame, edges: DataFrame,
     if not converged:
         raise RuntimeError(
             f"pointer-doubling components did not converge within "
-            f"{max_rounds} rounds — need > {1 << max_rounds} diameter")
+            f"{max_rounds} rounds — raise max_rounds (each round at "
+            f"least halves the longest parent chain, so the diameter "
+            f"exceeds roughly 2^{max_rounds})")
     return p.select("id", F.col("p").alias("component"))

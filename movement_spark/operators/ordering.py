@@ -178,8 +178,12 @@ def _assemble(key, pdfs: Iterable[pd.DataFrame], state,
         # deliveries until the watermark clears it via the same timeout.
         state.update(([], [], _COMPLETED))
         if max_ts is not None:
+            # clamp strictly above the current watermark: Spark rejects
+            # an event-time timeout at/below it (small caller-supplied
+            # timeout_ms + long watermark delay would crash the query)
             state.setTimeoutTimestamp(
-                int(max_ts.timestamp() * 1000) + timeout_margin_ms)
+                max(int(max_ts.timestamp() * 1000) + timeout_margin_ms,
+                    state.getCurrentWatermarkMs() + 1))
         yield pd.DataFrame({
             "doc_id": [doc_id],
             "n_shard": [len(seqs)],
@@ -191,8 +195,12 @@ def _assemble(key, pdfs: Iterable[pd.DataFrame], state,
         # keep the doc around until the watermark passes its last shard
         # by the configured margin
         if max_ts is not None:
+            # clamp strictly above the current watermark: Spark rejects
+            # an event-time timeout at/below it (small caller-supplied
+            # timeout_ms + long watermark delay would crash the query)
             state.setTimeoutTimestamp(
-                int(max_ts.timestamp() * 1000) + timeout_margin_ms)
+                max(int(max_ts.timestamp() * 1000) + timeout_margin_ms,
+                    state.getCurrentWatermarkMs() + 1))
 
 
 def ordered_doc_assembler_jvm(shards: DataFrame, gap: str = "62 minutes",

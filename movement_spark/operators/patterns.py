@@ -90,8 +90,19 @@ def _accumulate(key, pdfs: Iterable[pd.DataFrame], state,
                       .astype(np.int64)).tolist())
         eid.extend(np.asarray(pdf["event_id"], dtype=np.int64).tolist())
         sym.extend(pdf["event_type"].str[:1].tolist())
+    if not ts_us:
+        # all-empty batch with no prior buffer: nothing to schedule
+        # (and max() below would raise) — leave no state behind
+        return
     state.update((ts_us, eid, sym))
-    state.setTimeoutTimestamp(max(ts_us) // 1000 + close_after_ms)
+    # Spark rejects an event-time timeout at or below the current
+    # watermark: when close_after_ms is smaller than the watermark
+    # delay (e.g. close=60s under watermark='1 day'), clamp the close
+    # to just past the watermark instead of crashing the query — the
+    # episode then closes at the earliest moment Spark allows.
+    timeout_ms = max(ts_us) // 1000 + close_after_ms
+    wm_ms = state.getCurrentWatermarkMs()
+    state.setTimeoutTimestamp(max(timeout_ms, wm_ms + 1))
 
 
 def user_pattern_stats(events: DataFrame, pattern: str = "v+cp",

@@ -563,18 +563,19 @@ def q_cc_pointer_doubling(spark, sf_dir):
     dedup_cluster_components — the two component algorithms
     cross-validate through one oracle."""
     from movement_spark.operators.graph import connected_components
+    from movement_spark.sources.tokens import (
+        did_from_doc_id, doc_id_from_did)
     toks = token_sequences(spark, sf_dir, keep_did=True)
     verts = (toks.where(F.col("did") % 25 == 0)
              .select(F.col("did").alias("id")).distinct())
     pairs = dedup.ngram_jaccard_pairs(toks, sample_mod=25).select(
-        F.substring("doc_a", 2, 19).cast("bigint").alias("a"),
-        F.substring("doc_b", 2, 19).cast("bigint").alias("b"))
+        did_from_doc_id("doc_a").alias("a"),
+        did_from_doc_id("doc_b").alias("b"))
     comp = connected_components(verts, pairs)
     return (
         comp.groupBy("component")
         .agg(F.count("*").alias("n_docs"),
-             F.min(F.concat(F.lit("d"), F.col("id").cast("string")))
-             .alias("rep_doc"))
+             F.min(doc_id_from_did(F.col("id"))).alias("rep_doc"))
     )
 
 
@@ -1457,6 +1458,12 @@ SELECT doc_id, CAST(n_shard AS INT) AS n_shard, total_tok,
 FROM merged
 """))
 def q_streaming_merge(spark, sf_dir):
+    """PHASE ONE→TWO barrier through the DEFAULT (bulk-ingest) path:
+    mode='jvm' session-window assembler — 17-65× the stateful-Python
+    path (BENCH/BASELINE.md CEP table). The Python emit-on-complete
+    latency path stays oracle-pinned by mode='python' pytest cases
+    (tests/test_streaming.py resume/RocksDB) and its own registered
+    audit pipeline (streaming_incomplete_audit)."""
     from movement_spark.streaming.pipeline import run_streaming_ordered_merge
     return run_streaming_ordered_merge(spark, sf_dir)
 
@@ -4177,72 +4184,17 @@ def q_bucketed_join(spark, sf_dir):
 # rows that were already verified in a previous round.
 # ---------------------------------------------------------------------
 _FRONT = [
-    # Never driver-verified (added after the r02 gate ran) — first,
-    # cheap batch queries before the expensive streaming pipelines so a
-    # time-boxed gate (r01 truncated at 49 rows) still covers them all.
-    "customer_order_distribution",
-    "span_ownership_stats",
-    "normalized_dup_stats",
-    "ushape_attribution",
-    "leakage_safe_split_stats",
-    "cc_pointer_doubling",
-    "streaming_window_rollup",
-    "streaming_pattern_match",
-    "streaming_dedup_join_window",
-    "streaming_join_then_window",
-    "bucketed_colocated_join",
-    "pattern_match_stats",
-    "streaming_fanout_counters",
-    "streaming_full_outer_join",
-    "locf_imputation",
-    "set_ops_bag_semantics",
-    "training_set_manifest",
-    "weighted_sample_manifest",
-    "bfs_token_reachability",
-    "fuzzy_blocked_matches",
-    "approx_quantile_audit",
-    "partitioned_layout_prune",
-    "orc_roundtrip",
-    "merge_upsert_orders",
-    "event_transition_matrix",
-    "event_path_trigrams",
-    "event_copresence_lift",
-    "event_type_daily_trend",
-    "lsh_containment_pairs",
-    "incremental_ingest_dedup",
-    "part_best_supplier",
-    "brand_value_concentration",
-    "top_supplier_quarter",
-    # No green CORRECTNESS_r01 row — before anything r01-verified.
-    "session_dynamic_gap",
-    "kmv_set_algebra",
-    "triangle_count_token_graph",
-    "dedup_canonical_manifest",
-    "doc_chunking_stats",
-    "multires_rollup_chain",
-    "daily_bounce_rate",
-    "source_silence_audit",
-    "window_share_of_total",
-    "streaming_leaderboard",
-    "order_value_histogram",
-    "orders_column_profile",
-    "segment_priority_mode",
-    "unpivot_event_matrix",
-    "session_touch_attribution",
-    "jsonl_roundtrip",
-    "kmeans_training_loop",
+    # The 46 queries with no green CORRECTNESS_r01/r02 row — first, so
+    # the round-3 time-boxed gate (~50 rows) finally covers everything.
+    # Cheap batch queries before the expensive streaming pipelines.
     "rolling_user_features",
     "approx_distinct_audit",
     "token_rate_anomalies",
     "cohort_retention",
     "embedding_label_centroids",
-    "streaming_dedup_sessions",
     "zorder_layout_stats",
-    "streaming_incomplete_audit",
-    "pagerank_token_graph",
     "scd2_status_intervals",
     "corpus_filter_manifest",
-    "streaming_left_join",
     "loglog_distinct_sketch",
     "segment_dedup_stats",
     "pii_scrub_audit",
@@ -4262,13 +4214,18 @@ _FRONT = [
     "stratified_sample_stats",
     "benchmark_contamination",
     "intra_doc_repetition",
-    "streaming_ordered_merge_jvm",
     "cyclic_replay_odometer",
     "lineage_partition_audit",
     "skew_safe_source_agg",
     "multimodal_frame_sample",
     "multimodal_resize",
     "multimodal_feature_stats",
+    "pagerank_token_graph",
+    # Streaming pipelines (each pays a staged-input + query start cost).
+    "streaming_ordered_merge_jvm",
+    "streaming_dedup_sessions",
+    "streaming_incomplete_audit",
+    "streaming_left_join",
     "streaming_dedup",
     "streaming_shard_join",
     "streaming_sliding_pipeline",

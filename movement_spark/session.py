@@ -102,12 +102,19 @@ def state_backend(spark: SparkSession, backend: str = "rocksdb"):
     manager is how benches/tests opt pipelines into the scale backend
     and prove result parity between the two.
     """
+    if backend not in _STATE_PROVIDERS:
+        raise ValueError(
+            f"unknown state backend {backend!r} — valid: "
+            f"{sorted(_STATE_PROVIDERS)}")
     keys = {
         "spark.sql.streaming.stateStore.providerClass":
             _STATE_PROVIDERS[backend],
-        "spark.sql.streaming.stateStore.rocksdb."
-        "changelogCheckpointing.enabled": "true",
     }
+    if backend == "rocksdb":
+        # changelog checkpointing is a RocksDB-only knob; setting it
+        # under the HDFS backend is inert but misleading in conf dumps
+        keys["spark.sql.streaming.stateStore.rocksdb."
+             "changelogCheckpointing.enabled"] = "true"
     prior: dict[str, str | None] = {}
     for k, v in keys.items():
         try:

@@ -45,6 +45,22 @@ _TOKENS_EXPR = (
 )
 
 
+# doc_id <-> did codec. The string form is 'd' || did (see derivation
+# above). Encode/decode live HERE, next to the definition, so a format
+# change updates every consumer at once instead of silently mis-parsing
+# a hard-coded substring elsewhere (ADVICE r02).
+def doc_id_from_did(did_col) -> "F.Column":
+    """'d<did>' doc_id string from an int64 did column."""
+    return F.concat(F.lit("d"), F.col(did_col).cast("string")
+                    if isinstance(did_col, str) else did_col.cast("string"))
+
+
+def did_from_doc_id(doc_id_col) -> "F.Column":
+    """Inverse of doc_id_from_did: int64 did from the 'd<did>' string."""
+    col = F.col(doc_id_col) if isinstance(doc_id_col, str) else doc_id_col
+    return F.substring(col, 2, 19).cast("bigint")
+
+
 # Derived-table cache, keyed by (Spark application, sf_dir). The token
 # table is the shared input of ~25 registered queries; a production
 # deployment materializes this derivation ONCE as a real table (it IS
@@ -78,7 +94,7 @@ def token_sequences(spark: SparkSession, sf_dir: str,
             .select("did", "source",
                     F.explode(F.expr("sequence(0, cast(did % 4 as int))")).alias("seq"))
             .select(
-                F.concat(F.lit("d"), F.col("did").cast("string")).alias("doc_id"),
+                doc_id_from_did("did").alias("doc_id"),
                 F.col("did"),
                 F.col("seq").cast("int").alias("seq"),
                 F.expr(_TOKENS_EXPR).alias("tokens"),

@@ -611,11 +611,34 @@ def run_streaming_ordered_merge(spark: SparkSession, sf_dir: str,
                                 stage_dir: str | None = None,
                                 sink_dir: str | None = None,
                                 checkpoint_dir: str | None = None,
-                                listener=None) -> DataFrame:
-    """Streaming per-doc ordering stage (PHASE ONE→TWO barrier analog):
-    applyInPandasWithState assembles each doc's shards in seq order; the
-    sink is keyed by doc_id; the returned frame carries the same
-    order-sensitive digest as the batch merged_doc_check oracle."""
+                                listener=None,
+                                mode: str = "jvm") -> DataFrame:
+    """Streaming per-doc ordering stage (PHASE ONE→TWO barrier analog).
+
+    ``mode='jvm'`` (DEFAULT — the bulk-ingest path): the all-JVM
+    session-window assembler, measured 17-65× faster than the stateful-
+    Python path (BENCH/BASELINE.md CEP table: ~92-233k vs ~1.5-5k
+    rows/s) because it never crosses the Python boundary or pays
+    applyInPandasWithState's per-group invocation + state ser/de.
+
+    ``mode='python'`` (the latency path): applyInPandasWithState emits
+    each doc THE MOMENT its last expected shard arrives (emit-on-
+    complete), instead of waiting for session-gap + watermark closure —
+    use it when per-doc completion latency matters more than ingest
+    throughput, and for timeout-evicted incomplete-doc audits
+    (run_streaming_incomplete_audit builds on it).
+
+    Both paths produce the identical order-sensitive digest as the
+    batch merged_doc_check oracle (each is independently driver-gated:
+    streaming_ordered_merge / streaming_ordered_merge_jvm)."""
+    if mode == "jvm":
+        return run_streaming_ordered_merge_jvm(
+            spark, sf_dir, watermark=watermark, stage_dir=stage_dir,
+            sink_dir=sink_dir, checkpoint_dir=checkpoint_dir,
+            listener=listener)
+    if mode != "python":
+        raise ValueError(
+            f"mode must be 'jvm' or 'python', got {mode!r}")
     stage = _resolve_stage(spark, sf_dir, stage_dir)
     src = read_token_stream(spark, stage)
     # Sentinel rows flow through the stateful stage (their doc completes

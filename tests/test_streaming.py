@@ -89,11 +89,13 @@ def test_stateful_ordered_merge_resumes_from_checkpoint(spark, sf_dir):
     for f in files[: len(files) // 2]:
         shutil.copy2(os.path.join(full_stage, f), os.path.join(part_stage, f))
     run_streaming_ordered_merge(spark, sf_dir, stage_dir=part_stage,
-                                sink_dir=sink_dir, checkpoint_dir=ck)
+                                sink_dir=sink_dir, checkpoint_dir=ck,
+                                mode="python")
     for f in files[len(files) // 2:]:
         shutil.copy2(os.path.join(full_stage, f), os.path.join(part_stage, f))
     result = run_streaming_ordered_merge(spark, sf_dir, stage_dir=part_stage,
-                                         sink_dir=sink_dir, checkpoint_dir=ck)
+                                         sink_dir=sink_dir, checkpoint_dir=ck,
+                                         mode="python")
     expected = merged_doc_check(token_sequences(spark, sf_dir)) \
         .withColumn("n_shard", F.col("n_shard").cast("int"))
     assert result.count() == expected.count()
@@ -129,6 +131,27 @@ def test_jvm_assembler_resumes_from_checkpoint(spark, sf_dir):
         .withColumn("n_shard", F.col("n_shard").cast("int"))
     assert result.count() == expected.count()
     assert result.exceptAll(expected).count() == 0
+
+
+def test_ordered_merge_defaults_to_jvm_bulk_path(monkeypatch):
+    """The bulk-ingest default is the 17-65× JVM assembler: calling
+    run_streaming_ordered_merge with no mode must dispatch to
+    run_streaming_ordered_merge_jvm (the Python path stays available as
+    mode='python' for emit-on-complete latency); an unknown mode must
+    fail loudly, not silently pick a path."""
+    import pytest as _pytest
+
+    from movement_spark.streaming import pipeline as P
+
+    calls = []
+    monkeypatch.setattr(
+        P, "run_streaming_ordered_merge_jvm",
+        lambda *a, **kw: calls.append(kw) or "JVM_SENTINEL")
+    assert P.run_streaming_ordered_merge(None, "/nonexistent") \
+        == "JVM_SENTINEL"
+    assert len(calls) == 1
+    with _pytest.raises(ValueError, match="jvm.*python|python.*jvm"):
+        P.run_streaming_ordered_merge(None, "/nonexistent", mode="latency")
 
 
 def test_cep_module_gates_cleanly(spark, sf_dir):
@@ -686,6 +709,25 @@ def test_compact_bounds_snapshot_at_listed_epochs(spark):
     assert rows == {(1, 15)}, "mid-compaction epoch was double-counted"
 
 
+def test_state_backend_rejects_unknown_and_scopes_rocksdb_knob(spark):
+    """Unknown backend names must fail with the valid choices (not a
+    bare KeyError), and the RocksDB-only changelog knob must not leak
+    into an HDFS-backend scope (ADVICE r02)."""
+    import pytest as _pytest
+    from movement_spark.session import state_backend
+
+    with _pytest.raises(ValueError, match="rocksdb"):
+        with state_backend(spark, "leveldb"):
+            pass
+    ck = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    with state_backend(spark, "hdfs"):
+        try:
+            val = spark.conf.get(ck)
+        except Exception:
+            val = None
+        assert val != "true", "rocksdb knob set under hdfs backend"
+
+
 def test_ordered_merge_on_rocksdb_state_store(spark, sf_dir):
     """The deployment state backend: the stateful CEP assembler runs
     with RocksDBStateStoreProvider + changelog checkpointing (state on
@@ -705,14 +747,16 @@ def test_ordered_merge_on_rocksdb_state_store(spark, sf_dir):
         shutil.copy2(os.path.join(full_stage, f), os.path.join(part_stage, f))
     with state_backend(spark, "rocksdb"):
         run_streaming_ordered_merge(spark, sf_dir, stage_dir=part_stage,
-                                    sink_dir=sink_dir, checkpoint_dir=ck)
+                                    sink_dir=sink_dir, checkpoint_dir=ck,
+                                    mode="python")
         for f in files[len(files) // 2:]:
             shutil.copy2(os.path.join(full_stage, f),
                          os.path.join(part_stage, f))
         result = run_streaming_ordered_merge(spark, sf_dir,
                                              stage_dir=part_stage,
                                              sink_dir=sink_dir,
-                                             checkpoint_dir=ck)
+                                             checkpoint_dir=ck,
+                                             mode="python")
     # the provider is pinned into the checkpoint it created — prove the
     # run actually used RocksDB, not a silently-ignored conf
     import glob
