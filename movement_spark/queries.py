@@ -4174,6 +4174,68 @@ def q_bucketed_join(spark, sf_dir):
     )
 
 
+_DIST_DRAWS = 10_000
+
+_DIST_SQL_BODY = """
+, hist AS (
+  SELECT CAST(n_tok AS BIGINT) AS value, COUNT(*) AS cnt
+  FROM token_sequences GROUP BY 1),
+line AS (
+  SELECT value, cnt,
+         SUM(cnt) OVER (ORDER BY value) AS range_end,
+         SUM(cnt) OVER (ORDER BY value) - cnt + 1 AS range_start
+  FROM hist),
+tot AS (SELECT MAX(range_end) AS ll FROM line),
+draws AS (
+  SELECT ((%(a)d * i + %(b)d) %% %(p)d) %% (SELECT ll FROM tot) + 1 AS pos
+  FROM (SELECT unnest(range(0, %(n)d)) AS i) t),
+owned AS (
+  SELECT l.value AS value
+  FROM draws d JOIN line l ON d.pos BETWEEN l.range_start AND l.range_end),
+samp AS (SELECT value, COUNT(*) AS n_sampled FROM owned GROUP BY 1)
+SELECT l.value AS value, l.cnt AS cnt,
+       CAST(COALESCE(s.n_sampled, 0) AS BIGINT) AS n_sampled,
+       CAST(FLOOR(((SELECT ll FROM tot) - l.range_end) * 10000.0
+                  / (SELECT ll FROM tot)) AS BIGINT)
+           AS increase_likelihood_bps
+FROM line l LEFT JOIN samp s USING (value)
+"""
+
+
+@register("distribution_sampler_stats", with_token_cte(_DIST_SQL_BODY % {
+    "a": 1_103_515_245, "b": 12_345, "p": (1 << 31) - 1, "n": _DIST_DRAWS}))
+def q_distribution_sampler(spark, sf_dir):
+    """Seeded discrete-distribution sampler (Distribution.java:59-107 +
+    ProbUtil.java analog, operators/distribution.py): build the number
+    line from the observed n_tok histogram (the reference's example is
+    exactly this shape — a groupCount degree distribution), draw 10k
+    deterministic positions with a*x+b mod p arithmetic, and report per
+    value the observed count, the sampled count, and
+    likelihoodToIncreaseCount in exact integer basis points. The SAMPLER
+    is oracle-checked draw-for-draw, not just statistically: DuckDB
+    computes the identical positions and range ownership."""
+    from movement_spark.operators.distribution import (
+        build_distribution, likelihood_to_increase_bps,
+        sample_distribution)
+
+    toks = token_sequences(spark, sf_dir)
+    hist = (toks.groupBy(F.col("n_tok").cast("bigint").alias("value"))
+            .agg(F.count("*").alias("cnt")))
+    dist = build_distribution(hist)
+    sampled = (
+        sample_distribution(spark, dist, _DIST_DRAWS)
+        .groupBy("value").agg(F.count("*").alias("n_sampled"))
+    )
+    return (
+        likelihood_to_increase_bps(dist)
+        .join(sampled, "value", "left")
+        .select("value", "cnt",
+                F.coalesce(F.col("n_sampled"), F.lit(0).cast("bigint"))
+                .cast("bigint").alias("n_sampled"),
+                "increase_likelihood_bps")
+    )
+
+
 # ---------------------------------------------------------------------
 # Driver-gate ordering. The correctness sweep evaluates the registry in
 # insertion order, and round 1's sweep was cut off after ~49 entries —

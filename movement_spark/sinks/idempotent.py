@@ -119,14 +119,28 @@ class IdempotentKeyedSink:
         self.batches += 1
 
     # -- read path (MERGE-on-read) ----------------------------------------
+    def _is_committed(self, epoch_dirname: str) -> bool:
+        """An epoch directory is COMMITTED only once Spark's job-commit
+        protocol placed the ``_SUCCESS`` marker (the default
+        FileOutputCommitter contract). A kill mid-epoch-write leaves a
+        torn directory — part files present, no marker — which must be
+        invisible to every reader: the streaming checkpoint never
+        committed that batch, so on resume foreachBatch REPLAYS it and
+        the deterministic-path overwrite atomically supersedes the torn
+        attempt. Surfacing the torn dir before then would leak a
+        partial (or duplicate-partial) batch."""
+        return os.path.exists(
+            os.path.join(self.path, epoch_dirname, "_SUCCESS"))
+
     def _live_epoch_ids(self, wm: int | None) -> list[int]:
-        """Epoch ids above the given watermark — THE one definition of
-        the 'eid > wm' visibility rule (epochs at/below it are replay
-        residue already folded into the snapshot)."""
+        """COMMITTED epoch ids above the given watermark — THE one
+        definition of the visibility rule: 'eid > wm' (epochs at/below
+        it are replay residue already folded into the snapshot) AND
+        _SUCCESS present (torn mid-write directories are not data)."""
         out = []
         if os.path.isdir(self.path):
             for d in os.listdir(self.path):
-                if d.startswith("epoch="):
+                if d.startswith("epoch=") and self._is_committed(d):
                     eid = int(d.split("=", 1)[1])
                     if wm is None or eid > wm:
                         out.append(eid)
@@ -332,7 +346,12 @@ class IdempotentKeyedSink:
         import shutil
         if not os.path.isdir(self.path):
             return  # never-written (or dropped) sink: nothing to fold
-        old = [d for d in os.listdir(self.path) if d.startswith("epoch=")]
+        # Committed epochs only: folding a TORN (uncommitted) epoch into
+        # the watermark would make its post-resume replay land at/below
+        # the watermark — permanently invisible. Torn dirs stay put for
+        # the replay to overwrite.
+        old = [d for d in os.listdir(self.path)
+               if d.startswith("epoch=") and self._is_committed(d)]
         if not old:
             return  # nothing to fold (all-empty sink is a valid state)
         prev_wm = self.compaction_watermark()
@@ -369,7 +388,10 @@ class IdempotentKeyedSink:
             superseded_snap = (
                 (d.startswith("_snapshot") or d == "_compacting")
                 and d != new_dirname)
+            # uncommitted (torn) dirs are never reclaimed here — the
+            # resumed stream's replay overwrites them in place
             folded_epoch = (d.startswith("epoch=")
+                            and self._is_committed(d)
                             and int(d.split("=", 1)[1]) <= max_epoch)
             if folded_epoch or superseded_snap:
                 shutil.rmtree(os.path.join(self.path, d),

@@ -54,6 +54,7 @@ class ProgressRecord:
     state_rows: int = 0
     rows_dropped_late: int = 0
     state_operators: list = field(default_factory=list)
+    ts_iso: str = ""  # batch-start wall clock (progress "timestamp")
 
 
 class RuntimeMetricsListener(StreamingQueryListener):
@@ -84,6 +85,7 @@ class RuntimeMetricsListener(StreamingQueryListener):
             state_rows=state_rows,
             rows_dropped_late=dropped,
             state_operators=[s.get("operatorName", "") for s in state_ops],
+            ts_iso=p.get("timestamp", ""),
         )
         self.records.append(rec)
         self.total_rows += rec.num_input_rows

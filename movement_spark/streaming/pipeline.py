@@ -696,6 +696,48 @@ def run_streaming_ordered_merge_jvm(spark: SparkSession, sf_dir: str,
         "total_tok", *doc_digest_cols())
 
 
+def run_throttled_ingest(spark: SparkSession, stage_dir: str,
+                         expected_rows: int, delay_ms: int = 1500,
+                         checkpoint_dir: str | None = None,
+                         timeout_sec: float = 120.0):
+    """Rate-limited source — the ThrottledGraph analog
+    (extensions/tinkerpop/.../ThrottledGraph.java:50-58 wraps every
+    addVertex/vertices/edges call in RuntimeUtil.stall(delay)).
+
+    Spark's declarative form of latency injection is trigger pacing:
+    ``maxFilesPerTrigger=1`` caps the work admitted per micro-batch and
+    ``trigger(processingTime=delay_ms)`` enforces the minimum cadence
+    between batch STARTS — the engine stalls the source, the query plan
+    is untouched, and removing the throttle is a config change, exactly
+    like unwrapping ThrottledGraph. Runs until ``expected_rows`` have
+    been admitted, then stops; returns the RuntimeMetricsListener whose
+    per-batch ``ts_iso`` records prove the pacing (tests assert
+    consecutive non-empty batch starts are >= ~delay apart).
+    """
+    listener = RuntimeMetricsListener()
+    spark.streams.addListener(listener)
+    src = read_token_stream(spark, stage_dir, files_per_trigger=1)
+    q = (
+        src.writeStream.format("noop")
+        .option("checkpointLocation", checkpoint_dir or _tmp("thr_ck_"))
+        .trigger(processingTime=f"{delay_ms} milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + timeout_sec
+        while listener.total_rows < expected_rows:
+            if time.time() > deadline:
+                raise TimeoutError(
+                    f"throttled ingest saw {listener.total_rows}/"
+                    f"{expected_rows} rows within {timeout_sec}s")
+            time.sleep(delay_ms / 1000.0 / 4)
+    finally:
+        q.stop()
+        q.awaitTermination()
+        spark.streams.removeListener(listener)
+    return listener
+
+
 def _parity_shard_streams(src: DataFrame, watermark: str,
                           max_gap_sec: int, keep_sentinels: bool):
     """Even/odd shard split + interval-join condition — the shared,

@@ -10,6 +10,7 @@ before a round ends.
 from __future__ import annotations
 
 import math
+import time
 from dataclasses import dataclass, field
 
 import duckdb
@@ -28,6 +29,7 @@ class ParityResult:
     oracle_rows: int = -1
     detail: str = ""
     mismatches: list[str] = field(default_factory=list)
+    spark_sec: float = 0.0  # wall time of the Spark side (budget guard)
 
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -89,20 +91,24 @@ def run_parity(spark: SparkSession, sf_dir: str,
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = time.perf_counter()
         try:
             sp = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             results.append(ParityResult(name, False, detail=f"spark error: {e}"))
             continue
+        spark_sec = time.perf_counter() - t0
         if name not in oracles:
             results.append(ParityResult(
                 name, len(sp) >= 0, spark_rows=len(sp),
-                detail="rows-only (no oracle)"))
+                detail="rows-only (no oracle)", spark_sec=spark_sec))
             continue
         try:
             ora = con.execute(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             results.append(ParityResult(name, False, detail=f"oracle error: {e}"))
             continue
-        results.append(compare_frames(name, sp, ora))
+        res = compare_frames(name, sp, ora)
+        res.spark_sec = spark_sec
+        results.append(res)
     return results

@@ -31,11 +31,34 @@ def test_driver_order_list_is_consistent():
     assert not stale, f"_FRONT names not in registry: {stale}"
 
 
-def test_batch_parity(spark, sf_dir):
-    results = run_parity(spark, sf_dir, only=BATCH)
+@pytest.fixture(scope="session")
+def batch_parity_results(spark, sf_dir):
+    return run_parity(spark, sf_dir, only=BATCH)
+
+
+def test_batch_parity(batch_parity_results):
+    results = batch_parity_results
     assert len(results) == len(BATCH)
     bad = [(r.name, r.detail, r.mismatches[:2]) for r in results if not r.ok]
     assert not bad, f"parity failures: {bad}"
+
+
+def test_batch_query_timing_budget(batch_parity_results):
+    """Registry-growth guard: the driver's correctness gate is
+    time-boxed (~50 rows/round — it truncated in r01), so neither a
+    single query nor the registry as a whole may silently grow
+    expensive enough to eat the box (the local sweep tripled in
+    wall-clock during round 2). Ceilings at sf0.001 on local[8]:
+    20 s per query (the slowest legitimate ones — pagerank's 3 fixed
+    join rounds, the first query's cold-session warmup — measure
+    2-14 s with hypervisor noise) and 300 s for the whole batch sweep
+    (measures ~120 s; the driver box fits that comfortably)."""
+    over = [(r.name, round(r.spark_sec, 2)) for r in batch_parity_results
+            if r.spark_sec > 20.0]
+    assert not over, f"batch queries over the 20s sf0.001 budget: {over}"
+    total = sum(r.spark_sec for r in batch_parity_results)
+    assert total < 300.0, \
+        f"batch sweep took {total:.0f}s — registry outgrowing the gate box"
 
 
 @pytest.mark.parametrize("name", STREAMING)

@@ -709,6 +709,86 @@ def test_compact_bounds_snapshot_at_listed_epochs(spark):
     assert rows == {(1, 15)}, "mid-compaction epoch was double-counted"
 
 
+def test_torn_epoch_write_is_invisible_until_replayed(spark):
+    """Crash injection for the exactly-once sink: a kill MID-epoch-write
+    leaves a torn directory (part files present, no _SUCCESS job-commit
+    marker) while the streaming checkpoint never committed the batch.
+    read() must never surface the torn rows; compact() must neither fold
+    the torn epoch into the watermark (its replay would land invisible)
+    nor reclaim the dir; and the checkpoint-driven replay of the same
+    epoch must overwrite the torn attempt into visibility."""
+    d = _mkdir()
+    sink = IdempotentKeyedSink(d, ["k"])
+    sink.foreach_batch(
+        spark.createDataFrame([(1, 10), (2, 20)], "k int, v int"), 0)
+
+    # the crash image: valid parquet part file, NO _SUCCESS marker
+    torn = os.path.join(d, "epoch=1")
+    os.makedirs(torn)
+    pq.write_table(pa.table({"k": [3], "v": [999]}),
+                   os.path.join(torn, "part-00000.snappy.parquet"))
+
+    committed = {(1, 10), (2, 20)}
+    assert {tuple(r) for r in sink.read(spark).collect()} == committed, \
+        "torn epoch leaked into read()"
+    assert sink.epochs() == [0], "torn epoch listed as committed"
+
+    # maintenance racing the crash: the torn epoch must survive compact
+    # untouched and stay ABOVE the new watermark
+    sink.compact(spark)
+    assert sink.compaction_watermark() == 0
+    assert os.path.isdir(torn), "compact reclaimed an uncommitted epoch"
+    assert {tuple(r) for r in sink.read(spark).collect()} == committed
+
+    # resume: foreachBatch replays batch 1 — deterministic-path
+    # overwrite supersedes the torn attempt
+    sink.foreach_batch(spark.createDataFrame([(3, 30)], "k int, v int"), 1)
+    assert {tuple(r) for r in sink.read(spark).collect()} == \
+        {(1, 10), (2, 20), (3, 30)}
+
+
+def test_throttled_source_paces_batches(spark, sf_dir):
+    """ThrottledGraph analog (ThrottledGraph.java:50-58 stalls every
+    graph call by a configured delay): the rate-limited source must (a)
+    admit at most one file per micro-batch, (b) keep consecutive
+    non-empty batch starts >= ~the configured delay apart, and (c) still
+    deliver every staged row — throttling changes pacing, never data."""
+    from datetime import datetime
+
+    from movement_spark.streaming.pipeline import (
+        run_throttled_ingest, stage_token_stream)
+
+    full = _mkdir()
+    stage_token_stream(spark, sf_dir, full, sentinel=False)
+    small = _mkdir()
+    files = sorted(os.listdir(full))[:4]
+    for f in files:
+        shutil.copy2(os.path.join(full, f), os.path.join(small, f))
+    expected = spark.read.parquet(small).count()
+
+    delay_ms = 2000
+    listener = run_throttled_ingest(spark, small, expected,
+                                    delay_ms=delay_ms,
+                                    checkpoint_dir=_mkdir())
+    fed = [r for r in listener.records if r.num_input_rows > 0]
+    assert listener.total_rows == expected, "throttle dropped rows"
+    assert len(fed) >= len(files), \
+        "maxFilesPerTrigger=1 must spread files across batches"
+    starts = [datetime.fromisoformat(r.ts_iso.replace("Z", "+00:00"))
+              for r in fed]
+    gaps = [(b - a).total_seconds() for a, b in zip(starts, starts[1:])]
+    # Trigger fires on clock-ALIGNED interval boundaries, so the first
+    # gap after query start can be a partial interval — bound the whole
+    # run (n batches need >= n-2 full intervals) plus a per-gap floor
+    # well above unthrottled back-to-back pacing (~0.2s for these tiny
+    # files).
+    span = (starts[-1] - starts[0]).total_seconds()
+    assert span >= (len(fed) - 2) * delay_ms / 1000.0, \
+        f"run not paced: span={span}s gaps={gaps}"
+    assert gaps and min(gaps) >= 0.3 * delay_ms / 1000.0, \
+        f"batch starts nearly back-to-back: {gaps}"
+
+
 def test_state_backend_rejects_unknown_and_scopes_rocksdb_knob(spark):
     """Unknown backend names must fail with the valid choices (not a
     bare KeyError), and the RocksDB-only changelog knob must not leak
