@@ -18,7 +18,12 @@ MINHASH_P = 1_000_003   # prime modulus
 A_MULT, A_OFF = 4097, 31
 B_MULT, B_OFF = 7919, 101
 SHINGLE_MOD = 1024      # coarse shingle universe so near-dups exist
-BAND_COMBINE = 1 << 20  # positional combine base for band bucket ids
+# band bucket = chained-mod mix of the band's rows. A positional SUM
+# (sig*31^pos) aliases badly — min-hash values concentrate near 0, so
+# distinct signature tuples land on equal sums at measurable rates; the
+# (b*MIX + s) % Q chain has ~1/Q random collision probability.
+BUCKET_MIX = 1_000_003
+BUCKET_Q = 2_147_483_647
 
 SIMHASH_MULT = 2654435761
 SIMHASH_BITS = 32
@@ -47,40 +52,67 @@ def doc_shingles(tokens: DataFrame) -> DataFrame:
     )
 
 
+def minhash_coeffs(j: int) -> tuple[int, int]:
+    """Per-row hash coefficients: (A_MULT^(j+1), B_MULT^(j+1)) mod P —
+    pairwise-INDEPENDENT across rows. The previous family was linear in
+    j ((A_MULT*j + A_OFF, B_MULT*j + B_OFF)): for a fixed shingle the 16
+    hash values formed an arithmetic progression in j, so one
+    low-hashing shingle could own EVERY row of a band, and any two docs
+    containing that shingle band-collided regardless of similarity —
+    measured as superlinear candidate false positives at ≥1M docs
+    (bench/dedup_scale.py). Power coefficients break the linearity; the
+    oracle SQL injects the identical 16 pairs as a VALUES table."""
+    return pow(A_MULT, j + 1, MINHASH_P), pow(B_MULT, j + 1, MINHASH_P)
+
+
 def _hash_j(j: int) -> F.Column:
-    return ((F.lit(A_MULT * j + A_OFF) * F.col("sh")
-             + F.lit(B_MULT * j + B_OFF)) % MINHASH_P)
+    # bigint arithmetic: with a production-width shingle universe the
+    # multiplier*shingle product overflows int32 (ANSI mode raises)
+    a, b = minhash_coeffs(j)
+    return ((F.lit(a).cast("bigint") * F.col("sh")
+             + F.lit(b)) % MINHASH_P)
 
 
-def minhash_signatures(tokens: DataFrame, k: int = MINHASH_K) -> DataFrame:
+def minhash_signatures(tokens: DataFrame, k: int = MINHASH_K,
+                       shingle_mod: int = SHINGLE_MOD) -> DataFrame:
     """MinHash signature per doc, WIDE form: one shuffle keyed doc_id
     with k min-aggregate columns (map-side partial min does most of the
     work). The naive relational form — explode a doc×k grid then
     min-agg — moves k× the rows through the shuffle; at 10^12 docs that
     k× is the whole game. min() is duplicate-insensitive, so the
     per-doc shingle distinct (a second shuffle) is skipped too.
+
+    ``shingle_mod`` sizes the shingle universe: the default is the
+    deliberately-coarse FIXTURE value (so the tiny oracle corpus has
+    near-dups at all); production/scale runs pass a wide modulus
+    (bench/dedup_scale.py uses ~10^6) — a universe much smaller than
+    the corpus saturates and every doc collides with every other.
     """
     sh = (
         tokens.select("doc_id", F.explode("tokens").alias("t"))
-        .select("doc_id", (F.col("t") % SHINGLE_MOD).alias("sh"))
+        .select("doc_id", (F.col("t") % shingle_mod).alias("sh"))
     )
     return sh.groupBy("doc_id").agg(
         *[F.min(_hash_j(j)).alias(f"s{j}") for j in range(k)])
 
 
-def minhash_band_buckets(tokens: DataFrame) -> DataFrame:
-    """Band each signature: bucket id = positional combine of the band's
-    rows (sum of sig*31^pos), computed straight from the wide signature
-    columns — no second aggregation. Docs sharing a (band, bucket) are
-    near-dup candidates."""
+def minhash_band_buckets(tokens: DataFrame,
+                         shingle_mod: int = SHINGLE_MOD) -> DataFrame:
+    """Band each signature: bucket id = chained-mod mix of the band's
+    rows ((...((r0*MIX + r1) % Q)*MIX + r2...) % Q), computed straight
+    from the wide signature columns — no second aggregation. Docs
+    sharing a (band, bucket) are near-dup candidates. The mix (not a
+    positional sum) keeps distinct signature tuples from aliasing onto
+    one bucket — see BUCKET_MIX note above; intermediate magnitude is
+    bounded by Q*MIX ≈ 2.1e15, safely inside bigint."""
     rows_per_band = MINHASH_K // MINHASH_BANDS
-    wide = minhash_signatures(tokens)
+    wide = minhash_signatures(tokens, shingle_mod=shingle_mod)
     bands = []
     for b in range(MINHASH_BANDS):
-        bucket = None
-        for p in range(rows_per_band):
-            term = F.col(f"s{b * rows_per_band + p}").cast("bigint") * (31 ** p)
-            bucket = term if bucket is None else bucket + term
+        bucket = F.col(f"s{b * rows_per_band}").cast("bigint")
+        for p in range(1, rows_per_band):
+            bucket = (bucket * BUCKET_MIX
+                      + F.col(f"s{b * rows_per_band + p}")) % BUCKET_Q
         bands.append(F.struct(F.lit(b).alias("band"), bucket.alias("bucket")))
     return (
         wide.select("doc_id", F.explode(F.array(*bands)).alias("bb"))
@@ -149,14 +181,18 @@ def ngram_jaccard_pairs(tokens: DataFrame, sample_mod: int = 25,
     )
 
 
-def doc_ngrams(tokens: DataFrame, n: int = 2) -> DataFrame:
+def doc_ngrams(tokens: DataFrame, n: int = 2,
+               gram_mod: int = JACCARD_MOD) -> DataFrame:
     """Doc → distinct packed n-grams (the exact-verification feature set
-    shared by ngram_jaccard_pairs and the LSH-fed path)."""
+    shared by ngram_jaccard_pairs and the LSH-fed path). ``gram_mod``
+    defaults to the coarse fixture modulus (oracle parity); scale runs
+    pass a wide prime so unrelated docs don't alias into the same
+    grams."""
     gram_expr = (
         f"if(n_tok >= {n}, "
         f"transform(sequence(0, n_tok - {n}), "
-        f"i -> cast(tokens[i] % {JACCARD_MOD} as bigint) * {JACCARD_MOD} "
-        f"   + cast(tokens[i+1] % {JACCARD_MOD} as bigint)), "
+        f"i -> cast(tokens[i] % {gram_mod} as bigint) * {gram_mod} "
+        f"   + cast(tokens[i+1] % {gram_mod} as bigint)), "
         f"array())"
     )
     return (
@@ -165,13 +201,14 @@ def doc_ngrams(tokens: DataFrame, n: int = 2) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(tokens: DataFrame) -> DataFrame:
+def lsh_candidate_pairs(tokens: DataFrame,
+                        shingle_mod: int = SHINGLE_MOD) -> DataFrame:
     """Distinct candidate pairs from the MinHash band buckets — the
     production pair generator: the only pair-producing join is keyed by
     (band, bucket), so the pair space stays LSH-bounded instead of
     O(n²), and a pair colliding in several bands is deduplicated before
     any downstream work fans out."""
-    buckets = minhash_band_buckets(tokens)
+    buckets = minhash_band_buckets(tokens, shingle_mod=shingle_mod)
     other = buckets.select(F.col("doc_id").alias("doc_b"),
                            F.col("band").alias("band_b"),
                            F.col("bucket").alias("bucket_b"))
@@ -185,7 +222,9 @@ def lsh_candidate_pairs(tokens: DataFrame) -> DataFrame:
     )
 
 
-def _lsh_pair_overlap(tokens: DataFrame) -> DataFrame:
+def _lsh_pair_overlap(tokens: DataFrame,
+                      shingle_mod: int = SHINGLE_MOD,
+                      gram_mod: int = JACCARD_MOD) -> DataFrame:
     """(doc_a, doc_b, n_inter, sz_a, sz_b) for every LSH candidate pair —
     the shared exact-verification core of the Jaccard and containment
     paths. MinHash band buckets propose candidate pairs; gram extraction
@@ -201,13 +240,15 @@ def _lsh_pair_overlap(tokens: DataFrame) -> DataFrame:
     """
     from pyspark import StorageLevel
 
-    cands = lsh_candidate_pairs(tokens).persist(StorageLevel.MEMORY_AND_DISK)
+    cands = lsh_candidate_pairs(tokens, shingle_mod=shingle_mod) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     cand_docs = (
         cands.select(F.col("doc_a").alias("doc_id"))
         .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    grams = doc_ngrams(tokens.join(cand_docs, "doc_id", "semi"))
+    grams = doc_ngrams(tokens.join(cand_docs, "doc_id", "semi"),
+                       gram_mod=gram_mod)
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("sz"))
     ga = grams.select(F.col("doc_id").alias("doc_a"), "g")
     gb = grams.select(F.col("doc_id").alias("doc_b"), "g")
@@ -224,13 +265,19 @@ def _lsh_pair_overlap(tokens: DataFrame) -> DataFrame:
 
 
 def lsh_verified_neardups(tokens: DataFrame,
-                          jaccard_den: int = 2) -> DataFrame:
+                          jaccard_den: int = 2,
+                          shingle_mod: int = SHINGLE_MOD,
+                          gram_mod: int = JACCARD_MOD) -> DataFrame:
     """The production LSH → exact-Jaccard pipeline, sample-free: MinHash
     band buckets propose candidate pairs; exact n-gram Jaccard verifies
     ONLY those pairs (keep if jaccard >= 1/jaccard_den). This is the
-    at-scale wiring of ngram_jaccard_pairs' sampled shape."""
+    at-scale wiring of ngram_jaccard_pairs' sampled shape. The moduli
+    default to the fixture values (oracle parity); bench/dedup_scale.py
+    passes production-width ones and measures candidate growth vs
+    corpus² at 10M docs."""
     return (
-        _lsh_pair_overlap(tokens)
+        _lsh_pair_overlap(tokens, shingle_mod=shingle_mod,
+                          gram_mod=gram_mod)
         .select("doc_a", "doc_b", "n_inter",
                 (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
                 .alias("n_union"))

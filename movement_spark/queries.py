@@ -430,23 +430,40 @@ def q_dedup_exact(spark, sf_dir):
     return dedup.exact_dedup_stats(load_table(spark, sf_dir, "documents"))
 
 
-_MINHASH_SQL = with_token_cte(f"""
+# Shared minhash→bands SQL chain (mirrors dedup.minhash_band_buckets):
+# per-row coefficients are the SAME power pairs the Spark side uses
+# (dedup.minhash_coeffs — independent across rows, not linear in j),
+# and the band bucket is the identical chained-mod mix.
+_MINHASH_COEFF_VALUES = ", ".join(
+    "({}, {}, {})".format(j, *dedup.minhash_coeffs(j))
+    for j in range(dedup.MINHASH_K))
+
+_MINHASH_BANDS_CTES = f"""
 , shingles AS (
   SELECT DISTINCT doc_id, unnest(tokens) % {dedup.SHINGLE_MOD} AS sh
   FROM token_sequences),
-grid AS (
-  SELECT doc_id, sh, unnest(range(0, {dedup.MINHASH_K})) AS j FROM shingles),
+coeffs(j, ca, cb) AS (VALUES {_MINHASH_COEFF_VALUES}),
 hashes AS (
-  SELECT doc_id, j,
-         (({dedup.A_MULT} * j + {dedup.A_OFF}) * sh
-          + ({dedup.B_MULT} * j + {dedup.B_OFF})) % {dedup.MINHASH_P} AS hv
-  FROM grid),
+  SELECT s.doc_id, c.j, (c.ca * s.sh + c.cb) % {dedup.MINHASH_P} AS hv
+  FROM shingles s CROSS JOIN coeffs c),
 sigs AS (SELECT doc_id, j, MIN(hv) AS sig FROM hashes GROUP BY 1, 2),
-bands AS (
+rows4 AS (
   SELECT doc_id, CAST(j // 4 AS INT) AS band,
-         CAST(SUM(sig * CAST(31 ** (j % 4) AS BIGINT)) AS BIGINT) AS bucket
+         MAX(CASE WHEN j % 4 = 0 THEN sig END) AS r0,
+         MAX(CASE WHEN j % 4 = 1 THEN sig END) AS r1,
+         MAX(CASE WHEN j % 4 = 2 THEN sig END) AS r2,
+         MAX(CASE WHEN j % 4 = 3 THEN sig END) AS r3
   FROM sigs GROUP BY 1, 2),
-per_bucket AS (
+bands AS (
+  SELECT doc_id, band,
+         (((((CAST(r0 AS BIGINT) * {dedup.BUCKET_MIX} + r1)
+               % {dedup.BUCKET_Q})
+             * {dedup.BUCKET_MIX} + r2) % {dedup.BUCKET_Q})
+          * {dedup.BUCKET_MIX} + r3) % {dedup.BUCKET_Q} AS bucket
+  FROM rows4)"""
+
+_MINHASH_SQL = with_token_cte(_MINHASH_BANDS_CTES + """
+, per_bucket AS (
   SELECT band, bucket, COUNT(*) AS n FROM bands GROUP BY 1, 2)
 SELECT band, COUNT(*) AS n_colliding_buckets,
        CAST(SUM(n * (n - 1) / 2) AS BIGINT) AS n_candidate_pairs
@@ -2003,23 +2020,8 @@ def q_ann_ivf(spark, sf_dir):
 # Shared CTE chain for the LSH-candidate exact-verification paths
 # (mirrors dedup._lsh_pair_overlap): minhash → bands → candidate pairs →
 # gram sets → per-pair intersection counts + per-doc gram sizes.
-_LSH_OVERLAP_CTES = f"""
-, shingles AS (
-  SELECT DISTINCT doc_id, unnest(tokens) % {dedup.SHINGLE_MOD} AS sh
-  FROM token_sequences),
-grid AS (
-  SELECT doc_id, sh, unnest(range(0, {dedup.MINHASH_K})) AS j FROM shingles),
-hashes AS (
-  SELECT doc_id, j,
-         (({dedup.A_MULT} * j + {dedup.A_OFF}) * sh
-          + ({dedup.B_MULT} * j + {dedup.B_OFF})) % {dedup.MINHASH_P} AS hv
-  FROM grid),
-sigs AS (SELECT doc_id, j, MIN(hv) AS sig FROM hashes GROUP BY 1, 2),
-bands AS (
-  SELECT doc_id, CAST(j // 4 AS INT) AS band,
-         CAST(SUM(sig * CAST(31 ** (j % 4) AS BIGINT)) AS BIGINT) AS bucket
-  FROM sigs GROUP BY 1, 2),
-cands AS (
+_LSH_OVERLAP_CTES = _MINHASH_BANDS_CTES + f"""
+, cands AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
@@ -4236,6 +4238,38 @@ def q_distribution_sampler(spark, sf_dir):
     )
 
 
+@register("coin_flip_corpus_sample", """
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN ((1103515245 * doc_id + 12345) % 2147483647)
+                          % 10000 < 3000 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept,
+       CAST(SUM(CASE WHEN ((1103515245 * doc_id + 12345) % 2147483647)
+                          % 10000 < 3000 THEN 1 ELSE 0 END) * 10000
+            // COUNT(*) AS BIGINT) AS kept_bps
+FROM documents GROUP BY source
+""")
+def q_coin_flip_sample(spark, sf_dir):
+    """ProbUtil.coinFlip (ProbUtil.java:15-17) as a corpus sampling
+    decision: keep each doc with probability weight_bps/10000, decided
+    by the deterministic a*x+b mod p flip (operators/distribution.py:
+    coin_flip) instead of Math.random() — the draw itself is
+    oracle-checked per doc, and per-source retention lands within
+    integer bps of the configured weight."""
+    from movement_spark.operators.distribution import coin_flip
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = coin_flip("doc_id", 3000).cast("int")
+    return (
+        docs.groupBy("source")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum(kept).cast("bigint").alias("n_kept"))
+        .select("source", "n_docs", "n_kept",
+                F.floor(F.col("n_kept") * 10000 / F.col("n_docs"))
+                .cast("bigint").alias("kept_bps"))
+    )
+
+
 # ---------------------------------------------------------------------
 # Driver-gate ordering. The correctness sweep evaluates the registry in
 # insertion order, and round 1's sweep was cut off after ~49 entries —
@@ -4296,6 +4330,11 @@ _FRONT = [
     "streaming_update_mode",
     "streaming_enriched_pipeline",
     "streaming_session_windows",
+    # Round-3 additions (never driver-verified) — AFTER the frozen 46,
+    # before anything already green, so a generous gate still reaches
+    # them without displacing the backlog.
+    "distribution_sampler_stats",
+    "coin_flip_corpus_sample",
 ]
 _REGISTRY = {
     name: _REGISTRY[name]
