@@ -482,3 +482,40 @@ def test_pointer_doubling_handles_deep_chains(spark):
     got = {(r.id, r.component) for r in out.collect()}
     want = {(i, 0) for i in range(n)} | {(i, n) for i in range(n, 2 * n)}
     assert got == want
+
+
+def test_lsh_candidates_track_true_dup_structure(spark):
+    """Regression pin for the r03 MinHash fixes (independent per-row
+    hash coefficients + chained-mod band buckets): on a corpus whose
+    duplicate structure is KNOWN — every 10th group of 4 docs is a
+    near-dup cluster (6 true pairs each), all other content disjoint —
+    the candidate set must track the true pairs, not corpus². The
+    pre-fix family (coefficients linear in the row index; positional-
+    sum buckets) produced ~1.8-19× designed here and grew superlinearly
+    with corpus size (bench/dedup_scale.py measurement)."""
+    from movement_spark.operators.dedup import (
+        lsh_candidate_pairs, lsh_verified_neardups)
+
+    n, p = 20_000, 2_147_483_647
+    toks = (
+        spark.range(n).select(F.col("id").alias("did"))
+        .selectExpr(
+            "concat('d', cast(did as string)) as doc_id",
+            "if((did div 4) % 10 = 0, did div 4, 40000 + did) as seed",
+            "cast(if((did div 4) % 10 = 0, 100 + (did % 4) * 4, "
+            "        80 + (did * 7) % 41) as int) as n_tok")
+        .selectExpr(
+            "doc_id", "n_tok",
+            f"transform(sequence(0, n_tok - 1), i -> "
+            f"  cast((((seed * 128 + i) * (seed * 128 + i) % {p})"
+            f"        * (seed * 128 + i)) % {p} as int)) as tokens")
+    )
+    designed = 6 * (n // 40)
+    cands = lsh_candidate_pairs(toks, shingle_mod=1_000_003).count()
+    assert designed * 0.9 <= cands <= designed * 1.2, \
+        f"candidates {cands} vs designed {designed}: LSH noise regressed"
+    verified = lsh_verified_neardups(
+        toks, shingle_mod=1_000_003, gram_mod=50_021).count()
+    assert verified >= designed * 0.95, \
+        f"verified {verified} of {designed}: recall regressed"
+    assert verified <= cands
