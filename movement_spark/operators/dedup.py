@@ -38,8 +38,9 @@ def exact_dedup_stats(documents: DataFrame) -> DataFrame:
     )
 
 
-def doc_shingles(tokens: DataFrame) -> DataFrame:
-    """Doc → distinct coarse shingles (token % SHINGLE_MOD).
+def doc_shingles(tokens: DataFrame,
+                 shingle_mod: int = SHINGLE_MOD) -> DataFrame:
+    """Doc → distinct coarse shingles (token % shingle_mod).
 
     explode is vectorized JVM-side; distinct() is a map-side-combined
     aggregate keyed (doc_id, shingle) — no skew (shingles are uniform).
@@ -47,7 +48,7 @@ def doc_shingles(tokens: DataFrame) -> DataFrame:
     return (
         tokens
         .select("doc_id", F.explode("tokens").alias("t"))
-        .select("doc_id", (F.col("t") % SHINGLE_MOD).alias("sh"))
+        .select("doc_id", (F.col("t") % shingle_mod).alias("sh"))
         .distinct()
     )
 
@@ -543,6 +544,96 @@ def simhash_docs(tokens: DataFrame, sample_mod: int = 50) -> DataFrame:
     for t in bit_terms[1:]:
         total = total + t
     return votes.select("doc_id", total.cast("bigint").alias("simhash"))
+
+
+# Wide (60-bit) SimHash — the SCALE configuration. The 32-bit form
+# above banded into 4 bytes: 256 buckets per band means candidate
+# pairs ~ n²/128 once the corpus outgrows the bucket space — a
+# fixture-sized config (fine at the oracle corpus, quadratic at 10^7+).
+# Band width must track log2(corpus): 4×15-bit bands (32768 buckets)
+# hold random collisions to n²·4/2^15 while true near-dups still
+# collide by pigeonhole for hamming < 4. The 60-bit hash is two
+# independent 30-bit prime-mod multiplicative halves stacked — plain
+# int64 arithmetic, no overflow, and no weak low bits (prime modulus,
+# unlike mod-2^k which passes the shingle's low bits straight through).
+SIMHASH_W_BITS = 60
+SIMHASH_W_HALF = 30
+SIMHASH_W_P = 1_073_741_789   # prime < 2^30
+SIMHASH_W_K1 = 2_654_435_761
+SIMHASH_W_K2 = 1_103_515_245
+SIMHASH_W_BAND_BITS = 15
+
+
+def _simhash_wide_hv() -> F.Column:
+    sh = F.col("sh").cast("bigint")  # int32 sh * 2.6e9 overflows int32
+    h1 = (sh * SIMHASH_W_K1) % SIMHASH_W_P
+    h2 = (sh * SIMHASH_W_K2) % SIMHASH_W_P
+    return (h1 % (1 << SIMHASH_W_HALF)) * (1 << SIMHASH_W_HALF) \
+        + (h2 % (1 << SIMHASH_W_HALF))
+
+
+def simhash_docs_wide(tokens: DataFrame, sample_mod: int = 50,
+                      shingle_mod: int = SHINGLE_MOD) -> DataFrame:
+    """60-bit SimHash per sampled doc — same wide-aggregate shape as
+    simhash_docs (the 60 bit-votes are sum columns in ONE
+    distinct-shingle shuffle), scale-width hash (see constants note)."""
+    sh = doc_shingles(tokens.where(F.col("did") % sample_mod == 0),
+                      shingle_mod=shingle_mod)
+    votes = sh.select("doc_id", _simhash_wide_hv().alias("hv")) \
+        .groupBy("doc_id").agg(
+            *[F.sum(F.shiftright(F.col("hv"), b) % 2 * 2 - 1).alias(f"v{b}")
+              for b in range(SIMHASH_W_BITS)])
+    total = None
+    for b in range(SIMHASH_W_BITS):
+        term = F.when(F.col(f"v{b}") > 0,
+                      F.lit(1 << b).cast("bigint")) \
+            .otherwise(F.lit(0).cast("bigint"))
+        total = term if total is None else total + term
+    return votes.select("doc_id", total.cast("bigint").alias("simhash"))
+
+
+def simhash_wide_neardup_pairs(tokens: DataFrame, sample_mod: int = 1,
+                               max_hamming: int = 15,
+                               shingle_mod: int = SHINGLE_MOD) -> DataFrame:
+    """SimHash dedup pipeline at scale width: 60-bit hash → 4×15-bit
+    band candidates → exact bit_count(xor) verify. Identical plan shape
+    to simhash_neardup_pairs (band-keyed shuffle, never all-pairs), but
+    the 32768-bucket bands keep the candidate set from going quadratic
+    until corpus ~ bucket-space scale. max_hamming defaults to the same
+    similarity fraction as the 32-bit form (8/32 ≈ 15/60)."""
+    sh = simhash_docs_wide(tokens, sample_mod=sample_mod,
+                           shingle_mod=shingle_mod)
+    n_bands = SIMHASH_W_BITS // SIMHASH_W_BAND_BITS
+    band_structs = [
+        F.struct(F.lit(b).alias("band"),
+                 (F.shiftright(F.col("simhash"), SIMHASH_W_BAND_BITS * b)
+                  % (1 << SIMHASH_W_BAND_BITS)).alias("bv"))
+        for b in range(n_bands)
+    ]
+    bands = (
+        sh.select("doc_id", "simhash",
+                  F.explode(F.array(*band_structs)).alias("bb"))
+        .select("doc_id", "simhash", "bb.band", "bb.bv")
+    )
+    other = bands.select(F.col("doc_id").alias("doc_b"),
+                         F.col("simhash").alias("sim_b"),
+                         F.col("band").alias("band_b"),
+                         F.col("bv").alias("bv_b"))
+    pairs = (
+        bands.join(other,
+                   (F.col("band") == F.col("band_b"))
+                   & (F.col("bv") == F.col("bv_b"))
+                   & (F.col("doc_id") < F.col("doc_b")))
+        .select(F.col("doc_id").alias("doc_a"), "doc_b",
+                F.col("simhash").alias("sim_a"), "sim_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        pairs.withColumn("hamming", hamming.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
 
 
 SEG_W = 8  # words per dedup segment

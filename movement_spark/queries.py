@@ -4223,7 +4223,10 @@ def q_distribution_sampler(spark, sf_dir):
     toks = token_sequences(spark, sf_dir)
     hist = (toks.groupBy(F.col("n_tok").cast("bigint").alias("value"))
             .agg(F.count("*").alias("cnt")))
-    dist = build_distribution(hist)
+    # persist the (histogram-sized) line: three consumers below — the
+    # sampler's ownership join, its line-length scalar, the likelihood
+    # projection — would otherwise each re-aggregate the corpus
+    dist = build_distribution(hist).persist()
     sampled = (
         sample_distribution(spark, dist, _DIST_DRAWS)
         .groupBy("value").agg(F.count("*").alias("n_sampled"))
@@ -4268,6 +4271,58 @@ def q_coin_flip_sample(spark, sf_dir):
                 F.floor(F.col("n_kept") * 10000 / F.col("n_docs"))
                 .cast("bigint").alias("kept_bps"))
     )
+
+
+_SIMHASH_WIDE_SQL = with_token_cte(f"""
+, shingles AS (
+  SELECT DISTINCT doc_id, unnest(tokens) % {dedup.SHINGLE_MOD} AS sh
+  FROM token_sequences),
+bits AS (
+  SELECT doc_id, unnest(range(0, {dedup.SIMHASH_W_BITS})) AS b,
+         (((CAST(sh AS BIGINT) * {dedup.SIMHASH_W_K1})
+            % {dedup.SIMHASH_W_P})
+          % {1 << dedup.SIMHASH_W_HALF}) * {1 << dedup.SIMHASH_W_HALF}
+         + (((CAST(sh AS BIGINT) * {dedup.SIMHASH_W_K2})
+              % {dedup.SIMHASH_W_P})
+            % {1 << dedup.SIMHASH_W_HALF}) AS hv
+  FROM shingles),
+votes AS (
+  SELECT doc_id, b, SUM(((hv >> CAST(b AS INT)) % 2) * 2 - 1) AS s
+  FROM bits GROUP BY 1, 2),
+sims AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << CAST(b AS INT)
+                       ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, simhash, band,
+         (simhash >> CAST(band * {dedup.SIMHASH_W_BAND_BITS} AS INT))
+           % {1 << dedup.SIMHASH_W_BAND_BITS} AS bv
+  FROM (SELECT doc_id, simhash,
+               unnest(range(0, {dedup.SIMHASH_W_BITS
+                                 // dedup.SIMHASH_W_BAND_BITS})) AS band
+        FROM sims)),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sim_a, b.simhash AS sim_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+FROM pairs WHERE bit_count(xor(sim_a, sim_b)) <= 15
+""")
+
+
+@register("simhash_wide_pairs", _SIMHASH_WIDE_SQL)
+def q_simhash_wide_pairs(spark, sf_dir):
+    """The SimHash pipeline at SCALE width: 60-bit hash (two 30-bit
+    prime-mod multiplicative halves — no weak mod-2^k low bits), 4×15-bit
+    bands (32768 buckets vs the 32-bit form's 256, holding random band
+    collisions to n²·4/2^15), exact bit_count(xor) verify. Same
+    band-keyed plan shape as simhash_neardup_pairs, which stays
+    registered as the fixture-width form."""
+    return dedup.simhash_wide_neardup_pairs(
+        token_sequences(spark, sf_dir, keep_did=True))
 
 
 # ---------------------------------------------------------------------
@@ -4335,6 +4390,7 @@ _FRONT = [
     # them without displacing the backlog.
     "distribution_sampler_stats",
     "coin_flip_corpus_sample",
+    "simhash_wide_pairs",
 ]
 _REGISTRY = {
     name: _REGISTRY[name]
