@@ -4273,6 +4273,60 @@ def q_coin_flip_sample(spark, sf_dir):
     )
 
 
+_VOCAB_K = 500
+
+_VOCAB_SQL = with_token_cte(f"""
+, tok AS (SELECT unnest(tokens) AS t FROM token_sequences),
+freq AS (SELECT t, COUNT(*) AS cnt FROM tok GROUP BY t),
+ranked AS (
+  SELECT t, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, t ASC) AS r
+  FROM freq),
+vocab AS (SELECT t, cnt FROM ranked WHERE r <= {_VOCAB_K})
+SELECT {_VOCAB_K} AS vocab_k,
+       (SELECT COUNT(*) FROM freq) AS n_distinct_tokens,
+       (SELECT CAST(SUM(cnt) AS BIGINT) FROM freq) AS total_tok,
+       CAST(SUM(cnt) AS BIGINT) AS covered_tok,
+       CAST(SUM(cnt) * 10000 // (SELECT SUM(cnt) FROM freq) AS BIGINT)
+           AS coverage_bps,
+       MIN(cnt) AS min_vocab_cnt
+FROM vocab
+""")
+
+
+@register("token_vocab_coverage", _VOCAB_SQL)
+def q_vocab_coverage(spark, sf_dir):
+    """Vocabulary builder accounting — the tokenizer-design question
+    "how much of the corpus does a K-entry vocab cover?": global token
+    frequencies, deterministic top-K cut (count DESC, token ASC), and
+    exact integer-bps corpus coverage. Scale shape: ONE token-keyed
+    count shuffle (map-side combined) then a rank over the (vocab-
+    universe-sized, not corpus-sized) frequency table; the top-K is a
+    TopK plan, never a full sort of the corpus."""
+    toks = token_sequences(spark, sf_dir)
+    freq = (toks.select(F.explode("tokens").alias("t"))
+            .groupBy("t").agg(F.count("*").alias("cnt"))
+            .persist())
+    from pyspark.sql.window import Window
+    ranked = freq.withColumn(
+        "r", F.row_number().over(
+            Window.orderBy(F.desc("cnt"), F.asc("t"))))
+    vocab = ranked.where(F.col("r") <= _VOCAB_K)
+    totals = freq.agg(
+        F.count("*").alias("n_distinct_tokens"),
+        F.sum("cnt").cast("bigint").alias("total_tok"))
+    return (
+        vocab.agg(F.sum("cnt").cast("bigint").alias("covered_tok"),
+                  F.min("cnt").alias("min_vocab_cnt"))
+        .crossJoin(F.broadcast(totals))
+        .select(F.lit(_VOCAB_K).alias("vocab_k"),
+                "n_distinct_tokens", "total_tok", "covered_tok",
+                F.floor(F.col("covered_tok") * 10000
+                        / F.col("total_tok")).cast("bigint")
+                .alias("coverage_bps"),
+                "min_vocab_cnt")
+    )
+
+
 _SIMHASH_WIDE_SQL = with_token_cte(f"""
 , shingles AS (
   SELECT DISTINCT doc_id, unnest(tokens) % {dedup.SHINGLE_MOD} AS sh
@@ -4391,6 +4445,7 @@ _FRONT = [
     "distribution_sampler_stats",
     "coin_flip_corpus_sample",
     "simhash_wide_pairs",
+    "token_vocab_coverage",
 ]
 _REGISTRY = {
     name: _REGISTRY[name]
