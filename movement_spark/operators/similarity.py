@@ -193,6 +193,32 @@ def ivf_assign(embeddings: DataFrame,
     )
 
 
+def ivf_assign_incremental(index: DataFrame, new_embeddings: DataFrame,
+                           n_centroids: int = N_CENTROIDS) -> DataFrame:
+    """Maintain an IVF index under append-only ingest: assign ONLY the
+    new vectors against the existing codebook (recovered from the index
+    — the first ``n_centroids`` vectors) and union them in. Work is
+    O(delta × centroids), never a corpus rebuild; the codebook is
+    frozen, so existing inverted lists are untouched and incremental
+    maintenance commutes with batch rebuild (pinned by
+    test_ivf_incremental_equals_rebuild). Periodic re-clustering
+    (codebook drift) is the batch job: kmeans_centroids + a fresh
+    ivf_assign."""
+    cents = index.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cent_id"), F.col("q").alias("cv"))
+    q_new = quantized(new_embeddings)
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("cdot"), F.asc("cent_id"))
+    delta = (
+        q_new.crossJoin(F.broadcast(cents))
+        .select("vec_id", "q", "cent_id", _dot("q", "cv").alias("cdot"))
+        .withColumn("_rn", F.row_number().over(w_assign))
+        .where(F.col("_rn") == 1)
+        .select("vec_id", "q", "cent_id")
+    )
+    return index.unionByName(delta)
+
+
 def ivf_search(assigned: DataFrame, n_centroids: int,
                n_queries: int = 10, k: int = 5,
                nprobe: int = 1) -> DataFrame:

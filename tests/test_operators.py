@@ -544,3 +544,32 @@ def test_ivf_nprobe_raises_recall_monotonically(spark, sf_dir):
     bf.unpersist()
     assert r1 <= r2 <= r4, f"recall not monotone in nprobe: {r1} {r2} {r4}"
     assert r4 >= 0.9, f"nprobe=4 recall collapsed: {r4}"
+
+
+def test_ivf_incremental_equals_rebuild(spark, sf_dir):
+    """Append-only IVF maintenance: assigning only the new vectors
+    against the frozen codebook and unioning into the index must equal
+    a full rebuild over the grown corpus — and a search over the
+    incrementally-maintained index must return the rebuild's results
+    bit-for-bit. (Holds because the codebook is the first n_centroids
+    vectors of the ORIGINAL corpus and stays frozen across appends.)"""
+    from movement_spark.operators.similarity import (
+        ivf_assign, ivf_assign_incremental, ivf_search)
+    from movement_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ids = sorted(r.vec_id for r in emb.select("vec_id").collect())
+    cut = ids[len(ids) // 2]
+    old, new = emb.where(F.col("vec_id") <= cut), \
+        emb.where(F.col("vec_id") > cut)
+
+    incremental = ivf_assign_incremental(ivf_assign(old), new)
+    rebuild = ivf_assign(emb)
+    assert incremental.count() == rebuild.count()
+    assert incremental.exceptAll(rebuild).count() == 0
+    assert rebuild.exceptAll(incremental).count() == 0
+
+    s_inc = ivf_search(incremental, 16, n_queries=8, k=5)
+    s_reb = ivf_search(rebuild, 16, n_queries=8, k=5)
+    assert s_inc.exceptAll(s_reb).count() == 0
+    assert s_reb.exceptAll(s_inc).count() == 0
