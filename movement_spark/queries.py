@@ -2017,6 +2017,144 @@ def q_ann_ivf(spark, sf_dir):
     return df.withColumn("rank", F.col("rank").cast("int"))
 
 
+_PQ_SQL = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x ->
+           CAST(round(CAST(x AS DOUBLE) * {similarity.QUANT}, 0) AS BIGINT)) AS qv
+  FROM embeddings),
+subs AS (SELECT unnest(range(0, {similarity.PQ_M})) AS m),
+cb AS (
+  SELECT q.vec_id AS code, subs.m,
+         q.qv[subs.m * {similarity.PQ_SUB} + 1 :
+              subs.m * {similarity.PQ_SUB} + {similarity.PQ_SUB}] AS cw
+  FROM q CROSS JOIN subs WHERE q.vec_id < {similarity.PQ_KSUB}),
+vecsub AS (
+  SELECT q.vec_id, subs.m,
+         q.qv[subs.m * {similarity.PQ_SUB} + 1 :
+              subs.m * {similarity.PQ_SUB} + {similarity.PQ_SUB}] AS sv
+  FROM q CROSS JOIN subs),
+dists AS (
+  SELECT v.vec_id, v.m, cb.code,
+         CAST(list_sum(list_transform(range(1, {similarity.PQ_SUB} + 1),
+           i -> (v.sv[i] - cb.cw[i]) * (v.sv[i] - cb.cw[i]))) AS BIGINT) AS d
+  FROM vecsub v JOIN cb ON v.m = cb.m),
+enc AS (
+  SELECT vec_id, m, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                 ORDER BY d ASC, code ASC) AS rn
+    FROM dists) WHERE rn = 1),
+lut AS (
+  SELECT v.vec_id AS query_id, v.m, cb.code,
+         CAST(list_sum(list_transform(range(1, {similarity.PQ_SUB} + 1),
+           i -> v.sv[i] * cb.cw[i])) AS BIGINT) AS pdot
+  FROM vecsub v JOIN cb ON v.m = cb.m
+  WHERE v.vec_id < 10),
+scores AS (
+  SELECT l.query_id, e.vec_id, CAST(SUM(l.pdot) AS BIGINT) AS approx_dot
+  FROM enc e JOIN lut l ON e.m = l.m AND e.code = l.code
+  WHERE e.vec_id <> l.query_id
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY approx_dot DESC, vec_id ASC) AS rank
+  FROM scores)
+SELECT query_id, vec_id, approx_dot, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+@register("ann_pq_topk", _PQ_SQL)
+def q_ann_pq(spark, sf_dir):
+    """Product-quantization ANN (ADC): the fourth ANN layout — vectors
+    compressed to PQ_M codes, queries scored by LUT lookups. The corpus
+    pass reads 4 ints per vector instead of 64; the memory trade that
+    fits billion-vector indexes in cluster RAM (composable with IVF
+    lists as IVF-PQ)."""
+    return similarity.pq_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+_PQ_TRAINED_SQL = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x ->
+           CAST(round(CAST(x AS DOUBLE) * {similarity.QUANT}, 0) AS BIGINT)) AS qv
+  FROM embeddings),
+subs AS (SELECT unnest(range(0, {similarity.PQ_M})) AS m),
+cb0 AS (
+  SELECT q.vec_id AS code, subs.m,
+         q.qv[subs.m * {similarity.PQ_SUB} + 1 :
+              subs.m * {similarity.PQ_SUB} + {similarity.PQ_SUB}] AS cw
+  FROM q CROSS JOIN subs WHERE q.vec_id < {similarity.PQ_KSUB}),
+vecsub AS (
+  SELECT q.vec_id, subs.m,
+         q.qv[subs.m * {similarity.PQ_SUB} + 1 :
+              subs.m * {similarity.PQ_SUB} + {similarity.PQ_SUB}] AS sv
+  FROM q CROSS JOIN subs),
+d0 AS (
+  SELECT v.vec_id, v.m, cb0.code,
+         CAST(list_sum(list_transform(range(1, {similarity.PQ_SUB} + 1),
+           i -> (v.sv[i] - cb0.cw[i]) * (v.sv[i] - cb0.cw[i]))) AS BIGINT) AS d
+  FROM vecsub v JOIN cb0 ON v.m = cb0.m),
+enc0 AS (
+  SELECT vec_id, m, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                 ORDER BY d ASC, code ASC) AS rn
+    FROM d0) WHERE rn = 1),
+memdims AS (
+  SELECT e.m, e.code, unnest(v.sv) AS val,
+         CAST(generate_subscripts(v.sv, 1) AS INT) AS dim
+  FROM enc0 e JOIN vecsub v ON v.vec_id = e.vec_id AND v.m = e.m),
+means AS (
+  SELECT m, code, dim,
+         CAST(floor(SUM(val) / COUNT(*)) AS BIGINT) AS cv
+  FROM memdims GROUP BY m, code, dim),
+cw1 AS (SELECT m, code, list(cv ORDER BY dim) AS cw
+        FROM means GROUP BY m, code),
+cb1 AS (
+  SELECT g.m, g.code, COALESCE(c.cw, g.cw) AS cw
+  FROM cb0 g LEFT JOIN cw1 c ON g.m = c.m AND g.code = c.code),
+d1 AS (
+  SELECT v.vec_id, v.m, cb1.code,
+         CAST(list_sum(list_transform(range(1, {similarity.PQ_SUB} + 1),
+           i -> (v.sv[i] - cb1.cw[i]) * (v.sv[i] - cb1.cw[i]))) AS BIGINT) AS d
+  FROM vecsub v JOIN cb1 ON v.m = cb1.m),
+enc1 AS (
+  SELECT vec_id, m, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                 ORDER BY d ASC, code ASC) AS rn
+    FROM d1) WHERE rn = 1),
+lut AS (
+  SELECT v.vec_id AS query_id, v.m, cb1.code,
+         CAST(list_sum(list_transform(range(1, {similarity.PQ_SUB} + 1),
+           i -> v.sv[i] * cb1.cw[i])) AS BIGINT) AS pdot
+  FROM vecsub v JOIN cb1 ON v.m = cb1.m
+  WHERE v.vec_id < 10),
+scores AS (
+  SELECT l.query_id, e.vec_id, CAST(SUM(l.pdot) AS BIGINT) AS approx_dot
+  FROM enc1 e JOIN lut l ON e.m = l.m AND e.code = l.code
+  WHERE e.vec_id <> l.query_id
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY approx_dot DESC, vec_id ASC) AS rank
+  FROM scores)
+SELECT query_id, vec_id, approx_dot, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+@register("ann_pq_trained_topk", _PQ_TRAINED_SQL)
+def q_ann_pq_trained(spark, sf_dir):
+    """PQ with a TRAINED codebook (one Lloyd round per subspace):
+    ADC search over codes from the refined quantizer — the full
+    production PQ lifecycle (train → encode → search), recall measured
+    against brute force in test_pq_recall_floor_vs_brute_force."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = similarity.pq_codebook_trained(emb)
+    return similarity.pq_search(similarity.pq_encode(emb, cb), emb, cb)
+
+
 # Shared CTE chain for the LSH-candidate exact-verification paths
 # (mirrors dedup._lsh_pair_overlap): minhash → bands → candidate pairs →
 # gram sets → per-pair intersection counts + per-doc gram sizes.

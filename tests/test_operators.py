@@ -573,3 +573,67 @@ def test_ivf_incremental_equals_rebuild(spark, sf_dir):
     s_reb = ivf_search(rebuild, 16, n_queries=8, k=5)
     assert s_inc.exceptAll(s_reb).count() == 0
     assert s_reb.exceptAll(s_inc).count() == 0
+
+
+def test_pq_adc_equals_reconstruction_dot(spark, sf_dir):
+    """The ADC invariant that makes PQ search trustworthy: the LUT-sum
+    approx_dot must equal the EXACT integer dot of the query against the
+    vector's PQ reconstruction (codeword concatenation). If this drifts,
+    the LUT indexing or the encode argmin is wrong — recall numbers
+    alone would hide either."""
+    from movement_spark.operators.similarity import (
+        _dot, pq_codebook, pq_encode, pq_search, quantized)
+    from movement_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_codebook(emb)
+    enc = pq_encode(emb, cb)
+    res = pq_search(enc, emb, cb, n_queries=4, k=5)
+
+    recon = enc.crossJoin(F.broadcast(cb)).select(
+        "vec_id",
+        F.expr("flatten(zip_with(codes, cb, (c, l) -> element_at(l, c + 1)))")
+        .alias("rv"))
+    queries = quantized(emb).where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qv"))
+    checked = (
+        res.join(recon, "vec_id").join(queries, "query_id")
+        .select("query_id", "vec_id", "approx_dot",
+                _dot("qv", "rv").alias("exact_recon_dot"))
+    )
+    rows = checked.collect()
+    assert len(rows) == 4 * 5
+    bad = [r for r in rows if r.approx_dot != r.exact_recon_dot]
+    assert not bad, f"ADC != reconstruction dot: {bad[:3]}"
+
+
+def test_pq_recall_floor_vs_brute_force(spark, sf_dir):
+    """PQ trades recall for a 16x smaller corpus representation; the
+    trade must stay bounded, and TRAINING the codebook (one Lloyd round
+    per subspace) must not be worse than the seed codebook. Floors are
+    deliberately loose (4 subspaces x 16 codes is fixture-sized) — this
+    catches encode/training regressions that silence the signal, not
+    tuning drift. Measured: sf0.001 seed 0.2 / trained 0.22; sf0.01
+    seed 0.2 / trained 0.3."""
+    from movement_spark.operators.similarity import (
+        brute_force_topk, pq_codebook_trained, pq_encode, pq_search,
+        pq_topk)
+    from movement_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bf = brute_force_topk(emb, 10, 5).select("query_id", "vec_id").persist()
+    total = bf.count()
+    assert total == 50
+
+    seed_hits = bf.join(pq_topk(emb, 10, 5).select("query_id", "vec_id"),
+                        ["query_id", "vec_id"]).count()
+    cb = pq_codebook_trained(emb)
+    trained = pq_search(pq_encode(emb, cb), emb, cb, 10, 5)
+    trained_hits = bf.join(trained.select("query_id", "vec_id"),
+                           ["query_id", "vec_id"]).count()
+    bf.unpersist()
+    assert seed_hits / total >= 0.1, f"seed PQ recall: {seed_hits}/{total}"
+    assert trained_hits / total >= 0.15, \
+        f"trained PQ recall: {trained_hits}/{total}"
+    assert trained_hits >= seed_hits, \
+        f"Lloyd round made recall WORSE: {trained_hits} < {seed_hits}"
