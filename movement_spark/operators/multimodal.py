@@ -185,6 +185,50 @@ def media_resize(documents: DataFrame, stride: int = RESIZE_STRIDE,
     return media.mapInPandas(_resize(stride), schema=RESIZE_SCHEMA)
 
 
+BINARY_INGEST_MOD = 5  # stage 1/5 of docs as raw files (fixture-sized)
+
+
+def stage_binary_files(documents: DataFrame, stage_dir: str,
+                       sample_mod: int = BINARY_INGEST_MOD) -> str:
+    """Materialize a deterministic subset of documents as ONE raw file
+    per doc (text writer + partitionBy) — the on-disk layout of a binary
+    media lake, written by a distributed job (never a driver loop).
+    Idempotent: the writer's ``_SUCCESS`` marker gates re-staging, the
+    same commit contract as sinks/idempotent.py."""
+    import os
+    if not os.path.exists(os.path.join(stage_dir, "_SUCCESS")):
+        (documents.where(F.col("doc_id") % sample_mod == 0)
+         .select("text", "doc_id")
+         .write.mode("overwrite").partitionBy("doc_id").text(stage_dir))
+    return stage_dir
+
+
+def binary_file_ingest(spark, documents: DataFrame, stage_dir: str,
+                       sample_mod: int = BINARY_INGEST_MOD) -> DataFrame:
+    """Ingest raw files through Spark's ``binaryFile`` source — the real
+    entry point for image/audio blobs at scale (each file becomes one row
+    with ``content: binary``; ``spark.sql.files.maxPartitionBytes`` packs
+    small files into balanced input splits, and the binary column flows
+    straight into the mapInPandas decoders above). Emits one
+    (doc_id, n_bytes, content_md5) row per file; doc_id is recovered from
+    the partition path. md5 is bit-identical across engines (unlike
+    xxhash64), so the full read path is oracle-checkable end to end: the
+    text writer appends one ``\\n`` per doc, which the oracle mirrors."""
+    stage_binary_files(documents, stage_dir, sample_mod)
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "part-*")
+        .option("recursiveFileLookup", "true")
+        .load(stage_dir)
+    )
+    return raw.select(
+        F.regexp_extract("path", r"doc_id=(\d+)", 1).cast("bigint")
+        .alias("doc_id"),
+        F.length("content").cast("bigint").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )
+
+
 def media_feature_stats(documents: DataFrame) -> DataFrame:
     """Aggregate the extracted features per first-byte class — bounded,
     oracle-checkable output."""

@@ -1766,6 +1766,27 @@ def q_multimodal(spark, sf_dir):
     return multimodal.media_feature_stats(load_table(spark, sf_dir, "documents"))
 
 
+@register("multimodal_binary_ingest", f"""
+SELECT doc_id,
+       CAST(octet_length(encode(text || chr(10))) AS BIGINT) AS n_bytes,
+       md5(text || chr(10)) AS content_md5
+FROM documents WHERE doc_id % {multimodal.BINARY_INGEST_MOD} = 0
+""")
+def q_multimodal_ingest(spark, sf_dir):
+    """Raw-file ingest through Spark's binaryFile source: a sampled doc
+    subset is staged as one file per doc (distributed text write), read
+    back as binary rows, and digest-checked against the table the files
+    came from. This is the real media-lake entry point the mapInPandas
+    decoders consume; md5 is the one hash that is bit-identical across
+    engines, so the read path itself is oracle-gated."""
+    import os
+    docs = load_table(spark, sf_dir, "documents")
+    stage = os.path.join(
+        "/tmp", "movement_spark_binstage",
+        os.path.basename(os.path.normpath(sf_dir)))
+    return multimodal.binary_file_ingest(spark, docs, stage)
+
+
 @register("dataset_split_stats", f"""
 SELECT source,
        CASE WHEN ((doc_id * 1103515245 + 12345) % {(1 << 31) - 1}) % 100 < 80 THEN 'train'
