@@ -593,3 +593,50 @@ def ushape_attribution(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
         .agg(F.count("*").alias("touches"),
              F.sum("bps").cast("bigint").alias("credit_bps"))
     )
+
+
+def sole_fault_suppliers(lineitem: DataFrame, orders: DataFrame,
+                         supplier: DataFrame,
+                         nation: DataFrame) -> DataFrame:
+    """TPC-H Q21 shape (EXISTS + NOT EXISTS correlated self-joins): per
+    supplier, how many finished multi-supplier orders had THIS supplier
+    as the ONLY one with a returned line. ``l_returnflag = 'R'`` stands
+    in for Q21's receipt-after-commit lateness test (this corpus carries
+    no commit/receipt dates); the join algebra is the query's point.
+
+    Scale shape: every correlated subquery becomes a semi/anti
+    join keyed on l_orderkey — ONE high-cardinality shuffle key shared
+    by all three legs (AQE co-plans them), never a per-row subquery;
+    supplier and nation dims broadcast. The distinct() frames bound the
+    self-join inputs to (order, supplier) pairs, not raw lines.
+    """
+    finished = orders.where(F.col("o_orderstatus") == "F") \
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    faults = (
+        lineitem.where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey").distinct()
+        .join(finished, "l_orderkey", "left_semi")
+    )
+    all_su = lineitem.select("l_orderkey", "l_suppkey").distinct()
+    f = faults.alias("f")
+    multi = f.join(
+        all_su.alias("o"),
+        (F.col("f.l_orderkey") == F.col("o.l_orderkey"))
+        & (F.col("f.l_suppkey") != F.col("o.l_suppkey")),
+        "left_semi")
+    sole = multi.alias("m").join(
+        faults.alias("f2"),
+        (F.col("m.l_orderkey") == F.col("f2.l_orderkey"))
+        & (F.col("m.l_suppkey") != F.col("f2.l_suppkey")),
+        "left_anti")
+    dim = (
+        supplier.join(F.broadcast(nation),
+                      supplier.s_nationkey == nation.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    return (
+        sole.groupBy("l_suppkey").agg(F.count("*").alias("numwait"))
+        .join(F.broadcast(dim), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(F.col("s_suppkey").alias("suppkey"), "s_name", "n_name",
+                "numwait")
+    )

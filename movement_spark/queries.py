@@ -3736,6 +3736,36 @@ def q_top_supplier_quarter(spark, sf_dir):
     return relational.top_supplier_quarter(load_table(spark, sf_dir, "lineitem"))
 
 
+@register("sole_fault_suppliers", """
+WITH finished AS (
+  SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'),
+faults AS (
+  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+  FROM lineitem l JOIN finished ON l.l_orderkey = finished.o_orderkey
+  WHERE l.l_returnflag = 'R'),
+allsup AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+SELECT s.s_suppkey AS suppkey, s.s_name, n.n_name, COUNT(*) AS numwait
+FROM faults f
+JOIN supplier s ON s.s_suppkey = f.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE EXISTS (SELECT 1 FROM allsup o
+              WHERE o.l_orderkey = f.l_orderkey
+                AND o.l_suppkey <> f.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM faults f2
+                  WHERE f2.l_orderkey = f.l_orderkey
+                    AND f2.l_suppkey <> f.l_suppkey)
+GROUP BY 1, 2, 3
+""")
+def q_sole_fault_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS correlated self-joins as
+    semi/anti joins sharing one l_orderkey shuffle key."""
+    return relational.sole_fault_suppliers(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"))
+
+
 _PARTITIONED_DIRS: dict[str, str] = {}
 
 
