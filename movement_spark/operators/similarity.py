@@ -402,10 +402,69 @@ def pq_topk(embeddings: DataFrame, n_queries: int = 10,
     """PQ ANN end-to-end: codebook → encode (the index) → ADC search.
     The fourth ANN layout next to brute-force / sign-LSH / IVF — the one
     that trades recall for a 64× smaller in-memory index. Production
-    composes pq_encode's output with ivf_assign's lists (IVF-PQ)."""
+    composes pq_encode's output with ivf_assign's lists (IVF-PQ, see
+    ivfpq_topk)."""
     cb = pq_codebook(embeddings)
     return pq_search(pq_encode(embeddings, cb), embeddings, cb,
                      n_queries=n_queries, k=k)
+
+
+def ivfpq_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
+               n_centroids: int = N_CENTROIDS, nprobe: int = 1,
+               m: int = PQ_M, ksub: int = PQ_KSUB,
+               sub: int = PQ_SUB) -> DataFrame:
+    """IVF-PQ: the layout billion-vector systems actually deploy — IVF
+    inverted lists bound WHICH vectors a query touches (corpus /
+    n_centroids × nprobe), PQ codes bound HOW MUCH is read per touched
+    vector (m codes, not the raw dims). The index is one materialized
+    frame (vec_id, cent_id, codes): ivf_assign's list key joined to
+    pq_encode's codes on vec_id — built once, bucketed by cent_id in
+    production. Search = probe nprobe centroids (exact dot, same
+    tie-break as assignment) then ADC-score only those lists. Scores are
+    identical to pq_search over the same candidates (the ADC invariant
+    test covers the LUT); recall inherits both knobs: nprobe recovers
+    boundary neighbors, codebook training tightens the quantizer."""
+    cb = pq_codebook(embeddings, m, ksub, sub)
+    assigned = ivf_assign(embeddings, n_centroids)
+    index = (assigned.select("vec_id", "cent_id")
+             .join(pq_encode(embeddings, cb, m, ksub, sub), "vec_id"))
+    cents = assigned.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cent_id"), F.col("q").alias("cv"))
+    lut_expr = F.expr(
+        f"transform(sequence(0, {m - 1}), mm -> "
+        f"transform(sequence(0, {ksub - 1}), c -> "
+        f"aggregate(zip_with(slice(qv, mm * {sub} + 1, {sub}), "
+        f"element_at(element_at(cb, mm + 1), c + 1), "
+        f"(x, y) -> x * y), 0L, (acc, v) -> acc + v)))")
+    queries = (
+        quantized(embeddings).where(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("query_id"), F.col("q").alias("qv"))
+        .crossJoin(F.broadcast(cents))
+        .select("query_id", "qv", F.col("cent_id").alias("q_cent"),
+                _dot("qv", "cv").alias("cdot"))
+        .withColumn("_rn", F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.desc("cdot"), F.asc("q_cent"))))
+        .where(F.col("_rn") <= nprobe)
+        .crossJoin(F.broadcast(cb))
+        .select("query_id", "q_cent", lut_expr.alias("lut"))
+    )
+    scored = (
+        index.join(F.broadcast(queries),
+                   F.col("cent_id") == F.col("q_cent"))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", F.expr(
+            "aggregate(zip_with(codes, lut, (c, l) -> element_at(l, c + 1)), "
+            "0L, (acc, v) -> acc + v)").alias("approx_dot"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_dot"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "approx_dot",
+                F.col("rank").cast("int").alias("rank"))
+    )
 
 
 NEARDUP_PLANES = 4

@@ -2165,6 +2165,81 @@ FROM ranked WHERE rank <= 5
 """
 
 
+_IVFPQ_SQL = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x ->
+           CAST(round(CAST(x AS DOUBLE) * {similarity.QUANT}, 0) AS BIGINT)) AS qv
+  FROM embeddings),
+subs AS (SELECT unnest(range(0, {similarity.PQ_M})) AS m),
+cb AS (
+  SELECT q.vec_id AS code, subs.m,
+         q.qv[subs.m * {similarity.PQ_SUB} + 1 :
+              subs.m * {similarity.PQ_SUB} + {similarity.PQ_SUB}] AS cw
+  FROM q CROSS JOIN subs WHERE q.vec_id < {similarity.PQ_KSUB}),
+vecsub AS (
+  SELECT q.vec_id, subs.m,
+         q.qv[subs.m * {similarity.PQ_SUB} + 1 :
+              subs.m * {similarity.PQ_SUB} + {similarity.PQ_SUB}] AS sv
+  FROM q CROSS JOIN subs),
+dists AS (
+  SELECT v.vec_id, v.m, cb.code,
+         CAST(list_sum(list_transform(range(1, {similarity.PQ_SUB} + 1),
+           i -> (v.sv[i] - cb.cw[i]) * (v.sv[i] - cb.cw[i]))) AS BIGINT) AS d
+  FROM vecsub v JOIN cb ON v.m = cb.m),
+enc AS (
+  SELECT vec_id, m, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                 ORDER BY d ASC, code ASC) AS rn
+    FROM dists) WHERE rn = 1),
+cents AS (SELECT vec_id AS cent_id, qv AS cv FROM q
+          WHERE vec_id < {similarity.N_CENTROIDS}),
+cscored AS (
+  SELECT q.vec_id, cents.cent_id,
+         CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+              i -> q.qv[i] * cents.cv[i])) AS BIGINT) AS cdot
+  FROM q CROSS JOIN cents),
+cassigned AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cdot DESC, cent_id ASC) AS rn
+    FROM cscored) WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, cent_id AS q_cent
+           FROM cassigned WHERE vec_id < 10),
+lut AS (
+  SELECT v.vec_id AS query_id, v.m, cb.code,
+         CAST(list_sum(list_transform(range(1, {similarity.PQ_SUB} + 1),
+           i -> v.sv[i] * cb.cw[i])) AS BIGINT) AS pdot
+  FROM vecsub v JOIN cb ON v.m = cb.m
+  WHERE v.vec_id < 10),
+cand AS (
+  SELECT p.query_id, e.vec_id, e.m, e.code
+  FROM cassigned a
+  JOIN probes p ON a.cent_id = p.q_cent
+  JOIN enc e ON e.vec_id = a.vec_id
+  WHERE a.vec_id <> p.query_id),
+scores AS (
+  SELECT c.query_id, c.vec_id, CAST(SUM(l.pdot) AS BIGINT) AS approx_dot
+  FROM cand c JOIN lut l
+    ON l.query_id = c.query_id AND l.m = c.m AND l.code = c.code
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY approx_dot DESC, vec_id ASC) AS rank
+  FROM scores)
+SELECT query_id, vec_id, approx_dot, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+@register("ann_ivfpq_topk", _IVFPQ_SQL)
+def q_ann_ivfpq(spark, sf_dir):
+    """IVF-PQ (nprobe=1): inverted lists bound WHICH vectors a query
+    touches, PQ codes bound HOW MUCH is read per vector — the composed
+    layout billion-vector deployments use."""
+    return similarity.ivfpq_topk(load_table(spark, sf_dir, "embeddings"))
+
+
 @register("ann_pq_trained_topk", _PQ_TRAINED_SQL)
 def q_ann_pq_trained(spark, sf_dir):
     """PQ with a TRAINED codebook (one Lloyd round per subspace):

@@ -637,3 +637,20 @@ def test_pq_recall_floor_vs_brute_force(spark, sf_dir):
         f"trained PQ recall: {trained_hits}/{total}"
     assert trained_hits >= seed_hits, \
         f"Lloyd round made recall WORSE: {trained_hits} < {seed_hits}"
+
+
+def test_ivfpq_full_probe_equals_pq(spark, sf_dir):
+    """IVF-PQ with nprobe = n_centroids probes every inverted list, so
+    its candidate set is the whole corpus and the result must be
+    bit-identical to plain PQ/ADC search — pins that composing the two
+    index layers changes WHICH vectors are scored, never HOW. With
+    nprobe=1 the result list can only shrink relative to full probe."""
+    from movement_spark.operators.similarity import (
+        N_CENTROIDS, ivfpq_topk, pq_topk)
+    from movement_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    full = ivfpq_topk(emb, 8, 5, nprobe=N_CENTROIDS)
+    pq = pq_topk(emb, 8, 5)
+    assert full.exceptAll(pq).count() == 0
+    assert pq.exceptAll(full).count() == 0
