@@ -38,7 +38,8 @@ sys.path.insert(0, REPO)
 from pyspark.sql import DataFrame, SparkSession, functions as F  # noqa: E402
 
 from movement_spark.operators.similarity import (  # noqa: E402
-    brute_force_topk, ivf_assign, ivf_search,
+    brute_force_topk, ivf_assign, ivf_search, pq_codebook, pq_encode,
+    pq_search,
 )
 from movement_spark.session import get_spark       # noqa: E402
 
@@ -50,6 +51,16 @@ N_CLUSTERS = 256
 N_QUERIES = 100
 K = 10
 P = 2_147_483_647
+
+# PQ at bench scale: the production-standard byte code — 4 subspaces of
+# 8 dims, 256 codewords each. Seeds are the first 256 vectors, which by
+# round-robin membership are one representative per true cluster, so the
+# seed codebook covers the corpus structure the same way the IVF coarse
+# quantizer does. 4 one-byte codes replace 32 floats: 32× less index
+# data read per scored vector.
+PQ_BM = 4
+PQ_BKSUB = 256
+PQ_BSUB = DIM // PQ_BM
 
 
 def ann_corpus(spark: SparkSession, n_vecs: int, dim: int = DIM,
@@ -98,9 +109,30 @@ def run_level(spark: SparkSession, n_vecs: int) -> dict:
 
     hits = brute.join(ivf, ["query_id", "vec_id"]).count()
     recall = hits / n_brute if n_brute else 0.0
-    brute.unpersist()
     ivf.unpersist()
     index.unpersist()
+
+    # PQ: encode once (the compressed index), ADC-search per batch
+    t0 = time.perf_counter()
+    cb = pq_codebook(emb, m=PQ_BM, ksub=PQ_BKSUB, sub=PQ_BSUB).persist()
+    codes = pq_encode(emb, cb, m=PQ_BM, ksub=PQ_BKSUB,
+                      sub=PQ_BSUB).persist()
+    codes.count()
+    t_pq_build = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    pq = pq_search(codes, emb, cb, n_queries=N_QUERIES, k=K,
+                   m=PQ_BM, ksub=PQ_BKSUB, sub=PQ_BSUB) \
+        .select("query_id", "vec_id").persist()
+    n_pq = pq.count()
+    t_pq_search = time.perf_counter() - t0
+
+    pq_hits = brute.join(pq, ["query_id", "vec_id"]).count()
+    pq_recall = pq_hits / n_brute if n_brute else 0.0
+    brute.unpersist()
+    pq.unpersist()
+    codes.unpersist()
+    cb.unpersist()
     return {
         "n_vecs": n_vecs,
         "dim": DIM,
@@ -115,6 +147,14 @@ def run_level(spark: SparkSession, n_vecs: int) -> dict:
         "recall_at_k": round(recall, 4),
         "brute_vecs_per_sec": round(n_vecs / t_brute, 1),
         "ivf_search_vecs_per_sec": round(n_vecs / t_search, 1),
+        "pq_m": PQ_BM,
+        "pq_ksub": PQ_BKSUB,
+        "pq_build_sec": round(t_pq_build, 1),
+        "pq_search_sec": round(t_pq_search, 1),
+        "pq_rows": n_pq,
+        "pq_recall_at_k": round(pq_recall, 4),
+        "pq_encode_vecs_per_sec": round(n_vecs / t_pq_build, 1),
+        "pq_search_vecs_per_sec": round(n_vecs / t_pq_search, 1),
     }
 
 
@@ -146,13 +186,16 @@ def main() -> None:
         json.dump(result, f, indent=2)
 
     hdr = ("| vectors | brute wall (s) | IVF build (s, once) | "
-           "IVF search (s) | search speedup | recall@10 |")
-    sep = "|---|---|---|---|---|---|"
+           "IVF search (s) | search speedup | recall@10 | "
+           "PQ encode (s, once) | PQ/ADC search (s) | PQ recall@10 |")
+    sep = "|---|---|---|---|---|---|---|---|---|"
     lines = [
         f"| {r['n_vecs']:,} | {r['brute_sec']} | {r['ivf_build_sec']} | "
         f"{r['ivf_search_sec']} | "
         f"{r['brute_sec'] / r['ivf_search_sec']:.1f}× | "
-        f"{r['recall_at_k']} |"
+        f"{r['recall_at_k']} | "
+        f"{r['pq_build_sec']} | {r['pq_search_sec']} | "
+        f"{r['pq_recall_at_k']} |"
         for r in rows
     ]
     big = rows[-1]
@@ -177,6 +220,14 @@ size while the build cost amortizes across every batch. Brute force
 remains the re-rank baseline and the ground-truth generator; ``nprobe``
 trades linear extra list scans for recall
 (tests/test_operators.py::test_ivf_nprobe_raises_recall_monotonically).
+
+PQ columns: `pq_encode` ({PQ_BM} subspaces × {PQ_BKSUB} byte codes,
+seeds = one representative per true cluster) compresses each vector to
+{PQ_BM} codes — 32× less index data per scored vector — and
+`pq_search` answers by {PQ_BM} LUT lookups per candidate with recall@10
+{big['pq_recall_at_k']} at {big['n_vecs']:,} vectors. PQ bounds BYTES
+per candidate where IVF bounds CANDIDATES; `ivfpq_topk` composes both
+(oracle-gated at fixture scale: `ann_ivfpq_topk`).
 {SECTION_END}"""
 
     md_path = os.path.join(REPO, "BENCH", "BASELINE.md")

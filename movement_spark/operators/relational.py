@@ -640,3 +640,47 @@ def sole_fault_suppliers(lineitem: DataFrame, orders: DataFrame,
         .select(F.col("s_suppkey").alias("suppkey"), "s_name", "n_name",
                 "numwait")
     )
+
+
+def funnel_conversion(events: DataFrame,
+                      window_sec: int = 3 * 86400) -> DataFrame:
+    """Ordered, time-bounded funnel (view → click → purchase): a user
+    converts stage k only with an event STRICTLY after their stage-k-1
+    time and within ``window_sec`` of it — the sessionized-conversion
+    analysis every product pipeline runs.
+
+    Scale shape: three conditional min-aggregates chained by joins, ALL
+    keyed on user_id — one shuffle key end to end, co-partitioned, no
+    window over raw events and no self-join fanout (each stage k input
+    is the stage-k event slice, pre-filtered before its shuffle).
+    Output is per-deepest-stage counts plus exact integer seconds-to-
+    convert for full conversions: bounded rows.
+    """
+    ep = lambda c: F.unix_timestamp(F.col(c)).cast("bigint")  # noqa: E731
+    v = (events.where(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min(ep("ts")).alias("v_ts")))
+    c = (events.where(F.col("event_type") == "click")
+         .join(v, "user_id")
+         .where((ep("ts") > F.col("v_ts"))
+                & (ep("ts") <= F.col("v_ts") + window_sec))
+         .groupBy("user_id").agg(F.min(ep("ts")).alias("c_ts")))
+    p = (events.where(F.col("event_type") == "purchase")
+         .join(c, "user_id")
+         .where((ep("ts") > F.col("c_ts"))
+                & (ep("ts") <= F.col("c_ts") + window_sec))
+         .groupBy("user_id").agg(F.min(ep("ts")).alias("p_ts")))
+    staged = (
+        v.join(c, "user_id", "left").join(p, "user_id", "left")
+        .select("user_id",
+                (F.lit(1)
+                 + F.col("c_ts").isNotNull().cast("int")
+                 + F.col("p_ts").isNotNull().cast("int")).alias("stage"),
+                (F.col("p_ts") - F.col("v_ts")).alias("convert_sec"))
+    )
+    return (
+        staged.groupBy("stage")
+        .agg(F.count("*").alias("n_users"),
+             F.sum("convert_sec").cast("bigint").alias("sum_convert_sec"))
+        .select(F.col("stage").cast("int").alias("stage"),
+                "n_users", "sum_convert_sec")
+    )

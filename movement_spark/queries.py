@@ -3034,6 +3034,42 @@ def q_unpivot(spark, sf_dir):
     ).where(F.col("n") > 0)
 
 
+@register("funnel_conversion", """
+WITH v AS (
+  SELECT user_id, MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS v_ts
+  FROM events WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+  SELECT e.user_id, MIN(CAST(floor(epoch(e.ts)) AS BIGINT)) AS c_ts
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click'
+    AND CAST(floor(epoch(e.ts)) AS BIGINT) > v.v_ts
+    AND CAST(floor(epoch(e.ts)) AS BIGINT) <= v.v_ts + 259200
+  GROUP BY e.user_id),
+p AS (
+  SELECT e.user_id, MIN(CAST(floor(epoch(e.ts)) AS BIGINT)) AS p_ts
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase'
+    AND CAST(floor(epoch(e.ts)) AS BIGINT) > c.c_ts
+    AND CAST(floor(epoch(e.ts)) AS BIGINT) <= c.c_ts + 259200
+  GROUP BY e.user_id),
+staged AS (
+  SELECT v.user_id,
+         1 + CASE WHEN c.c_ts IS NOT NULL THEN 1 ELSE 0 END
+           + CASE WHEN p.p_ts IS NOT NULL THEN 1 ELSE 0 END AS stage,
+         p.p_ts - v.v_ts AS convert_sec
+  FROM v LEFT JOIN c ON v.user_id = c.user_id
+         LEFT JOIN p ON v.user_id = p.user_id)
+SELECT CAST(stage AS INT) AS stage, COUNT(*) AS n_users,
+       CAST(SUM(convert_sec) AS BIGINT) AS sum_convert_sec
+FROM staged GROUP BY 1
+""")
+def q_funnel_conversion(spark, sf_dir):
+    """Ordered time-bounded funnel view→click→purchase (3-day step
+    window): chained conditional min-aggregates, one user_id shuffle
+    key end to end."""
+    return relational.funnel_conversion(load_table(spark, sf_dir, "events"))
+
+
 @register("ushape_attribution", """
 WITH ordered AS (
   SELECT user_id, event_id, event_type, ts,
