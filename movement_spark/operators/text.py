@@ -278,3 +278,45 @@ def normalized_dup_stats(documents: DataFrame) -> DataFrame:
              (F.countDistinct("text") - F.countDistinct("norm"))
              .cast("bigint").alias("n_dup_norm_only"))
     )
+
+
+def lm_fluency_scores(tokens: DataFrame, tok_mod: int = 50261,
+                      scale: int = 1_000_000) -> DataFrame:
+    """Bigram-LM corpus-fit scorer — the LM-based quality filter of
+    pretraining pipelines, kept integer-exact: bigram and prefix counts
+    are trained on the corpus itself, and each doc scores
+    floor(scale * Σ c(bigram) / Σ c(prefix)) over its shard-internal
+    bigrams — common transitions score high, off-distribution text low.
+    Ratio-of-sums (not a float log-prob mean) keeps the whole score in
+    two bigint sums per doc; at web scale the products move to
+    decimal(38,0) and rare bigrams get a min-count floor — same plan.
+
+    Shuffles: bigram count (map-side combined), count joins keyed by
+    bigram/prefix, then the per-doc aggregate — every key is
+    high-cardinality and even. Output: per-source score profile,
+    bounded rows. Docs with zero bigrams (all shards < 2 tokens) are
+    out of scope by definition, like intra_doc_repetition.
+    """
+    bg_expr = packed_bigram_expr(tok_mod)
+    bi = tokens.select("source", "doc_id",
+                       F.explode(F.expr(bg_expr)).alias("bg"))
+    bc = bi.groupBy("bg").agg(F.count("*").alias("c_bigram"))
+    pc = (bi.select(F.expr(f"bg div {tok_mod}").alias("p"))
+          .groupBy("p").agg(F.count("*").alias("c_prefix")))
+    docs = (
+        bi.join(bc, "bg")
+        .withColumn("p", F.expr(f"bg div {tok_mod}"))
+        .join(pc, "p")
+        .groupBy("source", "doc_id")
+        .agg(F.sum("c_bigram").alias("s_bg"),
+             F.sum("c_prefix").alias("s_pf"))
+        .select("source",
+                F.expr(f"(s_bg * {scale}L) div s_pf").alias("fluency_ppm"))
+    )
+    return (
+        docs.groupBy("source")
+        .agg(F.count("*").alias("n_docs"),
+             F.min("fluency_ppm").alias("min_ppm"),
+             F.max("fluency_ppm").alias("max_ppm"),
+             F.sum("fluency_ppm").cast("bigint").alias("sum_ppm"))
+    )

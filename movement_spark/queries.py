@@ -1868,6 +1868,34 @@ def q_bigram_pmi(spark, sf_dir):
                                    tok_mod=TOK_MOD)
 
 
+@register("lm_fluency_scores", with_token_cte(f"""
+, bi AS (
+  SELECT source, doc_id, unnest(CASE WHEN n_tok >= 2 THEN
+    list_transform(range(0, n_tok - 1), i ->
+      CAST(tokens[i + 1] AS BIGINT) * {TOK_MOD} + CAST(tokens[i + 2] AS BIGINT))
+    ELSE CAST([] AS BIGINT[]) END) AS bg
+  FROM token_sequences),
+bc AS (SELECT bg, COUNT(*) AS c_bigram FROM bi GROUP BY bg),
+pc AS (SELECT bg // {TOK_MOD} AS p, COUNT(*) AS c_prefix
+       FROM bi GROUP BY 1),
+docs AS (
+  SELECT source, doc_id,
+         CAST((SUM(c_bigram) * 1000000) // SUM(c_prefix) AS BIGINT)
+           AS fluency_ppm
+  FROM bi JOIN bc USING (bg) JOIN pc ON pc.p = bi.bg // {TOK_MOD}
+  GROUP BY source, doc_id)
+SELECT source, COUNT(*) AS n_docs, MIN(fluency_ppm) AS min_ppm,
+       MAX(fluency_ppm) AS max_ppm,
+       CAST(SUM(fluency_ppm) AS BIGINT) AS sum_ppm
+FROM docs GROUP BY source
+"""))
+def q_lm_fluency(spark, sf_dir):
+    """Bigram-LM corpus-fit score per doc (integer ratio-of-sums — the
+    LM quality filter without float logs), profiled per source."""
+    return text.lm_fluency_scores(token_sequences(spark, sf_dir),
+                                  tok_mod=TOK_MOD)
+
+
 @register("stratified_sample_stats", f"""
 WITH q AS (
   SELECT source, doc_id, n_chars,
