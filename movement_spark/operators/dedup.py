@@ -753,3 +753,33 @@ def span_ownership_stats(tokens: DataFrame, sample_mod: int = 10,
                 F.expr("cast(n_foreign * 1000000L div n_grams as bigint)")
                 .alias("foreign_ppm"))
     )
+
+
+def cross_source_dup_matrix(documents: DataFrame) -> DataFrame:
+    """Cross-source duplication matrix — the dedup REPORT a corpus-mix
+    decision needs: for every source pair, how many distinct SEG_W-word
+    segments both carry (licensing overlap, mirror detection, mix
+    double-counting; segment-keyed, so it sees shared boilerplate and
+    partial mirrors that whole-text equality misses). One segment-keyed
+    distinct + self-join on the segment key; the pair expansion is
+    bounded per segment by C(n_sources, 2) — a constant — never by
+    corpus size. At 100 TB the join key becomes a content digest of the
+    segment (hashes allowed in-plan; only checked VALUES stay
+    engine-portable) — same plan, ~5× less shuffle width. Output
+    ≤ C(n_sources, 2) rows."""
+    words = documents.select("source", F.split("text", " ").alias("w"))
+    segs = words.where(F.size("w") >= SEG_W).select(
+        "source",
+        F.explode(F.expr(
+            f"transform(sequence(0, int(size(w) div {SEG_W}) - 1), "
+            f"i -> array_join(slice(w, i * {SEG_W} + 1, {SEG_W}), ' '))"
+        )).alias("seg"))
+    s = segs.distinct()
+    a = s.select(F.col("seg"), F.col("source").alias("source_a"))
+    b = s.select(F.col("seg"), F.col("source").alias("source_b"))
+    return (
+        a.join(b, "seg")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_shared_segments"))
+    )

@@ -401,6 +401,29 @@ def q_sessionize(spark, sf_dir):
 # Dedup / similarity / text (training-data toolbox)
 # =====================================================================
 
+@register("cross_source_dup_matrix", """
+WITH words AS (
+  SELECT source, string_split(text, ' ') AS w FROM documents),
+segs AS (
+  SELECT source,
+         unnest(list_transform(range(len(w) // 8),
+                i -> array_to_string(list_slice(w, i * 8 + 1, i * 8 + 8),
+                                     ' '))) AS seg
+  FROM words WHERE len(w) >= 8),
+s AS (SELECT DISTINCT source, seg FROM segs)
+SELECT a.source AS source_a, b.source AS source_b,
+       COUNT(*) AS n_shared_segments
+FROM s a JOIN s b ON a.seg = b.seg AND a.source < b.source
+GROUP BY 1, 2
+""")
+def q_cross_source_dups(spark, sf_dir):
+    """Cross-source duplication matrix: distinct shared 8-word segments
+    per source pair — the overlap report behind corpus-mix and
+    licensing calls."""
+    return dedup.cross_source_dup_matrix(
+        load_table(spark, sf_dir, "documents"))
+
+
 @register("normalized_dup_stats", """
 WITH n AS (
   SELECT source, text,
@@ -2111,6 +2134,78 @@ ranked AS (
 SELECT query_id, vec_id, approx_dot, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 5
 """
+
+
+# ADC pool (pool=20) + exact re-rank: same CTE chain as _PQ_SQL up to
+# `scores`, then the pooled candidates are re-scored by the TRUE
+# quantized dot and re-ranked — the deployed PQ composition (measured
+# at 1M vectors in BENCH/ann_scale.json: ADC-alone recall 0.17, pooled
+# re-rank 0.82).
+_PQ_RERANK_SQL = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x ->
+           CAST(round(CAST(x AS DOUBLE) * {similarity.QUANT}, 0) AS BIGINT)) AS qv
+  FROM embeddings),
+subs AS (SELECT unnest(range(0, {similarity.PQ_M})) AS m),
+cb AS (
+  SELECT q.vec_id AS code, subs.m,
+         q.qv[subs.m * {similarity.PQ_SUB} + 1 :
+              subs.m * {similarity.PQ_SUB} + {similarity.PQ_SUB}] AS cw
+  FROM q CROSS JOIN subs WHERE q.vec_id < {similarity.PQ_KSUB}),
+vecsub AS (
+  SELECT q.vec_id, subs.m,
+         q.qv[subs.m * {similarity.PQ_SUB} + 1 :
+              subs.m * {similarity.PQ_SUB} + {similarity.PQ_SUB}] AS sv
+  FROM q CROSS JOIN subs),
+dists AS (
+  SELECT v.vec_id, v.m, cb.code,
+         CAST(list_sum(list_transform(range(1, {similarity.PQ_SUB} + 1),
+           i -> (v.sv[i] - cb.cw[i]) * (v.sv[i] - cb.cw[i]))) AS BIGINT) AS d
+  FROM vecsub v JOIN cb ON v.m = cb.m),
+enc AS (
+  SELECT vec_id, m, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                 ORDER BY d ASC, code ASC) AS rn
+    FROM dists) WHERE rn = 1),
+lut AS (
+  SELECT v.vec_id AS query_id, v.m, cb.code,
+         CAST(list_sum(list_transform(range(1, {similarity.PQ_SUB} + 1),
+           i -> v.sv[i] * cb.cw[i])) AS BIGINT) AS pdot
+  FROM vecsub v JOIN cb ON v.m = cb.m
+  WHERE v.vec_id < 10),
+scores AS (
+  SELECT l.query_id, e.vec_id, CAST(SUM(l.pdot) AS BIGINT) AS approx_dot
+  FROM enc e JOIN lut l ON e.m = l.m AND e.code = l.code
+  WHERE e.vec_id <> l.query_id
+  GROUP BY 1, 2),
+pooled AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY approx_dot DESC, vec_id ASC) AS prank
+    FROM scores) WHERE prank <= 20),
+exact AS (
+  SELECT p.query_id, p.vec_id,
+         CAST(list_sum(list_transform(range(1, len(v.qv) + 1),
+              i -> v.qv[i] * qq.qv[i])) AS BIGINT) AS dot
+  FROM pooled p
+  JOIN q v ON v.vec_id = p.vec_id
+  JOIN q qq ON qq.vec_id = p.query_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY dot DESC, vec_id ASC) AS rank
+  FROM exact)
+SELECT query_id, vec_id, dot, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+@register("ann_pq_rerank_topk", _PQ_RERANK_SQL)
+def q_ann_pq_rerank(spark, sf_dir):
+    """PQ as deployed: ADC proposes a pool of 20 candidates per query,
+    an exact integer dot re-ranks the pool to top-5 — quantization
+    bounds WHICH candidates surface, the re-rank restores ordering."""
+    return similarity.pq_rerank_topk(load_table(spark, sf_dir, "embeddings"))
 
 
 @register("ann_pq_topk", _PQ_SQL)
@@ -4774,6 +4869,15 @@ _FRONT = [
     "coin_flip_corpus_sample",
     "simhash_wide_pairs",
     "token_vocab_coverage",
+    "sole_fault_suppliers",
+    "funnel_conversion",
+    "cross_source_dup_matrix",
+    "lm_fluency_scores",
+    "multimodal_binary_ingest",
+    "ann_pq_rerank_topk",
+    "ann_pq_topk",
+    "ann_pq_trained_topk",
+    "ann_ivfpq_topk",
 ]
 _REGISTRY = {
     name: _REGISTRY[name]
