@@ -320,3 +320,124 @@ def lm_fluency_scores(tokens: DataFrame, tok_mod: int = 50261,
              F.max("fluency_ppm").alias("max_ppm"),
              F.sum("fluency_ppm").cast("bigint").alias("sum_ppm"))
     )
+
+
+# --- BPE tokenizer training -------------------------------------------
+# The merge-application rule is "leftmost non-overlapping, space-
+# delimited literal replace, iterated to fixpoint" — deterministic and
+# bit-identical across engines (Spark replace == DuckDB replace), and
+# equal to strict sequential BPE everywhere except runs of ≥4 repeats
+# of one symbol pair inside a single word, where it still merges the
+# same pair the same number of times but may leave the odd singleton in
+# a different slot. Tie-breaks: highest count, then (left, right)
+# lexicographic.
+
+BPE_MERGES = 8   # merge rounds trained by default
+BPE_PASSES = 6   # replace passes per merge (fixpoint for words ≤ 12 syms)
+
+
+def _bpe_word_counts(documents: DataFrame) -> DataFrame:
+    """word → corpus occurrence count, plus the initial space-joined
+    character symbolization. This is the ONLY corpus-wide pass BPE
+    training makes: everything after operates on the vocabulary table,
+    whose size is Heaps'-law bounded (~100M rows at web scale)
+    regardless of corpus bytes."""
+    return (
+        documents.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word").agg(F.count("*").alias("n_occ"))
+        .withColumn("syms", F.array_join(F.expr(
+            "transform(sequence(1, length(word)), i -> substr(word, i, 1))"
+        ), " "))
+    )
+
+
+def _apply_merge(col: F.Column, left: str, right: str,
+                 passes: int = BPE_PASSES) -> F.Column:
+    """Apply one merge to a space-delimited symbol string: sentinel-pad,
+    replace the delimited pair `passes` times (each pass is leftmost
+    non-overlapping; iteration reaches the fixpoint for any word with
+    ≤ 2 × passes symbols), trim."""
+    out = F.concat(F.lit(" "), col, F.lit(" "))
+    pat, rep = F.lit(f" {left} {right} "), F.lit(f" {left}{right} ")
+    for _ in range(passes):
+        out = F.replace(out, pat, rep)
+    return F.trim(out)
+
+
+def _bpe_merge_list(documents: DataFrame,
+                    n_merges: int) -> tuple[list, DataFrame]:
+    """The training loop: per round, ONE narrow shuffle counts adjacent
+    symbol pairs over the vocabulary (weighted by word frequency), the
+    arg-max pair comes back as a control-plane scalar (TakeOrdered —
+    no global sort), and the merge is applied as a column expression.
+    Returns (merge rows, final symbolized vocabulary)."""
+    v = _bpe_word_counts(documents)
+    merges = []
+    for r in range(1, n_merges + 1):
+        # Spark's sequence(1, n) DESCENDS for n < 1 (DuckDB's range is
+        # empty there) — single-symbol words must not reach the pair
+        # transform.
+        pairs = v.where(
+            F.size(F.split("syms", " ")) >= 2
+        ).select("n_occ", F.explode(F.expr(
+            "transform(sequence(1, size(split(syms, ' ')) - 1), "
+            "i -> struct(element_at(split(syms, ' '), i) AS l, "
+            "element_at(split(syms, ' '), i + 1) AS r))")).alias("p"))
+        top = (pairs.groupBy("p.l", "p.r")
+               .agg(F.sum("n_occ").alias("n"))
+               .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
+               .limit(1).collect())
+        if not top:
+            break
+        left, right, n = top[0]["l"], top[0]["r"], top[0]["n"]
+        merges.append((r, left, right, left + right, int(n)))
+        v = v.withColumn("syms", _apply_merge(F.col("syms"), left, right))
+    return merges, v
+
+
+def bpe_train(documents: DataFrame,
+              n_merges: int = BPE_MERGES) -> DataFrame:
+    """BPE tokenizer training (Sennrich-style): learn the `n_merges`
+    highest-frequency symbol-pair merges from the corpus.
+
+    Scale shape: one map-side-combinable word-count shuffle over the
+    corpus, then every round touches only the vocabulary table — corpus
+    bytes never re-enter the loop. The per-round collect is the arg-max
+    pair (one row, the same convergence-scalar pattern as the graph
+    fixed-points). Output: the merge table itself, n_merges rows."""
+    spark = documents.sparkSession
+    merges, _ = _bpe_merge_list(documents, n_merges)
+    return spark.createDataFrame(
+        [(r, l, rt, m, n) for r, l, rt, m, n in merges],
+        "rank int, left_sym string, right_sym string, "
+        "merged string, n_occ bigint")
+
+
+def bpe_encode_stats(documents: DataFrame,
+                     n_merges: int = BPE_MERGES) -> DataFrame:
+    """Apply the trained merges back to the corpus and report the
+    compression they buy per source: symbols per word before (chars)
+    vs after (BPE tokens), exact integer basis points.
+
+    The encode side is the production-relevant plan: the merge list is
+    tiny and broadcast-shaped; encoding joins each word ONCE against
+    the final vocabulary symbolization (word → syms is a deterministic
+    function of the corpus, so the join replaces re-deriving per
+    occurrence), then one per-source rollup."""
+    _, vocab = _bpe_merge_list(documents, n_merges)
+    vocab_tok = vocab.select(
+        "word", F.size(F.split("syms", " ")).alias("n_tok"),
+        F.length("word").alias("n_chr"))
+    words = (documents
+             .select("source", F.explode(F.split("text", " ")).alias("word"))
+             .where(F.col("word") != ""))
+    return (
+        words.join(F.broadcast(vocab_tok), "word")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_words"),
+             F.sum("n_chr").alias("n_chars"),
+             F.sum("n_tok").alias("n_tokens"))
+        .withColumn("compression_bps",
+                    F.expr("(n_tokens * 10000L) div n_chars"))
+    )

@@ -1919,6 +1919,76 @@ def q_lm_fluency(spark, sf_dir):
                                   tok_mod=TOK_MOD)
 
 
+def _bpe_ctes(n_merges: int, passes: int = text.BPE_PASSES) -> str:
+    """Unrolled DuckDB mirror of the BPE training loop (text.py:
+    _bpe_merge_list): per round, pair counts over the symbolized
+    vocabulary, arg-max pair (count DESC, pair ASC), then the same
+    sentinel-padded leftmost-non-overlapping replace iterated `passes`
+    times. COALESCE(chr(1)) keeps later rounds alive if a round runs
+    out of pairs (mirrors the Spark loop's break)."""
+    parts = ["""WITH wc AS MATERIALIZED (
+  SELECT word, COUNT(*) AS n_occ FROM (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+  WHERE word <> '' GROUP BY 1),
+v0 AS MATERIALIZED (
+  SELECT word, n_occ,
+         array_to_string(list_transform(range(1, length(word) + 1),
+                         i -> word[i]), ' ') AS syms
+  FROM wc)"""]
+    for r in range(1, n_merges + 1):
+        rep = "' ' || syms || ' '"
+        for _ in range(passes):
+            rep = (
+                f"replace({rep}, COALESCE((SELECT ' ' || l || ' ' || r "
+                f"|| ' ' FROM t{r}), chr(1)), "
+                f"COALESCE((SELECT ' ' || merged || ' ' FROM t{r}), chr(1)))")
+        parts.append(f""",
+s{r} AS (SELECT n_occ, string_split(syms, ' ') AS s FROM v{r - 1}),
+i{r} AS (SELECT n_occ, s, unnest(range(1, len(s))) AS i FROM s{r}),
+p{r} AS (SELECT s[i] AS l, s[i + 1] AS r, CAST(SUM(n_occ) AS BIGINT) AS n
+         FROM i{r} GROUP BY 1, 2),
+t{r} AS MATERIALIZED (SELECT l, r, l || r AS merged, n FROM p{r}
+         ORDER BY n DESC, l ASC, r ASC LIMIT 1),
+v{r} AS MATERIALIZED (SELECT word, n_occ, trim({rep}) AS syms FROM v{r - 1})""")
+    return "".join(parts)
+
+
+_BPE_TRAIN_SQL = _bpe_ctes(text.BPE_MERGES) + "\n" + "\nUNION ALL ".join(
+    f"SELECT {r} AS rank, l AS left_sym, r AS right_sym, merged, "
+    f"n AS n_occ FROM t{r}" for r in range(1, text.BPE_MERGES + 1))
+
+_BPE_ENCODE_SQL = _bpe_ctes(text.BPE_MERGES) + f""",
+vt AS (SELECT word, CAST(len(string_split(syms, ' ')) AS BIGINT) AS n_tok,
+              CAST(length(word) AS BIGINT) AS n_chr
+       FROM v{text.BPE_MERGES}),
+w AS (SELECT source, unnest(string_split(text, ' ')) AS word
+      FROM documents)
+SELECT source, COUNT(*) AS n_words,
+       CAST(SUM(n_chr) AS BIGINT) AS n_chars,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       (CAST(SUM(n_tok) AS BIGINT) * 10000)
+         // CAST(SUM(n_chr) AS BIGINT) AS compression_bps
+FROM w JOIN vt USING (word)
+WHERE word <> ''
+GROUP BY source
+"""
+
+
+@register("bpe_merge_table", _BPE_TRAIN_SQL)
+def q_bpe_train(spark, sf_dir):
+    """BPE tokenizer training: the 8 highest-frequency symbol-pair
+    merges learned from the corpus — one corpus word-count shuffle,
+    then every round runs on the Heaps'-bounded vocabulary table."""
+    return text.bpe_train(load_table(spark, sf_dir, "documents"))
+
+
+@register("bpe_encode_stats", _BPE_ENCODE_SQL)
+def q_bpe_encode(spark, sf_dir):
+    """Trained BPE merges applied back to the corpus: per-source
+    chars-vs-tokens compression in exact integer basis points."""
+    return text.bpe_encode_stats(load_table(spark, sf_dir, "documents"))
+
+
 @register("stratified_sample_stats", f"""
 WITH q AS (
   SELECT source, doc_id, n_chars,
@@ -4878,6 +4948,8 @@ _FRONT = [
     "ann_pq_topk",
     "ann_pq_trained_topk",
     "ann_ivfpq_topk",
+    "bpe_merge_table",
+    "bpe_encode_stats",
 ]
 _REGISTRY = {
     name: _REGISTRY[name]
