@@ -1,0 +1,172 @@
+#!/usr/bin/env python3
+"""Measured scale evidence for BPE tokenizer training.
+
+The claim in text.py:bpe_train is that the corpus enters the training
+exactly once (the word-count shuffle) and every merge round after that
+runs on the vocabulary table, whose size is a property of the LANGUAGE
+(Heaps' law), not of corpus bytes. This run measures both halves
+separately at two corpus sizes with the vocabulary pinned at the same
+width, so the comparison isolates what scales with the corpus:
+
+- `wordcount_sec` (the one corpus pass) should grow ~linearly with
+  corpus words;
+- `rounds_sec` (8 merge rounds) should be flat across corpus sizes,
+  because the vocabulary frame the rounds operate on is identical.
+
+Corpus (deterministic, generated in the JVM from spark.range): each doc
+is WORDS_PER_DOC words; word ids come from an affine hash of the global
+word position modulo VOCAB (so every level sees the same 100k-word
+vocabulary with near-uniform frequencies); a word id is spelled as
+base-26 letters (4 chars), giving the merge rounds real shared-pair
+structure.
+
+Writes BENCH/bpe_scale.json and a marked section in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from datetime import datetime, timezone
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import DataFrame, SparkSession, functions as F  # noqa: E402
+
+from movement_spark.operators.text import (                      # noqa: E402
+    _bpe_rounds, _bpe_word_counts,
+)
+from movement_spark.session import get_spark                     # noqa: E402
+
+SECTION_START = "<!-- bpe_scale:start -->"
+SECTION_END = "<!-- bpe_scale:end -->"
+
+VOCAB = 100_000          # pinned vocabulary width (Heaps' plateau stand-in)
+WORDS_PER_DOC = 100
+N_MERGES = 8
+HASH_A = 1_103_515_245   # classic LCG multiplier — fine for id mixing
+HASH_P = 2_147_483_647
+
+
+def synth_corpus(spark: SparkSession, n_docs: int) -> DataFrame:
+    """n_docs rows of WORDS_PER_DOC 4-letter words over a VOCAB-word
+    vocabulary — all generated inside codegen, nothing driver-side."""
+    word_id = (f"(((id * {WORDS_PER_DOC}L + i) * {HASH_A}L) "
+               f"% {HASH_P}L) % {VOCAB}L")
+    spell = " || ".join(
+        f"char(97 + (({word_id}) div {26 ** k}) % 26)"
+        for k in range(3, -1, -1))
+    return spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            f"array_join(transform(sequence(0, {WORDS_PER_DOC - 1}), "
+            f"i -> {spell}), ' ')").alias("text"))
+
+
+def run_level(spark: SparkSession, n_docs: int) -> dict:
+    docs = synth_corpus(spark, n_docs)
+
+    t0 = time.monotonic()
+    vocab = _bpe_word_counts(docs).persist()
+    n_vocab = vocab.count()          # materializes the corpus pass
+    wordcount_sec = time.monotonic() - t0
+
+    t1 = time.monotonic()
+    merges, _ = _bpe_rounds(vocab, N_MERGES)
+    rounds_sec = time.monotonic() - t1
+    vocab.unpersist()
+
+    n_words = n_docs * WORDS_PER_DOC
+    return {
+        "n_docs": n_docs,
+        "n_words": n_words,
+        "n_vocab": n_vocab,
+        "n_merges": len(merges),
+        "top_merge": merges[0][3] if merges else None,
+        "wordcount_sec": round(wordcount_sec, 1),
+        "rounds_sec": round(rounds_sec, 1),
+        "wordcount_words_per_sec": round(n_words / wordcount_sec, 1),
+        "sec_per_round": round(rounds_sec / max(len(merges), 1), 2),
+    }
+
+
+def main() -> None:
+    levels = [int(x) for x in os.environ.get(
+        "MS_BPE_LEVELS", "100000000,1000000000").split(",")]
+    spark = get_spark(
+        app_name="ms_bpe_scale", master="local[32]",
+        extra_conf={
+            "spark.sql.shuffle.partitions": "64",
+            "spark.ui.showConsoleProgress": "false",
+            "spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
+            "spark.driver.memory": "32g",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    rows = []
+    for n_words in levels:
+        r = run_level(spark, n_words // WORDS_PER_DOC)
+        rows.append(r)
+        print(json.dumps(r))
+    spark.stop()
+
+    result = {
+        "generated_at": datetime.now(timezone.utc).isoformat(),
+        "vocab": VOCAB,
+        "words_per_doc": WORDS_PER_DOC,
+        "n_merges": N_MERGES,
+        "levels": rows,
+    }
+    with open(os.path.join(REPO, "BENCH", "bpe_scale.json"), "w") as f:
+        json.dump(result, f, indent=2)
+
+    hdr = ("| corpus words | vocab | word-count pass (s) | words/s | "
+           "8 merge rounds (s) | s/round |")
+    sep = "|---|---|---|---|---|---|"
+    lines = [
+        f"| {r['n_words']:,} | {r['n_vocab']:,} | {r['wordcount_sec']} | "
+        f"{r['wordcount_words_per_sec']:,.0f} | {r['rounds_sec']} | "
+        f"{r['sec_per_round']} |"
+        for r in rows
+    ]
+    lo, hi = rows[0], rows[-1]
+    ratio = hi["n_words"] / lo["n_words"]
+    rounds_ratio = hi["rounds_sec"] / lo["rounds_sec"]
+    section = f"""{SECTION_START}
+## BPE training at scale (measured, {result["generated_at"]})
+
+`bpe_train` touches the corpus ONCE (the word-count shuffle); all
+{N_MERGES} merge rounds run on the vocabulary table, pinned here at
+{VOCAB:,} words across both levels so the comparison isolates what
+scales with corpus bytes. local[32]:
+
+{hdr}
+{sep}
+{chr(10).join(lines)}
+
+The corpus grew {ratio:.0f}×; the merge rounds moved
+{rounds_ratio:.2f}× (vocabulary-bounded, as designed) while the
+word-count pass carried the scale-up at
+{hi["wordcount_words_per_sec"]:,.0f} words/s. At 100 TB the same split
+holds: one map-side-combinable corpus pass, then rounds whose cost is
+a property of the language's vocabulary, not the corpus.
+{SECTION_END}"""
+
+    bl_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(bl_path) as f:
+        md = f.read()
+    if SECTION_START in md and SECTION_END in md:
+        md = (md.split(SECTION_START)[0] + section
+              + md.split(SECTION_END)[1])
+    else:
+        md = md.rstrip() + "\n\n" + section + "\n"
+    with open(bl_path, "w") as f:
+        f.write(md)
+    print(f"wrote BENCH/bpe_scale.json and {bl_path} section")
+
+
+if __name__ == "__main__":
+    main()

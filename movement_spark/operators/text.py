@@ -367,12 +367,18 @@ def _apply_merge(col: F.Column, left: str, right: str,
 
 def _bpe_merge_list(documents: DataFrame,
                     n_merges: int) -> tuple[list, DataFrame]:
-    """The training loop: per round, ONE narrow shuffle counts adjacent
-    symbol pairs over the vocabulary (weighted by word frequency), the
-    arg-max pair comes back as a control-plane scalar (TakeOrdered —
-    no global sort), and the merge is applied as a column expression.
-    Returns (merge rows, final symbolized vocabulary)."""
-    v = _bpe_word_counts(documents)
+    """Corpus word count + training rounds (see _bpe_rounds)."""
+    return _bpe_rounds(_bpe_word_counts(documents), n_merges)
+
+
+def _bpe_rounds(vocab: DataFrame, n_merges: int) -> tuple[list, DataFrame]:
+    """The training loop over a (word, n_occ, syms) vocabulary frame:
+    per round, ONE narrow shuffle counts adjacent symbol pairs over the
+    vocabulary (weighted by word frequency), the arg-max pair comes
+    back as a control-plane scalar (TakeOrdered — no global sort), and
+    the merge is applied as a column expression. Returns (merge rows,
+    final symbolized vocabulary)."""
+    v = vocab
     merges = []
     for r in range(1, n_merges + 1):
         # Spark's sequence(1, n) DESCENDS for n < 1 (DuckDB's range is

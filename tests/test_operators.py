@@ -654,3 +654,44 @@ def test_ivfpq_full_probe_equals_pq(spark, sf_dir):
     pq = pq_topk(emb, 8, 5)
     assert full.exceptAll(pq).count() == 0
     assert pq.exceptAll(full).count() == 0
+
+
+def test_bpe_learns_composed_merges_on_classic_corpus(spark):
+    """Sennrich's canonical example: {low, lower, newest, widest} with
+    skewed counts. The learned merges must compose (later ranks build
+    on earlier merged symbols) and reproduce the well-known 'est'
+    unit; single-letter words must not break the pair transform
+    (Spark's sequence(1, 0) descends instead of being empty)."""
+    from movement_spark.operators.text import bpe_train
+
+    rows = ([("low",)] * 5 + [("lower",)] * 2
+            + [("newest",)] * 6 + [("widest",)] * 3 + [("a",)] * 4)
+    docs = spark.createDataFrame(
+        [(" ".join(w for (w,) in rows),)], "text string")
+    merges = {r["rank"]: (r["left_sym"], r["right_sym"], r["merged"])
+              for r in bpe_train(docs, n_merges=5).collect()}
+    # round 1: 'es' (9 occurrences: newest 6 + widest 3) beats all
+    assert merges[1] == ("e", "s", "es")
+    # round 2 composes round 1's output with 't' -> 'est'
+    assert merges[2] == ("es", "t", "est")
+    # every later merge only references symbols that exist at its turn
+    known = set("abcdefghijklmnopqrstuvwxyz")
+    for r in sorted(merges):
+        left, right, merged = merges[r]
+        assert left in known and right in known
+        known.add(merged)
+
+
+def test_bpe_encode_compression_bounds(spark):
+    """Encoding with trained merges never increases the token count and
+    the compression ratio stays within (0, 10000] basis points."""
+    from movement_spark.operators.text import bpe_encode_stats
+
+    docs = spark.createDataFrame(
+        [("s1", "banana bandana banana"), ("s2", "band and sand a")],
+        "source string, text string")
+    out = {r["source"]: r for r in bpe_encode_stats(docs, 4).collect()}
+    for r in out.values():
+        assert 0 < r["n_tokens"] <= r["n_chars"]
+        assert 0 < r["compression_bps"] <= 10000
+    assert out["s1"]["n_words"] == 3 and out["s2"]["n_words"] == 4
