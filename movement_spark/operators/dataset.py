@@ -428,3 +428,46 @@ def leakage_safe_split_stats(tokens: DataFrame, sample_mod: int = 25,
              F.sum((F.col("naive_split") != F.col("split")).cast("int"))
              .cast("bigint").alias("would_leak_docs"))
     )
+
+
+def source_drift_tvd(tokens: DataFrame) -> DataFrame:
+    """Distribution-drift audit per source: EXACT integer total-
+    variation distance between each source's token distribution and the
+    corpus-wide distribution — the pre-mixing check that flags
+    off-distribution sources before they enter the mix (run
+    snapshot-vs-snapshot it is the crawl-drift monitor).
+
+    TVD(P_s, Q) = ½ Σ_t |c_s(t)/N_s − c_g(t)/N_g| is evaluated on the
+    common denominator N_s·N_g in decimal(38,0) (HUGEINT in the
+    oracle), so the result is exact — no float division anywhere.
+    Tokens the source never saw contribute (N_g − Σ_seen c_g)·N_s in
+    the same basis, so no outer join materializes the token union.
+
+    Shuffles: ONE (source, token) count (map-side combined), a
+    token-keyed re-agg of the same frame for the corpus counts, the
+    token-keyed join between them, and a per-source rollup; the
+    per-source / corpus totals travel as broadcasts. Output: one row
+    per source.
+    """
+    tok = tokens.select("source", F.explode("tokens").alias("t"))
+    sc = tok.groupBy("source", "t").agg(F.count("*").alias("c_s"))
+    gc = sc.groupBy("t").agg(F.sum("c_s").alias("c_g"))
+    totals = sc.groupBy("source").agg(F.sum("c_s").alias("n_s"))
+    g_total = gc.agg(F.sum("c_g").alias("n_g"))
+    agg = (
+        sc.join(gc, "t")
+        .join(F.broadcast(totals), "source")
+        .crossJoin(F.broadcast(g_total))
+        .groupBy("source", "n_s", "n_g")
+        .agg(F.sum(F.expr(
+            "abs(cast(c_s as decimal(38,0)) * n_g "
+            "- cast(c_g as decimal(38,0)) * n_s)")).alias("sum_inner"),
+             F.sum("c_g").alias("cg_seen")))
+    return agg.select(
+        "source",
+        F.col("n_s").cast("bigint").alias("n_tokens_source"),
+        F.col("n_g").cast("bigint").alias("n_tokens_corpus"),
+        F.expr(
+            "cast(((sum_inner + cast(n_g - cg_seen as decimal(38,0)) * n_s)"
+            " * 1000000) div (cast(2 as decimal(38,0)) * n_s * n_g) "
+            "as bigint)").alias("tvd_ppm"))

@@ -21,8 +21,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from movement_spark.operators import (
-    dedup, joins, multimodal, relational, similarity, sketches, text,
-    windows,
+    dataset, dedup, joins, multimodal, relational, similarity, sketches,
+    text, windows,
 )
 from movement_spark.operators.ordering import merged_doc_check
 from movement_spark.session import tune_session
@@ -1889,6 +1889,33 @@ def q_bigram_pmi(spark, sf_dir):
     profile a tokenizer/corpus-drift monitor watches."""
     return text.token_bigram_stats(token_sequences(spark, sf_dir),
                                    tok_mod=TOK_MOD)
+
+
+@register("source_drift_tvd", with_token_cte("""
+, tok AS (SELECT source, unnest(tokens) AS t FROM token_sequences),
+sc AS (SELECT source, t, COUNT(*) AS c_s FROM tok GROUP BY 1, 2),
+gc AS (SELECT t, CAST(SUM(c_s) AS BIGINT) AS c_g FROM sc GROUP BY 1),
+tots AS (SELECT source, CAST(SUM(c_s) AS BIGINT) AS n_s
+         FROM sc GROUP BY 1),
+g AS (SELECT CAST(SUM(c_g) AS BIGINT) AS n_g FROM gc),
+agg AS (
+  SELECT sc.source, n_s, n_g,
+         SUM(abs(CAST(c_s AS HUGEINT) * n_g
+                 - CAST(c_g AS HUGEINT) * n_s)) AS sum_inner,
+         CAST(SUM(c_g) AS BIGINT) AS cg_seen
+  FROM sc JOIN gc USING (t) JOIN tots USING (source) CROSS JOIN g
+  GROUP BY 1, 2, 3)
+SELECT source, n_s AS n_tokens_source, n_g AS n_tokens_corpus,
+       CAST(((sum_inner + CAST(n_g - cg_seen AS HUGEINT) * n_s)
+             * 1000000)
+            // (CAST(2 AS HUGEINT) * n_s * n_g) AS BIGINT) AS tvd_ppm
+FROM agg
+"""))
+def q_source_drift(spark, sf_dir):
+    """Per-source token-distribution drift vs the corpus: exact
+    integer total-variation distance in ppm — the pre-mixing
+    off-distribution check."""
+    return dataset.source_drift_tvd(token_sequences(spark, sf_dir))
 
 
 @register("lm_fluency_scores", with_token_cte(f"""
@@ -4950,6 +4977,7 @@ _FRONT = [
     "ann_ivfpq_topk",
     "bpe_merge_table",
     "bpe_encode_stats",
+    "source_drift_tvd",
 ]
 _REGISTRY = {
     name: _REGISTRY[name]
