@@ -367,8 +367,20 @@ def _apply_merge(col: F.Column, left: str, right: str,
 
 def _bpe_merge_list(documents: DataFrame,
                     n_merges: int) -> tuple[list, DataFrame]:
-    """Corpus word count + training rounds (see _bpe_rounds)."""
-    return _bpe_rounds(_bpe_word_counts(documents), n_merges)
+    """Corpus word count + training rounds (see _bpe_rounds).
+
+    The vocabulary is persisted for the duration of the loop — WITHOUT
+    it every per-round arg-max job re-runs the corpus word count, and
+    the "corpus enters the training exactly once" contract dies. The
+    final symbolization is eagerly localCheckpoint'ed (vocab-sized, so
+    executor-storage cheap) so the base cache can be released while
+    callers keep a lineage-free handle."""
+    vocab = _bpe_word_counts(documents).persist()
+    try:
+        merges, v = _bpe_rounds(vocab, n_merges)
+        return merges, v.localCheckpoint(eager=True)
+    finally:
+        vocab.unpersist()
 
 
 def _bpe_rounds(vocab: DataFrame, n_merges: int) -> tuple[list, DataFrame]:

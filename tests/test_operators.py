@@ -695,3 +695,47 @@ def test_bpe_encode_compression_bounds(spark):
         assert 0 < r["n_tokens"] <= r["n_chars"]
         assert 0 < r["compression_bps"] <= 10000
     assert out["s1"]["n_words"] == 3 and out["s2"]["n_words"] == 4
+
+
+def test_bpe_matches_pure_python_replica(spark):
+    """Engine-independence: the training loop on a pseudo-random corpus
+    must match a from-scratch Python replica of the same algebra (word
+    counts -> weighted pair counts -> arg-max with count-DESC/pair-ASC
+    tie-break -> sentinel-padded leftmost replace to fixpoint)."""
+    from collections import Counter
+    from movement_spark.operators.text import BPE_PASSES, bpe_train
+
+    def replica(words, n_merges):
+        wc = Counter(words)
+        syms = {w: " ".join(w) for w in wc}
+        out = []
+        for rank in range(1, n_merges + 1):
+            pc = Counter()
+            for w, n in wc.items():
+                s = syms[w].split(" ")
+                for i in range(len(s) - 1):
+                    pc[(s[i], s[i + 1])] += n
+            if not pc:
+                break
+            (l, r), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            out.append((rank, l, r, l + r, n))
+            pat, rep = f" {l} {r} ", f" {l}{r} "
+            for w in syms:
+                t = f" {syms[w]} "
+                for _ in range(BPE_PASSES):
+                    t = t.replace(pat, rep)
+                syms[w] = t.strip()
+        return out
+
+    # deterministic pseudo-random corpus: 400 words over a 40-word
+    # vocabulary of 1-6 letter words, with repeats and repeated letters
+    vocab = ["".join(chr(97 + (v * 7 + k * 3) % 5) for k in range((v % 6) + 1))
+             for v in range(40)]
+    words = [vocab[(i * i + 3 * i) % 40] for i in range(400)]
+    docs = spark.createDataFrame(
+        [(" ".join(words[:200]),), (" ".join(words[200:]),)], "text string")
+
+    got = [(r["rank"], r["left_sym"], r["right_sym"], r["merged"],
+            r["n_occ"]) for r in
+           bpe_train(docs, n_merges=6).orderBy("rank").collect()]
+    assert got == replica(words, 6)
