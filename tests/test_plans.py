@@ -186,3 +186,30 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir):
         assert "Exchange" not in txt, txt
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_source_drift_plan_shape(spark, sf_dir):
+    """The drift audit's shuffle budget: token-keyed exchanges only, the
+    per-source / corpus totals travel as broadcasts, and nothing plans
+    as a cartesian product (the 1-row corpus-total crossJoin must be a
+    broadcast nested loop)."""
+    from movement_spark.operators.dataset import source_drift_tvd
+    df = source_drift_tvd(token_sequences(spark, sf_dir))
+    txt = explain_text(df)
+    assert "CartesianProduct" not in txt
+    assert txt.count("BroadcastExchange") >= 2, \
+        "totals must broadcast, not shuffle"
+    # data exchanges: (source,t) count, token re-agg, final rollup —
+    # the token-keyed join must NOT add a fourth full-width exchange
+    n_shuffles = txt.count("Exchange hashpartitioning")
+    assert n_shuffles <= 4, f"drift plan shuffles {n_shuffles}x"
+
+
+def test_bpe_encode_joins_broadcast(spark, sf_dir):
+    """The encode pass joins the corpus against the final vocabulary
+    symbolization exactly once, broadcast-shaped."""
+    from movement_spark.operators.text import bpe_encode_stats
+    df = bpe_encode_stats(load_table(spark, sf_dir, "documents"), 2)
+    txt = explain_text(df)
+    assert "BroadcastHashJoin" in txt
+    assert "CartesianProduct" not in txt
