@@ -4961,23 +4961,24 @@ _FRONT = [
     "streaming_session_windows",
     # Round-3 additions (never driver-verified) — AFTER the frozen 46,
     # before anything already green, so a generous gate still reaches
-    # them without displacing the backlog.
-    "distribution_sampler_stats",
+    # them without displacing the backlog. Ordered by measured sf0.01
+    # Spark wall (cheapest first) to maximize rows inside the box.
     "coin_flip_corpus_sample",
-    "simhash_wide_pairs",
     "token_vocab_coverage",
-    "sole_fault_suppliers",
-    "funnel_conversion",
-    "cross_source_dup_matrix",
-    "lm_fluency_scores",
     "multimodal_binary_ingest",
-    "ann_pq_rerank_topk",
+    "distribution_sampler_stats",
     "ann_pq_topk",
-    "ann_pq_trained_topk",
-    "ann_ivfpq_topk",
-    "bpe_merge_table",
-    "bpe_encode_stats",
     "source_drift_tvd",
+    "cross_source_dup_matrix",
+    "ann_ivfpq_topk",
+    "lm_fluency_scores",
+    "ann_pq_rerank_topk",
+    "bpe_encode_stats",
+    "funnel_conversion",
+    "sole_fault_suppliers",
+    "simhash_wide_pairs",
+    "ann_pq_trained_topk",
+    "bpe_merge_table",
 ]
 _REGISTRY = {
     name: _REGISTRY[name]

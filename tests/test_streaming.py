@@ -785,7 +785,13 @@ def test_throttled_source_paces_batches(spark, sf_dir):
     span = (starts[-1] - starts[0]).total_seconds()
     assert span >= (len(fed) - 2) * delay_ms / 1000.0, \
         f"run not paced: span={span}s gaps={gaps}"
-    assert gaps and min(gaps) >= 0.3 * delay_ms / 1000.0, \
+    # Aligned triggers CATCH UP after a stalled batch (the next fires at
+    # the already-due boundary), so under host contention one gap can
+    # legitimately compress — require the REST to respect the floor
+    # instead of the strict minimum (which flaked under a concurrent
+    # parity sweep).
+    short = [g for g in gaps if g < 0.3 * delay_ms / 1000.0]
+    assert gaps and len(short) <= 1, \
         f"batch starts nearly back-to-back: {gaps}"
 
 
