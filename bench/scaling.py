@@ -59,17 +59,24 @@ def main() -> None:
 
     stage = os.path.join(tempfile.gettempdir(),
                          f"ms_scaling_stage_{n_docs}_{len_mod}")
-    if not (os.path.isdir(stage)
-            and any(f.endswith(".parquet") for f in os.listdir(stage))):
+    # the manifest is written AFTER staging completes, so its
+    # presence certifies a complete stage AND carries the true row
+    # count (the closed-form n_docs//4 shortcut undercounted when
+    # MS_SCALE_DOCS % 4 != 0, and a crash-interrupted stage dir
+    # with stray part files used to pass the reuse check)
+    manifest = os.path.join(stage, "_rows.json")
+    if not os.path.isfile(manifest):
         spark = get_spark(app_name="ms_scaling_stage", master="local[32]",
                           extra_conf={"spark.ui.showConsoleProgress": "false"})
         spark.sparkContext.setLogLevel("ERROR")
         rows = stage_synth_stream(spark, n_docs, stage, n_files=128,
                                   len_mod=len_mod)
         spark.stop()
+        with open(manifest, "w") as f:
+            json.dump({"rows": rows, "n_docs": n_docs,
+                       "len_mod": len_mod}, f)
     else:
-        # row count is a pure function of n_docs: sum over docs of 1+did%4
-        rows = sum(1 + d % 4 for d in range(4)) * (n_docs // 4)
+        rows = json.load(open(manifest))["rows"]
 
     r_low = run_level(low, stage, rows, reps)
     r_high = run_level(high, stage, rows, reps)

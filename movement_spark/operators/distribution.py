@@ -74,15 +74,15 @@ def with_line_length(dist: DataFrame) -> DataFrame:
 
 def likelihood_to_increase_bps(dist: DataFrame) -> DataFrame:
     """Distribution.likelihoodToIncreaseCount for every value at once,
-    in exact integer BASIS POINTS (floor((L - range_end) * 10000 / L)) —
+    in exact integer BASIS POINTS ((L - range_end) * 10000 div L) —
     the fraction of the number line strictly right of the value's
-    stretch. Integer bps keeps the checked value float-free (oracle
-    hash-parity rule)."""
+    stretch. Integer `div` keeps the checked value float-free (oracle
+    hash-parity rule): a double round-trip would agree only while the
+    product stays under 2^53."""
     return with_line_length(dist).select(
         "value", "cnt", "range_start", "range_end",
-        F.floor((F.col("line_len") - F.col("range_end")) * 10000
-                / F.col("line_len")).cast("bigint")
-        .alias("increase_likelihood_bps"))
+        F.expr("(line_len - range_end) * 10000L div line_len")
+        .cast("bigint").alias("increase_likelihood_bps"))
 
 
 def sample_distribution(spark: SparkSession, dist: DataFrame, n_draws: int,

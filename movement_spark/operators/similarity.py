@@ -357,6 +357,21 @@ def pq_encode(embeddings: DataFrame, codebook: DataFrame,
     )
 
 
+def _pq_lut_expr(vec_col: str, m: int = PQ_M, ksub: int = PQ_KSUB,
+                 sub: int = PQ_SUB) -> F.Column:
+    """Per-query ADC lookup table — LUT[m][code] = dot(query sub-slice,
+    codeword). The ONE definition of the ADC scoring algebra, shared by
+    pq_search and ivfpq_topk (a drifting copy would silently break
+    their score-identity invariant). The evaluating frame must carry
+    the broadcast codebook column ``cb``."""
+    return F.expr(
+        f"transform(sequence(0, {m - 1}), mm -> "
+        f"transform(sequence(0, {ksub - 1}), c -> "
+        f"aggregate(zip_with(slice({vec_col}, mm * {sub} + 1, {sub}), "
+        f"element_at(element_at(cb, mm + 1), c + 1), "
+        f"(x, y) -> x * y), 0L, (acc, v) -> acc + v)))")
+
+
 def pq_search(encoded: DataFrame, embeddings: DataFrame,
               codebook: DataFrame, n_queries: int = 10, k: int = 5,
               m: int = PQ_M, ksub: int = PQ_KSUB,
@@ -368,17 +383,12 @@ def pq_search(encoded: DataFrame, embeddings: DataFrame,
     equals dot(query, PQ reconstruction) exactly (pinned by
     test_pq_adc_equals_reconstruction_dot). Shuffles: only the narrow
     (query_id, vec_id, approx_dot) top-k, same shape as brute_force_topk."""
-    lut_expr = F.expr(
-        f"transform(sequence(0, {m - 1}), mm -> "
-        f"transform(sequence(0, {ksub - 1}), c -> "
-        f"aggregate(zip_with(slice(q, mm * {sub} + 1, {sub}), "
-        f"element_at(element_at(cb, mm + 1), c + 1), "
-        f"(x, y) -> x * y), 0L, (acc, v) -> acc + v)))")
     queries = (
         quantized(embeddings)
         .where(F.col("vec_id") < n_queries)
         .crossJoin(F.broadcast(codebook))
-        .select(F.col("vec_id").alias("query_id"), lut_expr.alias("lut"))
+        .select(F.col("vec_id").alias("query_id"),
+                _pq_lut_expr("q", m, ksub, sub).alias("lut"))
     )
     scored = (
         encoded.crossJoin(F.broadcast(queries))
@@ -464,25 +474,25 @@ def ivfpq_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
              .join(pq_encode(embeddings, cb, m, ksub, sub), "vec_id"))
     cents = assigned.where(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("cent_id"), F.col("q").alias("cv"))
-    lut_expr = F.expr(
-        f"transform(sequence(0, {m - 1}), mm -> "
-        f"transform(sequence(0, {ksub - 1}), c -> "
-        f"aggregate(zip_with(slice(qv, mm * {sub} + 1, {sub}), "
-        f"element_at(element_at(cb, mm + 1), c + 1), "
-        f"(x, y) -> x * y), 0L, (acc, v) -> acc + v)))")
-    queries = (
-        quantized(embeddings).where(F.col("vec_id") < n_queries)
+    qvecs = quantized(embeddings).where(F.col("vec_id") < n_queries) \
         .select(F.col("vec_id").alias("query_id"), F.col("q").alias("qv"))
-        .crossJoin(F.broadcast(cents))
-        .select("query_id", "qv", F.col("cent_id").alias("q_cent"),
+    probes = (
+        qvecs.crossJoin(F.broadcast(cents))
+        .select("query_id", F.col("cent_id").alias("q_cent"),
                 _dot("qv", "cv").alias("cdot"))
         .withColumn("_rn", F.row_number().over(
             Window.partitionBy("query_id").orderBy(
                 F.desc("cdot"), F.asc("q_cent"))))
         .where(F.col("_rn") <= nprobe)
-        .crossJoin(F.broadcast(cb))
-        .select("query_id", "q_cent", lut_expr.alias("lut"))
+        .select("query_id", "q_cent")
     )
+    # LUT built ONCE per query (not once per probed centroid — with
+    # nprobe=N that recomputed the m×ksub aggregation N times), then
+    # fanned out to the probe rows by a tiny query-keyed join
+    luts = (qvecs.crossJoin(F.broadcast(cb))
+            .select("query_id", _pq_lut_expr("qv", m, ksub, sub)
+                    .alias("lut")))
+    queries = probes.join(luts, "query_id")
     scored = (
         index.join(F.broadcast(queries),
                    F.col("cent_id") == F.col("q_cent"))

@@ -1804,9 +1804,12 @@ def q_multimodal_ingest(spark, sf_dir):
     engines, so the read path itself is oracle-gated."""
     import os
     docs = load_table(spark, sf_dir, "documents")
+    # keyed by corpus CONTENT, not path: a regenerated table at the
+    # same sf_dir must never hit a stale staged copy
     stage = os.path.join(
         "/tmp", "movement_spark_binstage",
-        os.path.basename(os.path.normpath(sf_dir)))
+        f"{os.path.basename(os.path.normpath(sf_dir))}-"
+        f"{multimodal.corpus_stage_key(docs)}")
     return multimodal.binary_file_ingest(spark, docs, stage)
 
 
@@ -2186,7 +2189,11 @@ def q_ann_ivf(spark, sf_dir):
     return df.withColumn("rank", F.col("rank").cast("int"))
 
 
-_PQ_SQL = f"""
+# Shared PQ oracle algebra — ONE definition of quantize / codebook /
+# sub-slice / encode (mirrors similarity.pq_codebook + pq_encode);
+# _PQ_LUT_CTE mirrors similarity._pq_lut_expr for the 10 fixture
+# queries and _PQ_SCORES_CTE the ADC accumulation of pq_search.
+_PQ_BASE_CTES = f"""
 WITH q AS (
   SELECT vec_id,
          list_transform(embedding, x ->
@@ -2212,18 +2219,24 @@ enc AS (
   SELECT vec_id, m, code FROM (
     SELECT *, row_number() OVER (PARTITION BY vec_id, m
                                  ORDER BY d ASC, code ASC) AS rn
-    FROM dists) WHERE rn = 1),
+    FROM dists) WHERE rn = 1)"""
+
+_PQ_LUT_CTE = f""",
 lut AS (
   SELECT v.vec_id AS query_id, v.m, cb.code,
          CAST(list_sum(list_transform(range(1, {similarity.PQ_SUB} + 1),
            i -> v.sv[i] * cb.cw[i])) AS BIGINT) AS pdot
   FROM vecsub v JOIN cb ON v.m = cb.m
-  WHERE v.vec_id < 10),
+  WHERE v.vec_id < 10)"""
+
+_PQ_SCORES_CTE = """,
 scores AS (
   SELECT l.query_id, e.vec_id, CAST(SUM(l.pdot) AS BIGINT) AS approx_dot
   FROM enc e JOIN lut l ON e.m = l.m AND e.code = l.code
   WHERE e.vec_id <> l.query_id
-  GROUP BY 1, 2),
+  GROUP BY 1, 2)"""
+
+_PQ_RANKED_TAIL = """,
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY approx_dot DESC, vec_id ASC) AS rank
@@ -2232,50 +2245,15 @@ SELECT query_id, vec_id, approx_dot, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 5
 """
 
+_PQ_SQL = _PQ_BASE_CTES + _PQ_LUT_CTE + _PQ_SCORES_CTE + _PQ_RANKED_TAIL
 
-# ADC pool (pool=20) + exact re-rank: same CTE chain as _PQ_SQL up to
+
+# ADC pool (pool=20) + exact re-rank: the shared PQ chain up to
 # `scores`, then the pooled candidates are re-scored by the TRUE
 # quantized dot and re-ranked — the deployed PQ composition (measured
 # at 1M vectors in BENCH/ann_scale.json: ADC-alone recall 0.17, pooled
 # re-rank 0.82).
-_PQ_RERANK_SQL = f"""
-WITH q AS (
-  SELECT vec_id,
-         list_transform(embedding, x ->
-           CAST(round(CAST(x AS DOUBLE) * {similarity.QUANT}, 0) AS BIGINT)) AS qv
-  FROM embeddings),
-subs AS (SELECT unnest(range(0, {similarity.PQ_M})) AS m),
-cb AS (
-  SELECT q.vec_id AS code, subs.m,
-         q.qv[subs.m * {similarity.PQ_SUB} + 1 :
-              subs.m * {similarity.PQ_SUB} + {similarity.PQ_SUB}] AS cw
-  FROM q CROSS JOIN subs WHERE q.vec_id < {similarity.PQ_KSUB}),
-vecsub AS (
-  SELECT q.vec_id, subs.m,
-         q.qv[subs.m * {similarity.PQ_SUB} + 1 :
-              subs.m * {similarity.PQ_SUB} + {similarity.PQ_SUB}] AS sv
-  FROM q CROSS JOIN subs),
-dists AS (
-  SELECT v.vec_id, v.m, cb.code,
-         CAST(list_sum(list_transform(range(1, {similarity.PQ_SUB} + 1),
-           i -> (v.sv[i] - cb.cw[i]) * (v.sv[i] - cb.cw[i]))) AS BIGINT) AS d
-  FROM vecsub v JOIN cb ON v.m = cb.m),
-enc AS (
-  SELECT vec_id, m, code FROM (
-    SELECT *, row_number() OVER (PARTITION BY vec_id, m
-                                 ORDER BY d ASC, code ASC) AS rn
-    FROM dists) WHERE rn = 1),
-lut AS (
-  SELECT v.vec_id AS query_id, v.m, cb.code,
-         CAST(list_sum(list_transform(range(1, {similarity.PQ_SUB} + 1),
-           i -> v.sv[i] * cb.cw[i])) AS BIGINT) AS pdot
-  FROM vecsub v JOIN cb ON v.m = cb.m
-  WHERE v.vec_id < 10),
-scores AS (
-  SELECT l.query_id, e.vec_id, CAST(SUM(l.pdot) AS BIGINT) AS approx_dot
-  FROM enc e JOIN lut l ON e.m = l.m AND e.code = l.code
-  WHERE e.vec_id <> l.query_id
-  GROUP BY 1, 2),
+_PQ_RERANK_SQL = _PQ_BASE_CTES + _PQ_LUT_CTE + _PQ_SCORES_CTE + """,
 pooled AS (
   SELECT query_id, vec_id FROM (
     SELECT *, row_number() OVER (PARTITION BY query_id
@@ -2315,37 +2293,15 @@ def q_ann_pq(spark, sf_dir):
     return similarity.pq_topk(load_table(spark, sf_dir, "embeddings"))
 
 
-_PQ_TRAINED_SQL = f"""
-WITH q AS (
-  SELECT vec_id,
-         list_transform(embedding, x ->
-           CAST(round(CAST(x AS DOUBLE) * {similarity.QUANT}, 0) AS BIGINT)) AS qv
-  FROM embeddings),
-subs AS (SELECT unnest(range(0, {similarity.PQ_M})) AS m),
-cb0 AS (
-  SELECT q.vec_id AS code, subs.m,
-         q.qv[subs.m * {similarity.PQ_SUB} + 1 :
-              subs.m * {similarity.PQ_SUB} + {similarity.PQ_SUB}] AS cw
-  FROM q CROSS JOIN subs WHERE q.vec_id < {similarity.PQ_KSUB}),
-vecsub AS (
-  SELECT q.vec_id, subs.m,
-         q.qv[subs.m * {similarity.PQ_SUB} + 1 :
-              subs.m * {similarity.PQ_SUB} + {similarity.PQ_SUB}] AS sv
-  FROM q CROSS JOIN subs),
-d0 AS (
-  SELECT v.vec_id, v.m, cb0.code,
-         CAST(list_sum(list_transform(range(1, {similarity.PQ_SUB} + 1),
-           i -> (v.sv[i] - cb0.cw[i]) * (v.sv[i] - cb0.cw[i]))) AS BIGINT) AS d
-  FROM vecsub v JOIN cb0 ON v.m = cb0.m),
-enc0 AS (
-  SELECT vec_id, m, code FROM (
-    SELECT *, row_number() OVER (PARTITION BY vec_id, m
-                                 ORDER BY d ASC, code ASC) AS rn
-    FROM d0) WHERE rn = 1),
+# PQ with a TRAINED codebook: the shared chain IS round-0 (seed
+# codebook + encode); one Lloyd round re-estimates codewords from the
+# round-0 assignment (cb1 falls back to the seed for empty codes),
+# re-encodes, and scores through the retrained LUT.
+_PQ_TRAINED_SQL = _PQ_BASE_CTES + f""",
 memdims AS (
   SELECT e.m, e.code, unnest(v.sv) AS val,
          CAST(generate_subscripts(v.sv, 1) AS INT) AS dim
-  FROM enc0 e JOIN vecsub v ON v.vec_id = e.vec_id AND v.m = e.m),
+  FROM enc e JOIN vecsub v ON v.vec_id = e.vec_id AND v.m = e.m),
 means AS (
   SELECT m, code, dim,
          CAST(floor(SUM(val) / COUNT(*)) AS BIGINT) AS cv
@@ -2354,7 +2310,7 @@ cw1 AS (SELECT m, code, list(cv ORDER BY dim) AS cw
         FROM means GROUP BY m, code),
 cb1 AS (
   SELECT g.m, g.code, COALESCE(c.cw, g.cw) AS cw
-  FROM cb0 g LEFT JOIN cw1 c ON g.m = c.m AND g.code = c.code),
+  FROM cb g LEFT JOIN cw1 c ON g.m = c.m AND g.code = c.code),
 d1 AS (
   SELECT v.vec_id, v.m, cb1.code,
          CAST(list_sum(list_transform(range(1, {similarity.PQ_SUB} + 1),
@@ -2375,43 +2331,13 @@ scores AS (
   SELECT l.query_id, e.vec_id, CAST(SUM(l.pdot) AS BIGINT) AS approx_dot
   FROM enc1 e JOIN lut l ON e.m = l.m AND e.code = l.code
   WHERE e.vec_id <> l.query_id
-  GROUP BY 1, 2),
-ranked AS (
-  SELECT *, row_number() OVER (PARTITION BY query_id
-                               ORDER BY approx_dot DESC, vec_id ASC) AS rank
-  FROM scores)
-SELECT query_id, vec_id, approx_dot, CAST(rank AS INT) AS rank
-FROM ranked WHERE rank <= 5
-"""
+  GROUP BY 1, 2)""" + _PQ_RANKED_TAIL
 
 
-_IVFPQ_SQL = f"""
-WITH q AS (
-  SELECT vec_id,
-         list_transform(embedding, x ->
-           CAST(round(CAST(x AS DOUBLE) * {similarity.QUANT}, 0) AS BIGINT)) AS qv
-  FROM embeddings),
-subs AS (SELECT unnest(range(0, {similarity.PQ_M})) AS m),
-cb AS (
-  SELECT q.vec_id AS code, subs.m,
-         q.qv[subs.m * {similarity.PQ_SUB} + 1 :
-              subs.m * {similarity.PQ_SUB} + {similarity.PQ_SUB}] AS cw
-  FROM q CROSS JOIN subs WHERE q.vec_id < {similarity.PQ_KSUB}),
-vecsub AS (
-  SELECT q.vec_id, subs.m,
-         q.qv[subs.m * {similarity.PQ_SUB} + 1 :
-              subs.m * {similarity.PQ_SUB} + {similarity.PQ_SUB}] AS sv
-  FROM q CROSS JOIN subs),
-dists AS (
-  SELECT v.vec_id, v.m, cb.code,
-         CAST(list_sum(list_transform(range(1, {similarity.PQ_SUB} + 1),
-           i -> (v.sv[i] - cb.cw[i]) * (v.sv[i] - cb.cw[i]))) AS BIGINT) AS d
-  FROM vecsub v JOIN cb ON v.m = cb.m),
-enc AS (
-  SELECT vec_id, m, code FROM (
-    SELECT *, row_number() OVER (PARTITION BY vec_id, m
-                                 ORDER BY d ASC, code ASC) AS rn
-    FROM dists) WHERE rn = 1),
+# IVF-PQ: the shared encode chain plus coarse-centroid assignment;
+# candidates are restricted to the probed inverted lists before the
+# same ADC accumulation.
+_IVFPQ_SQL = _PQ_BASE_CTES + f""",
 cents AS (SELECT vec_id AS cent_id, qv AS cv FROM q
           WHERE vec_id < {similarity.N_CENTROIDS}),
 cscored AS (
@@ -2425,13 +2351,7 @@ cassigned AS (
                                  ORDER BY cdot DESC, cent_id ASC) AS rn
     FROM cscored) WHERE rn = 1),
 probes AS (SELECT vec_id AS query_id, cent_id AS q_cent
-           FROM cassigned WHERE vec_id < 10),
-lut AS (
-  SELECT v.vec_id AS query_id, v.m, cb.code,
-         CAST(list_sum(list_transform(range(1, {similarity.PQ_SUB} + 1),
-           i -> v.sv[i] * cb.cw[i])) AS BIGINT) AS pdot
-  FROM vecsub v JOIN cb ON v.m = cb.m
-  WHERE v.vec_id < 10),
+           FROM cassigned WHERE vec_id < 10)""" + _PQ_LUT_CTE + """,
 cand AS (
   SELECT p.query_id, e.vec_id, e.m, e.code
   FROM cassigned a
@@ -2442,14 +2362,7 @@ scores AS (
   SELECT c.query_id, c.vec_id, CAST(SUM(l.pdot) AS BIGINT) AS approx_dot
   FROM cand c JOIN lut l
     ON l.query_id = c.query_id AND l.m = c.m AND l.code = c.code
-  GROUP BY 1, 2),
-ranked AS (
-  SELECT *, row_number() OVER (PARTITION BY query_id
-                               ORDER BY approx_dot DESC, vec_id ASC) AS rank
-  FROM scores)
-SELECT query_id, vec_id, approx_dot, CAST(rank AS INT) AS rank
-FROM ranked WHERE rank <= 5
-"""
+  GROUP BY 1, 2)""" + _PQ_RANKED_TAIL
 
 
 @register("ann_ivfpq_topk", _IVFPQ_SQL)
@@ -4717,8 +4630,8 @@ owned AS (
 samp AS (SELECT value, COUNT(*) AS n_sampled FROM owned GROUP BY 1)
 SELECT l.value AS value, l.cnt AS cnt,
        CAST(COALESCE(s.n_sampled, 0) AS BIGINT) AS n_sampled,
-       CAST(FLOOR(((SELECT ll FROM tot) - l.range_end) * 10000.0
-                  / (SELECT ll FROM tot)) AS BIGINT)
+       CAST((((SELECT ll FROM tot) - l.range_end) * 10000)
+            // (SELECT ll FROM tot) AS BIGINT)
            AS increase_likelihood_bps
 FROM line l LEFT JOIN samp s USING (value)
 """
@@ -4743,10 +4656,12 @@ def q_distribution_sampler(spark, sf_dir):
     toks = token_sequences(spark, sf_dir)
     hist = (toks.groupBy(F.col("n_tok").cast("bigint").alias("value"))
             .agg(F.count("*").alias("cnt")))
-    # persist the (histogram-sized) line: three consumers below — the
+    # pin the (histogram-sized) line: three consumers below — the
     # sampler's ownership join, its line-length scalar, the likelihood
-    # projection — would otherwise each re-aggregate the corpus
-    dist = build_distribution(hist).persist()
+    # projection — would otherwise each re-aggregate the corpus.
+    # localCheckpoint (not persist): nothing to unpersist later, so the
+    # long-lived driver/bench session doesn't accumulate cached frames.
+    dist = build_distribution(hist).localCheckpoint(eager=True)
     sampled = (
         sample_distribution(spark, dist, _DIST_DRAWS)
         .groupBy("value").agg(F.count("*").alias("n_sampled"))
@@ -4823,9 +4738,12 @@ def q_vocab_coverage(spark, sf_dir):
     universe-sized, not corpus-sized) frequency table; the top-K is a
     TopK plan, never a full sort of the corpus."""
     toks = token_sequences(spark, sf_dir)
+    # localCheckpoint (not persist): the vocab-sized frequency frame has
+    # three consumers; checkpointing materializes it once with nothing
+    # left to unpersist in the long-lived session
     freq = (toks.select(F.explode("tokens").alias("t"))
             .groupBy("t").agg(F.count("*").alias("cnt"))
-            .persist())
+            .localCheckpoint(eager=True))
     from pyspark.sql.window import Window
     ranked = freq.withColumn(
         "r", F.row_number().over(

@@ -715,25 +715,34 @@ def run_throttled_ingest(spark: SparkSession, stage_dir: str,
     consecutive non-empty batch starts are >= ~delay apart).
     """
     listener = RuntimeMetricsListener()
+    # listener registration and query start inside the try: a setup
+    # failure must not leave the listener attached to the shared session
+    q = None
     spark.streams.addListener(listener)
-    src = read_token_stream(spark, stage_dir, files_per_trigger=1)
-    q = (
-        src.writeStream.format("noop")
-        .option("checkpointLocation", checkpoint_dir or _tmp("thr_ck_"))
-        .trigger(processingTime=f"{delay_ms} milliseconds")
-        .start()
-    )
     try:
+        src = read_token_stream(spark, stage_dir, files_per_trigger=1)
+        q = (
+            src.writeStream.format("noop")
+            .option("checkpointLocation",
+                    checkpoint_dir or _tmp("thr_ck_"))
+            .trigger(processingTime=f"{delay_ms} milliseconds")
+            .start()
+        )
         deadline = time.time() + timeout_sec
         while listener.total_rows < expected_rows:
+            # surface a dead query's real error instead of spinning the
+            # whole timeout and reporting a generic row-count stall
+            if q.exception() is not None:
+                raise q.exception()
             if time.time() > deadline:
                 raise TimeoutError(
                     f"throttled ingest saw {listener.total_rows}/"
                     f"{expected_rows} rows within {timeout_sec}s")
             time.sleep(delay_ms / 1000.0 / 4)
     finally:
-        q.stop()
-        q.awaitTermination()
+        if q is not None:
+            q.stop()
+            q.awaitTermination()
         spark.streams.removeListener(listener)
     return listener
 

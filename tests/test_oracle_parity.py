@@ -49,13 +49,15 @@ def test_batch_query_timing_budget(batch_parity_results):
     single query nor the registry as a whole may silently grow
     expensive enough to eat the box (the local sweep tripled in
     wall-clock during round 2). Ceilings at sf0.001 on local[8]:
-    20 s per query (the slowest legitimate ones — pagerank's 3 fixed
-    join rounds, the first query's cold-session warmup — measure
-    2-14 s with hypervisor noise) and 300 s for the whole batch sweep
-    (measures ~120 s; the driver box fits that comfortably)."""
+    30 s per query — the slowest legitimate ones (pagerank's 3 fixed
+    join rounds, BPE's 8 collect rounds, the first query's cold-session
+    warmup) measure 2-15 s, and this host's single-run noise band is
+    ±25-47% (BENCH/BASELINE.md), so the ceiling sits above worst-case
+    noise on a single sample — and 300 s for the whole batch sweep
+    (measures ~120-190 s; the total is the real growth guard)."""
     over = [(r.name, round(r.spark_sec, 2)) for r in batch_parity_results
-            if r.spark_sec > 20.0]
-    assert not over, f"batch queries over the 20s sf0.001 budget: {over}"
+            if r.spark_sec > 30.0]
+    assert not over, f"batch queries over the 30s sf0.001 budget: {over}"
     total = sum(r.spark_sec for r in batch_parity_results)
     assert total < 300.0, \
         f"batch sweep took {total:.0f}s — registry outgrowing the gate box"
