@@ -471,3 +471,44 @@ def source_drift_tvd(tokens: DataFrame) -> DataFrame:
             "cast(((sum_inner + cast(n_g - cg_seen as decimal(38,0)) * n_s)"
             " * 1000000) div (cast(2 as decimal(38,0)) * n_s * n_g) "
             "as bigint)").alias("tvd_ppm"))
+
+
+def window_drift_tvd(hist: DataFrame, width_sec: int = 300) -> DataFrame:
+    """Consecutive-window drift from bucketed token histograms — the
+    read-side fold of the streaming drift monitor
+    (streaming/pipeline.py:run_streaming_drift_monitor): for every
+    (source, window) with a predecessor window, the exact integer TVD
+    between the two bucket distributions, same decimal(38,0)/HUGEINT
+    arithmetic as source_drift_tvd.
+
+    hist columns: (ws, source, bucket, cnt). Buckets one side never saw
+    enter through the full-outer bucket join with zero counts; windows
+    without a predecessor drop at the totals inner join. All joins are
+    (source, ws[, bucket])-keyed over a frame already reduced to
+    windows × sources × buckets rows — histogram-sized, never
+    corpus-sized."""
+    tot = hist.groupBy("source", "ws").agg(
+        F.sum("cnt").cast("bigint").alias("n"))
+    cur = hist.select("source", "ws", "bucket",
+                      F.col("cnt").alias("c_cur"))
+    prev = hist.select("source", (F.col("ws") + width_sec).alias("ws"),
+                       "bucket", F.col("cnt").alias("c_prev"))
+    pairs = (cur.join(prev, ["source", "ws", "bucket"], "full_outer")
+             .fillna(0, ["c_cur", "c_prev"]))
+    n_cur = tot.select("source", "ws", F.col("n").alias("n_cur"))
+    n_prev = tot.select("source", (F.col("ws") + width_sec).alias("ws"),
+                        F.col("n").alias("n_prev"))
+    return (
+        pairs.join(n_cur, ["source", "ws"])
+        .join(n_prev, ["source", "ws"])
+        .groupBy("source", "ws", "n_cur", "n_prev")
+        .agg(F.sum(F.expr(
+            "abs(cast(c_cur as decimal(38,0)) * n_prev "
+            "- cast(c_prev as decimal(38,0)) * n_cur)")).alias("num"))
+        .select("source", F.col("ws").alias("window_start"),
+                F.col("n_cur").alias("n_tokens"),
+                F.col("n_prev").alias("n_tokens_prev"),
+                F.expr("cast((num * 1000000) div "
+                       "(cast(2 as decimal(38,0)) * n_cur * n_prev) "
+                       "as bigint)").alias("tvd_ppm"))
+    )

@@ -1472,6 +1472,47 @@ def q_output_ids(spark, sf_dir):
 # returns the FINAL sink contents, which must equal the batch oracle.
 # =====================================================================
 
+@register("streaming_drift_monitor", with_token_cte("""
+, tok AS (
+  SELECT source,
+         CAST(epoch(time_bucket(INTERVAL 5 MINUTES, ts)) AS BIGINT) AS ws,
+         unnest(tokens) % 64 AS bucket
+  FROM token_sequences),
+hist AS (SELECT source, ws, bucket, COUNT(*) AS cnt
+         FROM tok GROUP BY 1, 2, 3),
+tot AS (SELECT source, ws, CAST(SUM(cnt) AS BIGINT) AS n
+        FROM hist GROUP BY 1, 2),
+c AS (SELECT source, ws, bucket, cnt AS c_cur FROM hist),
+p AS (SELECT source, ws + 300 AS ws, bucket, cnt AS c_prev FROM hist),
+pairs AS (
+  SELECT COALESCE(c.source, p.source) AS source,
+         COALESCE(c.ws, p.ws) AS ws,
+         COALESCE(c.bucket, p.bucket) AS bucket,
+         COALESCE(c_cur, 0) AS c_cur, COALESCE(c_prev, 0) AS c_prev
+  FROM c FULL JOIN p
+    ON c.source = p.source AND c.ws = p.ws AND c.bucket = p.bucket),
+agg AS (
+  SELECT pr.source, pr.ws, nc.n AS n_cur, np.n AS n_prev,
+         SUM(abs(CAST(c_cur AS HUGEINT) * np.n
+                 - CAST(c_prev AS HUGEINT) * nc.n)) AS num
+  FROM pairs pr
+  JOIN tot nc ON nc.source = pr.source AND nc.ws = pr.ws
+  JOIN tot np ON np.source = pr.source AND np.ws = pr.ws - 300
+  GROUP BY 1, 2, 3, 4)
+SELECT source, ws AS window_start, n_cur AS n_tokens,
+       n_prev AS n_tokens_prev,
+       CAST((num * 1000000) // (CAST(2 AS HUGEINT) * n_cur * n_prev)
+            AS BIGINT) AS tvd_ppm
+FROM agg
+"""))
+def q_streaming_drift(spark, sf_dir):
+    """Streaming drift monitor: bucketed per-window token histograms
+    through the exactly-once sink, folded at read into consecutive-
+    window exact integer TVD per source."""
+    from movement_spark.streaming.pipeline import run_streaming_drift_monitor
+    return run_streaming_drift_monitor(spark, sf_dir)
+
+
 @register("streaming_tumbling_pipeline", with_token_cte("""
 SELECT CAST(epoch(time_bucket(INTERVAL 5 MINUTES, ts)) AS BIGINT) AS ws,
        source,
@@ -4897,6 +4938,7 @@ _FRONT = [
     "simhash_wide_pairs",
     "ann_pq_trained_topk",
     "bpe_merge_table",
+    "streaming_drift_monitor",
 ]
 _REGISTRY = {
     name: _REGISTRY[name]

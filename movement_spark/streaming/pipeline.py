@@ -339,6 +339,50 @@ def run_streaming_tumbling(spark: SparkSession, sf_dir: str,
     return sink.read(spark)
 
 
+def run_streaming_drift_monitor(spark: SparkSession, sf_dir: str,
+                                width: str = "5 minutes",
+                                watermark: str = "10 minutes",
+                                buckets: int = 64,
+                                stage_dir: str | None = None,
+                                sink_dir: str | None = None,
+                                checkpoint_dir: str | None = None,
+                                listener=None) -> DataFrame:
+    """Streaming distribution-drift monitor: per-(window, source)
+    BUCKETED token histograms through the exactly-once sink; reading
+    the sink folds consecutive windows into an exact integer TVD per
+    source (operators/dataset.py:window_drift_tvd) — windowed
+    crawl-drift surveillance as a deployed pipeline.
+
+    The production trick is the bucket: a drift monitor never keys
+    streaming state by raw token — the ``buckets``-wide histogram pins
+    state at windows × sources × buckets rows (corpus- and
+    vocab-independent) and its TVD lower-bounds the true one, which is
+    the alerting direction you want. The token explode must be
+    explode_OUTER: sentinel rows carry an empty tokens array, and a
+    plain explode drops them before they can advance the event-time
+    watermark (the dedup/filter sentinel corollary extended to
+    generators) — outer keeps them as NULL-token rows that the window
+    predicate cuts, per the CLAUDE.md invariant."""
+    stage = _resolve_stage(spark, sf_dir, stage_dir)
+    src = read_token_stream(spark, stage)
+    flush_cut = F.timestamp_seconds(F.lit(EPOCH_2026 + TS_MOD + 3600))
+    hist = (
+        src.withWatermark("ts", watermark)
+        .select("ts", "source", F.explode_outer("tokens").alias("t"))
+        .groupBy(F.window("ts", width).alias("w"), "source",
+                 (F.col("t") % buckets).alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("w.start") < flush_cut)
+        .select(F.unix_timestamp("w.start").alias("ws"), "source",
+                "bucket", "cnt")
+    )
+    sink = IdempotentKeyedSink(sink_dir or _tmp("msdr_sink_"),
+                               ["ws", "source", "bucket"])
+    _run_to_sink(hist, sink, checkpoint_dir or _tmp("msdr_ck_"), listener)
+    from movement_spark.operators.dataset import window_drift_tvd
+    return window_drift_tvd(sink.read(spark), width_sec=300)
+
+
 def run_streaming_dedup(spark: SparkSession, sf_dir: str,
                         width: str = "5 minutes",
                         watermark: str = "10 minutes",
