@@ -435,6 +435,16 @@ def pq_rerank_topk(embeddings: DataFrame, n_queries: int = 10,
     cands = pq_search(pq_encode(embeddings, cb, m, ksub, sub),
                       embeddings, cb, n_queries=n_queries, k=pool,
                       m=m, ksub=ksub, sub=sub).select("query_id", "vec_id")
+    return _exact_rerank(embeddings, cands, n_queries, k)
+
+
+def _exact_rerank(embeddings: DataFrame, cands: DataFrame,
+                  n_queries: int, k: int) -> DataFrame:
+    """Exact integer-dot re-rank of a proposed (query_id, vec_id)
+    candidate pool to top-k: the pool and the query vectors broadcast,
+    the corpus is probed ONCE keyed by vec_id — O(pool × dim) per query
+    regardless of corpus size. Shared by every ANN composition that
+    ends in a re-rank (pq_rerank_topk, ivfpq_rerank_topk)."""
     q = quantized(embeddings)
     queries = q.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qv"))
@@ -622,3 +632,21 @@ def kmeans_centroids(embeddings: DataFrame, k: int = 4,
                 F.col("centroid_q").cast("bigint").alias("centroid_q"),
                 "n_assigned")
     )
+
+
+def ivfpq_rerank_topk(embeddings: DataFrame, n_queries: int = 10,
+                      k: int = 5, pool: int = 20,
+                      n_centroids: int = N_CENTROIDS, nprobe: int = 1,
+                      m: int = PQ_M, ksub: int = PQ_KSUB,
+                      sub: int = PQ_SUB) -> DataFrame:
+    """The full production ANN stack in one plan: IVF lists bound WHICH
+    vectors a query touches, PQ/ADC bounds the BYTES read per touched
+    vector to propose a ``pool``, and the exact integer re-rank
+    (_exact_rerank) restores the true ordering over that pool — the
+    search path billion-vector deployments actually run. Every stage's
+    cost is index-bounded: corpus/n_centroids × nprobe candidates, m
+    codes each, then O(pool × dim) exact work per query."""
+    cands = ivfpq_topk(embeddings, n_queries=n_queries, k=pool,
+                       n_centroids=n_centroids, nprobe=nprobe,
+                       m=m, ksub=ksub, sub=sub).select("query_id", "vec_id")
+    return _exact_rerank(embeddings, cands, n_queries, k)

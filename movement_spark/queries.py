@@ -2294,7 +2294,9 @@ _PQ_SQL = _PQ_BASE_CTES + _PQ_LUT_CTE + _PQ_SCORES_CTE + _PQ_RANKED_TAIL
 # quantized dot and re-ranked — the deployed PQ composition (measured
 # at 1M vectors in BENCH/ann_scale.json: ADC-alone recall 0.17, pooled
 # re-rank 0.82).
-_PQ_RERANK_SQL = _PQ_BASE_CTES + _PQ_LUT_CTE + _PQ_SCORES_CTE + """,
+# pool the top-20 ADC candidates, re-score by the TRUE quantized dot,
+# re-rank — shared by the PQ and IVF-PQ re-rank forms.
+_PQ_POOL_RERANK_TAIL = """,
 pooled AS (
   SELECT query_id, vec_id FROM (
     SELECT *, row_number() OVER (PARTITION BY query_id
@@ -2314,6 +2316,9 @@ ranked AS (
 SELECT query_id, vec_id, dot, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 5
 """
+
+_PQ_RERANK_SQL = _PQ_BASE_CTES + _PQ_LUT_CTE + _PQ_SCORES_CTE \
+    + _PQ_POOL_RERANK_TAIL
 
 
 @register("ann_pq_rerank_topk", _PQ_RERANK_SQL)
@@ -2378,7 +2383,7 @@ scores AS (
 # IVF-PQ: the shared encode chain plus coarse-centroid assignment;
 # candidates are restricted to the probed inverted lists before the
 # same ADC accumulation.
-_IVFPQ_SQL = _PQ_BASE_CTES + f""",
+_IVFPQ_SCORES_CTES = _PQ_BASE_CTES + f""",
 cents AS (SELECT vec_id AS cent_id, qv AS cv FROM q
           WHERE vec_id < {similarity.N_CENTROIDS}),
 cscored AS (
@@ -2403,7 +2408,21 @@ scores AS (
   SELECT c.query_id, c.vec_id, CAST(SUM(l.pdot) AS BIGINT) AS approx_dot
   FROM cand c JOIN lut l
     ON l.query_id = c.query_id AND l.m = c.m AND l.code = c.code
-  GROUP BY 1, 2)""" + _PQ_RANKED_TAIL
+  GROUP BY 1, 2)"""
+
+_IVFPQ_SQL = _IVFPQ_SCORES_CTES + _PQ_RANKED_TAIL
+# the full production stack: IVF bounds candidates, PQ bounds bytes,
+# the exact re-rank restores ordering over the pooled top-20
+_IVFPQ_RERANK_SQL = _IVFPQ_SCORES_CTES + _PQ_POOL_RERANK_TAIL
+
+
+@register("ann_ivfpq_rerank_topk", _IVFPQ_RERANK_SQL)
+def q_ann_ivfpq_rerank(spark, sf_dir):
+    """The full production ANN stack: IVF bounds WHICH vectors a query
+    touches, PQ/ADC bounds the bytes per touched vector to propose a
+    pool of 20, the exact integer re-rank restores the true top-5."""
+    return similarity.ivfpq_rerank_topk(
+        load_table(spark, sf_dir, "embeddings"))
 
 
 @register("ann_ivfpq_topk", _IVFPQ_SQL)
@@ -4938,6 +4957,7 @@ _FRONT = [
     "simhash_wide_pairs",
     "ann_pq_trained_topk",
     "bpe_merge_table",
+    "ann_ivfpq_rerank_topk",
     "streaming_drift_monitor",
 ]
 _REGISTRY = {

@@ -739,3 +739,19 @@ def test_bpe_matches_pure_python_replica(spark):
             r["n_occ"]) for r in
            bpe_train(docs, n_merges=6).orderBy("rank").collect()]
     assert got == replica(words, 6)
+
+
+def test_ivfpq_rerank_full_probe_equals_pq_rerank(spark, sf_dir):
+    """Same invariant one composition layer up: with every inverted
+    list probed, the IVF-PQ re-rank's ADC pool equals the plain PQ
+    re-rank's pool, so the exact re-ranked top-k must be bit-identical
+    — the IVF layer changes WHICH vectors pool, never the re-rank."""
+    from movement_spark.operators.similarity import (
+        N_CENTROIDS, ivfpq_rerank_topk, pq_rerank_topk)
+    from movement_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    full = ivfpq_rerank_topk(emb, 6, 4, nprobe=N_CENTROIDS)
+    pq = pq_rerank_topk(emb, 6, 4)
+    assert sorted(map(tuple, full.collect())) == \
+        sorted(map(tuple, pq.collect()))
