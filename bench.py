@@ -49,6 +49,22 @@ def main() -> None:
     qs["tumbling_token_throughput"](spark, sf_dir).write \
         .format("noop").mode("overwrite").save()
 
+    # Environment calibration: a FIXED data-independent CPU-bound job
+    # (sum of 200M codegen'd multiplies), median of 3. Its wall time
+    # depends only on host/hypervisor state — divide any round's query
+    # medians by (calibration_sec ratio) before reading them as
+    # regressions. Motivated by the r03 final snapshot, where EVERY
+    # query (touched or not) ran uniformly ~1.5× its median in a
+    # degraded hypervisor window.
+    import time as _time
+    calib = []
+    for _ in range(3):
+        t0 = _time.monotonic()
+        spark.range(200_000_000).selectExpr(
+            "sum(id * 2654435761L % 1000003) AS s").collect()
+        calib.append(_time.monotonic() - t0)
+    calibration_sec = round(sorted(calib)[1], 3)
+
     # Median-of-3 per query, with the min/max spread recorded so the
     # judge can tell a real regression (median outside last round's
     # band) from hypervisor noise (VERDICT r02 action #3).
@@ -133,6 +149,7 @@ def main() -> None:
         "extended_queries": extended,
         "sf": sf,
         "cpus": cpus,
+        "calibration_sec": calibration_sec,
         "streaming": stream,
         "streaming_r01_comparable": stream_small,
         "cep": cep,
