@@ -213,3 +213,23 @@ def test_bpe_encode_joins_broadcast(spark, sf_dir):
     txt = explain_text(df)
     assert "BroadcastHashJoin" in txt
     assert "CartesianProduct" not in txt
+
+
+def test_window_drift_fold_plan_shape(spark, sf_dir):
+    """The drift monitor's read-side fold runs over the histogram frame
+    (windows × sources × buckets) — its joins must stay (source, ws,
+    bucket)-keyed with no cartesian product, and the full-outer bucket
+    join must not balloon the exchange count."""
+    from movement_spark.operators.dataset import window_drift_tvd
+    hist = (token_sequences(spark, sf_dir)
+            .select("ts", "source", F.explode("tokens").alias("t"))
+            .groupBy(F.window("ts", "5 minutes").alias("w"), "source",
+                     (F.col("t") % 64).alias("bucket"))
+            .agg(F.count("*").alias("cnt"))
+            .select(F.unix_timestamp("w.start").alias("ws"), "source",
+                    "bucket", "cnt"))
+    df = window_drift_tvd(hist)
+    txt = explain_text(df)
+    assert "CartesianProduct" not in txt
+    n_shuffles = txt.count("Exchange hashpartitioning")
+    assert n_shuffles <= 8, f"drift fold shuffles {n_shuffles}x"
