@@ -38,13 +38,15 @@ sys.path.insert(0, REPO)
 from pyspark.sql import DataFrame, SparkSession, functions as F  # noqa: E402
 
 from movement_spark.operators.similarity import (  # noqa: E402
-    brute_force_topk, ivf_assign, ivf_search, pq_codebook, pq_encode,
-    pq_search,
+    _exact_rerank, brute_force_topk, ivf_assign, ivf_search, ivfpq_build,
+    ivfpq_search, pq_codebook, pq_encode, pq_search,
 )
 from movement_spark.session import get_spark       # noqa: E402
 
 SECTION_START = "<!-- ann_scale:start -->"
 SECTION_END = "<!-- ann_scale:end -->"
+CURVE_START = "<!-- ann_curve:start -->"
+CURVE_END = "<!-- ann_curve:end -->"
 
 DIM = 32
 N_CLUSTERS = 256
@@ -158,9 +160,101 @@ def run_level(spark: SparkSession, n_vecs: int) -> dict:
     }
 
 
+CURVE_NPROBE = (1, 4, 16)
+CURVE_POOLX = (0, 10, 100)   # rerank pool = poolx × K; 0 = raw ADC order
+
+
+def run_curve(spark: SparkSession, n_vecs: int) -> dict:
+    """The IVF-PQ operating curve a deployer actually tunes
+    (VERDICT r03 #4): recall@K and search wall for
+    nprobe × rerank-pool over ONE prebuilt index. nprobe buys recall
+    with more inverted-list scans (candidates × nprobe); the exact
+    re-rank buys back the recall PQ's quantization loses for
+    O(pool × dim) exact work per query — the curve shows which knob is
+    cheaper at each operating point."""
+    emb = ann_corpus(spark, n_vecs).persist()
+    brute = brute_force_topk(emb, n_queries=N_QUERIES, k=K) \
+        .select("query_id", "vec_id").persist()
+    n_brute = brute.count()
+
+    t0 = time.perf_counter()
+    index, cb, cents = ivfpq_build(emb, n_centroids=N_CLUSTERS,
+                                   m=PQ_BM, ksub=PQ_BKSUB, sub=PQ_BSUB)
+    index, cb, cents = index.persist(), cb.persist(), cents.persist()
+    index.count(), cb.count(), cents.count()
+    build_sec = time.perf_counter() - t0
+
+    cells = []
+    for nprobe in CURVE_NPROBE:
+        for poolx in CURVE_POOLX:
+            t0 = time.perf_counter()
+            if poolx == 0:
+                res = ivfpq_search(index, cb, cents, emb,
+                                   n_queries=N_QUERIES, k=K, nprobe=nprobe,
+                                   m=PQ_BM, ksub=PQ_BKSUB, sub=PQ_BSUB)
+            else:
+                cands = ivfpq_search(
+                    index, cb, cents, emb, n_queries=N_QUERIES,
+                    k=poolx * K, nprobe=nprobe,
+                    m=PQ_BM, ksub=PQ_BKSUB, sub=PQ_BSUB
+                ).select("query_id", "vec_id")
+                res = _exact_rerank(emb, cands, N_QUERIES, K)
+            res = res.select("query_id", "vec_id").persist()
+            res.count()
+            sec = time.perf_counter() - t0
+            hits = brute.join(res, ["query_id", "vec_id"]).count()
+            res.unpersist()
+            cell = {"nprobe": nprobe, "rerank_pool": poolx * K,
+                    "search_sec": round(sec, 1),
+                    "recall_at_k": round(hits / n_brute, 4)}
+            cells.append(cell)
+            print(json.dumps(cell))
+    for df in (index, cb, cents, brute, emb):
+        df.unpersist()
+    return {"n_vecs": n_vecs, "k": K, "n_queries": N_QUERIES,
+            "build_sec": round(build_sec, 1), "cells": cells}
+
+
+def _curve_md(curve: dict | None) -> str:
+    if not curve:
+        return ""
+    by_np = {}
+    for c in curve["cells"]:
+        by_np.setdefault(c["nprobe"], {})[c["rerank_pool"]] = c
+    pools = sorted({c["rerank_pool"] for c in curve["cells"]})
+    hdr = ("| nprobe | " + " | ".join(
+        f"pool={p} recall / s" for p in pools) + " |")
+    sep = "|" + "---|" * (len(pools) + 1)
+    lines = [
+        f"| {np} | " + " | ".join(
+            f"{by_np[np][p]['recall_at_k']} / {by_np[np][p]['search_sec']}"
+            for p in pools) + " |"
+        for np in sorted(by_np)
+    ]
+    return f"""{CURVE_START}
+## IVF-PQ operating curve (measured, {curve["n_vecs"]:,} vectors)
+
+One prebuilt IVF-PQ index ({curve["build_sec"]} s build, amortized over
+every batch); each cell = recall@{curve["k"]} / search seconds for a
+{curve["n_queries"]}-query batch at that (nprobe, exact-rerank pool):
+
+{hdr}
+{sep}
+{chr(10).join(lines)}
+
+Read it as a deployer: the rerank pool is the cheap knob (exact work is
+O(pool × dim) per query, index reads unchanged); nprobe is the
+expensive one (candidate volume × nprobe). Monotonicity in BOTH axes is
+test-pinned (tests/test_operators.py:
+test_ivf_nprobe_raises_recall_monotonically,
+test_rerank_pool_raises_recall_monotonically).
+{CURVE_END}"""
+
+
 def main() -> None:
     levels = [int(x) for x in os.environ.get(
-        "MS_ANN_LEVELS", "100000,1000000").split(",")]
+        "MS_ANN_LEVELS", "100000,1000000").split(",") if x]
+    curve_vecs = int(os.environ.get("MS_ANN_CURVE", "0"))
     spark = get_spark(
         app_name="ms_ann_scale", master="local[32]",
         extra_conf={
@@ -170,17 +264,27 @@ def main() -> None:
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
+    prev = {}
+    prev_path = os.path.join(REPO, "BENCH", "ann_scale.json")
+    if os.path.exists(prev_path):
+        with open(prev_path) as f:
+            prev = json.load(f)
     rows = []
     for n in levels:
         r = run_level(spark, n)
         rows.append(r)
         print(json.dumps(r))
+    if not rows:  # curve-only run (MS_ANN_LEVELS="")
+        rows = prev.get("levels", [])
+    curve = run_curve(spark, curve_vecs) if curve_vecs else prev.get("curve")
     spark.stop()
 
     result = {
         "generated_at": datetime.now(timezone.utc).isoformat(),
         "levels": rows,
     }
+    if curve:
+        result["curve"] = curve
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "ann_scale.json"), "w") as f:
         json.dump(result, f, indent=2)
@@ -237,6 +341,12 @@ per candidate where IVF bounds CANDIDATES; `ivfpq_topk` composes both
               + md.split(SECTION_END)[1])
     else:
         md = md.rstrip() + "\n\n" + section + "\n"
+    if curve:
+        csec = _curve_md(curve)
+        if CURVE_START in md and CURVE_END in md:
+            md = md.split(CURVE_START)[0] + csec + md.split(CURVE_END)[1]
+        else:
+            md = md.rstrip() + "\n\n" + csec + "\n"
     with open(md_path, "w") as f:
         f.write(md)
 

@@ -37,7 +37,7 @@ sys.path.insert(0, REPO)
 from pyspark.sql import DataFrame, SparkSession, functions as F  # noqa: E402
 
 from movement_spark.operators.text import (                      # noqa: E402
-    _bpe_rounds, _bpe_word_counts,
+    BPE_CHECKPOINT_EVERY, _bpe_rounds, _bpe_word_counts,
 )
 from movement_spark.session import get_spark                     # noqa: E402
 
@@ -93,9 +93,66 @@ def run_level(spark: SparkSession, n_docs: int) -> dict:
     }
 
 
+def run_deep(spark: SparkSession, n_docs: int, n_merges: int,
+             segment: int = 128) -> dict:
+    """Production-merge-width run (VERDICT r03 #3): train ``n_merges``
+    merges on one corpus, timing each ``segment``-round block, so the
+    claim under test — s/round stays FLAT as the merge index grows,
+    i.e. the per-BPE_CHECKPOINT_EVERY localCheckpoint in _bpe_rounds
+    actually bounds lineage depth — is measured, not asserted. Without
+    the checkpoint each round re-derives every prior _apply_merge
+    expression (O(rounds²)); with it, block times should hold within
+    noise from the first block to the last."""
+    docs = synth_corpus(spark, n_docs)
+    vocab = _bpe_word_counts(docs).persist()
+    vocab.count()
+    seg_times, seg_rounds, total_merges = [], [], 0
+    v = vocab
+    try:
+        for start in range(0, n_merges, segment):
+            n_seg = min(segment, n_merges - start)
+            t0 = time.monotonic()
+            merges, v = _bpe_rounds(v, n_seg)
+            seg_times.append(round(time.monotonic() - t0, 1))
+            seg_rounds.append(len(merges))
+            total_merges += len(merges)
+            if len(merges) < n_seg:
+                break  # vocabulary exhausted all shared pairs
+    finally:
+        vocab.unpersist()
+    per_round = [round(s / max(n, 1), 2)
+                 for s, n in zip(seg_times, seg_rounds)]
+    return {
+        "n_words": n_docs * WORDS_PER_DOC,
+        "n_merges": total_merges,
+        "segment": segment,
+        "segment_sec": seg_times,
+        "sec_per_round_by_segment": per_round,
+        "sec_per_round_first": per_round[0] if per_round else None,
+        "sec_per_round_last": per_round[-1] if per_round else None,
+    }
+
+
+def _deep_md(deep: dict | None) -> str:
+    if not deep:
+        return ""
+    segs = deep["sec_per_round_by_segment"]
+    return f"""
+**Production merge width** ({deep["n_merges"]:,} merges,
+{deep["n_words"]:,}-word corpus, timed per {deep["segment"]}-round
+block): s/round by block = {segs} — first block
+{deep["sec_per_round_first"]}, last {deep["sec_per_round_last"]}.
+Flat s/round across the run is the direct measurement that the
+every-{BPE_CHECKPOINT_EVERY}-rounds localCheckpoint in
+text._bpe_rounds bounds lineage depth: without it the last blocks
+would pay an O(rounds²) recompute of the whole merge-expression chain.
+"""
+
+
 def main() -> None:
     levels = [int(x) for x in os.environ.get(
-        "MS_BPE_LEVELS", "100000000,1000000000").split(",")]
+        "MS_BPE_LEVELS", "100000000,1000000000").split(",") if x]
+    deep_merges = int(os.environ.get("MS_BPE_DEEP_MERGES", "0"))
     spark = get_spark(
         app_name="ms_bpe_scale", master="local[32]",
         extra_conf={
@@ -106,11 +163,23 @@ def main() -> None:
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
+    prev = {}
+    prev_path = os.path.join(REPO, "BENCH", "bpe_scale.json")
+    if os.path.exists(prev_path):
+        with open(prev_path) as f:
+            prev = json.load(f)
     rows = []
     for n_words in levels:
         r = run_level(spark, n_words // WORDS_PER_DOC)
         rows.append(r)
         print(json.dumps(r))
+    if not rows:  # deep-only run (MS_BPE_LEVELS=""): keep measured levels
+        rows = prev.get("levels", [])
+    deep = None
+    if deep_merges:
+        deep_words = int(os.environ.get("MS_BPE_DEEP_WORDS", "100000000"))
+        deep = run_deep(spark, deep_words // WORDS_PER_DOC, deep_merges)
+        print(json.dumps(deep))
     spark.stop()
 
     result = {
@@ -120,6 +189,11 @@ def main() -> None:
         "n_merges": N_MERGES,
         "levels": rows,
     }
+    if deep:
+        result["deep"] = deep
+    elif "deep" in prev:
+        # keep a previously-measured deep section across shallow re-runs
+        deep = result["deep"] = prev["deep"]
     with open(os.path.join(REPO, "BENCH", "bpe_scale.json"), "w") as f:
         json.dump(result, f, indent=2)
 
@@ -153,7 +227,7 @@ word-count pass carried the scale-up at
 {hi["wordcount_words_per_sec"]:,.0f} words/s. At 100 TB the same split
 holds: one map-side-combinable corpus pass, then rounds whose cost is
 a property of the language's vocabulary, not the corpus.
-{SECTION_END}"""
+{_deep_md(deep)}{SECTION_END}"""
 
     bl_path = os.path.join(REPO, "BENCH", "BASELINE.md")
     with open(bl_path) as f:

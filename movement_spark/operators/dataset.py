@@ -512,3 +512,68 @@ def window_drift_tvd(hist: DataFrame, width_sec: int = 300) -> DataFrame:
                        "(cast(2 as decimal(38,0)) * n_cur * n_prev) "
                        "as bigint)").alias("tvd_ppm"))
     )
+
+
+# Shard-shuffle constants: same multiplicative family as the split hash
+# but a distinct increment, so shard assignment is independent of the
+# train/val/test bucket (h % 100 vs h' % n_shards never correlate).
+SHUFFLE_B = 54_321
+N_SHARDS = 16
+
+
+def shard_shuffle_manifest(documents: DataFrame,
+                           n_shards: int = N_SHARDS) -> DataFrame:
+    """Deterministic corpus shuffle into training shards — the "write
+    tokenized data in shuffled order" job at the end of a pretraining
+    pipeline (reference analog: the RangedOutputIdDriver's stable
+    global layout, OutputIdDriver.java, re-keyed by a permutation).
+
+    shard = h(doc_id) % n_shards is a pure hash partition (ONE shuffle,
+    no global sort — balanced in expectation at any corpus size);
+    within a shard, docs order by (h, doc_id), which is exactly what a
+    shard writer's sortWithinPartitions does. The manifest pins both
+    the assignment AND the intra-shard order: order_checksum folds each
+    doc's position into an integer only the exact permutation
+    reproduces. 100-TB shape: shard-keyed shuffle + per-shard window —
+    never a global row_number."""
+    h = ((F.col("doc_id") * SPLIT_A + SHUFFLE_B) % SPLIT_P)
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        documents
+        .select("doc_id", "n_chars", h.alias("h"))
+        .withColumn("shard", (F.col("h") % n_shards).cast("int"))
+        .withColumn("pos", F.row_number().over(w))
+        .groupBy("shard")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_chars").cast("bigint").alias("sum_chars"),
+             F.min("h").alias("min_h"),
+             F.max("h").alias("max_h"),
+             F.sum(F.col("pos") * (F.col("doc_id") % 97))
+             .cast("bigint").alias("order_checksum"))
+    )
+
+
+def quality_weighted_mix(documents: DataFrame) -> DataFrame:
+    """Quality-weighted corpus mixing: keep-rate scales with the doc's
+    quality bucket (bucket 0 keeps 20%, bucket 4 keeps 100%) — the
+    curriculum/mixing step that upsamples high-quality text without an
+    RNG. The draw is the same a*x+b mod p coin flip as the corpus
+    samplers (operators/distribution.py), the bucket the same
+    words-per-doc feature as text.quality_scores; the manifest reports
+    per-(source, bucket) population vs kept counts and kept chars so a
+    mixing run is fully auditable. Stateless per-row expressions + one
+    agg shuffle — nothing here changes at 100 TB."""
+    n_words = F.size(F.split("text", " "))
+    bucket = F.least(F.floor(n_words / 20), F.lit(4)).cast("int")
+    draw = ((F.col("doc_id") * SPLIT_A + SPLIT_B) % SPLIT_P) % 10000
+    kept = (draw < (bucket + 1) * 2000).cast("int")
+    return (
+        documents
+        .select("source", "n_chars", bucket.alias("quality_bucket"),
+                kept.alias("kept"))
+        .groupBy("source", "quality_bucket")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("kept").cast("bigint").alias("n_kept"),
+             F.sum(F.col("kept") * F.col("n_chars"))
+             .cast("bigint").alias("kept_chars"))
+    )

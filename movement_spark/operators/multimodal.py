@@ -190,16 +190,18 @@ BINARY_INGEST_MOD = 5  # stage 1/5 of docs as raw files (fixture-sized)
 
 def corpus_stage_key(documents: DataFrame,
                      sample_mod: int = BINARY_INGEST_MOD) -> str:
-    """Content fingerprint of the staged subset (row count + doc_id and
-    byte-length sums over the sampled docs — one small aggregate scan).
-    Staging dirs MUST be keyed by this, not by the source path alone:
-    a regenerated corpus at the same path (or two corpora whose dirs
-    share a basename) would otherwise satisfy the idempotence marker
-    and serve another corpus's files."""
+    """Content fingerprint of the staged subset (row count + doc_id sum
+    + crc32-of-text sum over the sampled docs — still one small
+    aggregate scan). Staging dirs MUST be keyed by this, not by the
+    source path alone: a regenerated corpus at the same path (or two
+    corpora whose dirs share a basename) would otherwise satisfy the
+    idempotence marker and serve another corpus's files. The crc term
+    makes the key CONTENT-sensitive — count/id/length-preserving edits
+    (the exact regeneration case the key exists for) change it."""
     row = (documents.where(F.col("doc_id") % sample_mod == 0)
            .agg(F.count("*").alias("n"),
                 F.sum("doc_id").alias("sid"),
-                F.sum(F.length("text")).alias("sch"))
+                F.sum(F.crc32(F.col("text").cast("binary"))).alias("sch"))
            .collect()[0])
     return f"{row['n']}-{row['sid']}-{row['sch']}"
 

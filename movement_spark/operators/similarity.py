@@ -463,27 +463,35 @@ def _exact_rerank(embeddings: DataFrame, cands: DataFrame,
     )
 
 
-def ivfpq_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
-               n_centroids: int = N_CENTROIDS, nprobe: int = 1,
-               m: int = PQ_M, ksub: int = PQ_KSUB,
-               sub: int = PQ_SUB) -> DataFrame:
-    """IVF-PQ: the layout billion-vector systems actually deploy — IVF
-    inverted lists bound WHICH vectors a query touches (corpus /
-    n_centroids × nprobe), PQ codes bound HOW MUCH is read per touched
-    vector (m codes, not the raw dims). The index is one materialized
-    frame (vec_id, cent_id, codes): ivf_assign's list key joined to
-    pq_encode's codes on vec_id — built once, bucketed by cent_id in
-    production. Search = probe nprobe centroids (exact dot, same
-    tie-break as assignment) then ADC-score only those lists. Scores are
-    identical to pq_search over the same candidates (the ADC invariant
-    test covers the LUT); recall inherits both knobs: nprobe recovers
-    boundary neighbors, codebook training tightens the quantizer."""
+def ivfpq_build(embeddings: DataFrame, n_centroids: int = N_CENTROIDS,
+                m: int = PQ_M, ksub: int = PQ_KSUB,
+                sub: int = PQ_SUB) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Build the IVF-PQ index once: returns (index, cb, cents) where
+    index = (vec_id, cent_id, codes) — ivf_assign's list key joined to
+    pq_encode's codes — cb the PQ codebook and cents the coarse
+    quantizer. In production all three are materialized tables (index
+    bucketed by cent_id), built once per corpus version and reused by
+    every query batch at every (nprobe, rerank-pool) operating point;
+    splitting build from search is what makes the bench's
+    recall-vs-cost curve (bench/ann_scale.py) measure SEARCH cost, not
+    9 redundant index builds."""
     cb = pq_codebook(embeddings, m, ksub, sub)
     assigned = ivf_assign(embeddings, n_centroids)
     index = (assigned.select("vec_id", "cent_id")
              .join(pq_encode(embeddings, cb, m, ksub, sub), "vec_id"))
     cents = assigned.where(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("cent_id"), F.col("q").alias("cv"))
+    return index, cb, cents
+
+
+def ivfpq_search(index: DataFrame, cb: DataFrame, cents: DataFrame,
+                 embeddings: DataFrame, n_queries: int = 10, k: int = 5,
+                 nprobe: int = 1, m: int = PQ_M, ksub: int = PQ_KSUB,
+                 sub: int = PQ_SUB) -> DataFrame:
+    """Query a prebuilt IVF-PQ index (see ivfpq_build): probe nprobe
+    centroids (exact dot, same tie-break as assignment) then ADC-score
+    only those inverted lists. Scores are identical to pq_search over
+    the same candidates (the ADC invariant test covers the LUT)."""
     qvecs = quantized(embeddings).where(F.col("vec_id") < n_queries) \
         .select(F.col("vec_id").alias("query_id"), F.col("q").alias("qv"))
     probes = (
@@ -519,6 +527,22 @@ def ivfpq_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
         .select("query_id", "vec_id", "approx_dot",
                 F.col("rank").cast("int").alias("rank"))
     )
+
+
+def ivfpq_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
+               n_centroids: int = N_CENTROIDS, nprobe: int = 1,
+               m: int = PQ_M, ksub: int = PQ_KSUB,
+               sub: int = PQ_SUB) -> DataFrame:
+    """IVF-PQ: the layout billion-vector systems actually deploy — IVF
+    inverted lists bound WHICH vectors a query touches (corpus /
+    n_centroids × nprobe), PQ codes bound HOW MUCH is read per touched
+    vector (m codes, not the raw dims). One-shot composition of
+    ivfpq_build + ivfpq_search; recall inherits both knobs: nprobe
+    recovers boundary neighbors, codebook training tightens the
+    quantizer."""
+    index, cb, cents = ivfpq_build(embeddings, n_centroids, m, ksub, sub)
+    return ivfpq_search(index, cb, cents, embeddings, n_queries=n_queries,
+                        k=k, nprobe=nprobe, m=m, ksub=ksub, sub=sub)
 
 
 NEARDUP_PLANES = 4

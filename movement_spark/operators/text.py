@@ -383,13 +383,26 @@ def _bpe_merge_list(documents: DataFrame,
         vocab.unpersist()
 
 
+BPE_CHECKPOINT_EVERY = 8  # rounds between lineage truncations
+
+
 def _bpe_rounds(vocab: DataFrame, n_merges: int) -> tuple[list, DataFrame]:
     """The training loop over a (word, n_occ, syms) vocabulary frame:
     per round, ONE narrow shuffle counts adjacent symbol pairs over the
     vocabulary (weighted by word frequency), the arg-max pair comes
     back as a control-plane scalar (TakeOrdered — no global sort), and
     the merge is applied as a column expression. Returns (merge rows,
-    final symbolized vocabulary)."""
+    final symbolized vocabulary).
+
+    Lineage control (VERDICT r03 #3): without truncation each round's
+    plan re-derives the whole _apply_merge chain from the base
+    vocabulary — O(rounds²) expression recompute that is invisible at
+    the 8-merge default but dominates a production 1k-32k merge run.
+    Every BPE_CHECKPOINT_EVERY rounds the symbolization is
+    localCheckpoint'ed (vocab-sized — Heaps'-law bounded, never corpus
+    bytes), the same fixed-point pattern as graph.connected_components;
+    the stride amortizes the materialization cost while keeping any
+    plan at most BPE_CHECKPOINT_EVERY merges deep."""
     v = vocab
     merges = []
     for r in range(1, n_merges + 1):
@@ -411,6 +424,8 @@ def _bpe_rounds(vocab: DataFrame, n_merges: int) -> tuple[list, DataFrame]:
         left, right, n = top[0]["l"], top[0]["r"], top[0]["n"]
         merges.append((r, left, right, left + right, int(n)))
         v = v.withColumn("syms", _apply_merge(F.col("syms"), left, right))
+        if r % BPE_CHECKPOINT_EVERY == 0 and r < n_merges:
+            v = v.localCheckpoint(eager=True)
     return merges, v
 
 

@@ -4763,7 +4763,7 @@ def q_coin_flip_sample(spark, sf_dir):
         .agg(F.count("*").alias("n_docs"),
              F.sum(kept).cast("bigint").alias("n_kept"))
         .select("source", "n_docs", "n_kept",
-                F.floor(F.col("n_kept") * 10000 / F.col("n_docs"))
+                F.expr("(n_kept * 10000) div n_docs")
                 .cast("bigint").alias("kept_bps"))
     )
 
@@ -4818,9 +4818,10 @@ def q_vocab_coverage(spark, sf_dir):
         .crossJoin(F.broadcast(totals))
         .select(F.lit(_VOCAB_K).alias("vocab_k"),
                 "n_distinct_tokens", "total_tok", "covered_tok",
-                F.floor(F.col("covered_tok") * 10000
-                        / F.col("total_tok")).cast("bigint")
-                .alias("coverage_bps"),
+                # integer div, not floor(double): matches DuckDB's //
+                # at any scale (floor drifts past 2^53)
+                F.expr("(covered_tok * 10000) div total_tok")
+                .cast("bigint").alias("coverage_bps"),
                 "min_vocab_cnt")
     )
 
@@ -4877,88 +4878,183 @@ def q_simhash_wide_pairs(spark, sf_dir):
         token_sequences(spark, sf_dir, keep_did=True))
 
 
+# --- Round-4 additions -----------------------------------------------
+
+_IVF_INC_CUTOFF = 256  # base corpus = vec_id < cutoff; delta = the rest
+
+_IVF_INC_SQL = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x ->
+           CAST(round(CAST(x AS DOUBLE) * {similarity.QUANT}, 0) AS BIGINT)) AS qv
+  FROM embeddings),
+cents AS (SELECT vec_id AS cent_id, qv AS cv FROM q
+          WHERE vec_id < {similarity.N_CENTROIDS}),
+scored AS (
+  SELECT q.vec_id, cents.cent_id,
+         CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+              i -> q.qv[i] * cents.cv[i])) AS BIGINT) AS cdot
+  FROM q CROSS JOIN cents),
+assigned AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cdot DESC, cent_id ASC) AS rn
+    FROM scored) WHERE rn = 1)
+SELECT cent_id,
+       CAST(SUM(CASE WHEN vec_id < {_IVF_INC_CUTOFF} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_base,
+       CAST(SUM(CASE WHEN vec_id >= {_IVF_INC_CUTOFF} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_delta,
+       COUNT(*) AS n_total
+FROM assigned GROUP BY cent_id
+"""
+
+
+@register("ann_ivf_incremental_lists", _IVF_INC_SQL)
+def q_ann_ivf_incremental(spark, sf_dir):
+    """IVF index maintenance under append-only ingest: build the index
+    on the base corpus (vec_id < cutoff; the codebook — the first
+    N_CENTROIDS vectors — lives inside it), assign the delta batch
+    against the FROZEN codebook with ivf_assign_incremental
+    (similarity.py — O(delta × centroids), never a rebuild), and emit
+    per-centroid inverted-list sizes split base/delta. The oracle
+    assigns every vector in one pass: green == incremental maintenance
+    commutes with batch rebuild, per the unit-pinned property
+    (test_ivf_incremental_equals_rebuild), now driver-gated."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") < _IVF_INC_CUTOFF)
+    delta = emb.where(F.col("vec_id") >= _IVF_INC_CUTOFF)
+    index = similarity.ivf_assign(base)
+    full = similarity.ivf_assign_incremental(index, delta)
+    return (
+        full.groupBy("cent_id")
+        .agg(F.sum(F.when(F.col("vec_id") < _IVF_INC_CUTOFF, 1)
+                   .otherwise(0)).cast("bigint").alias("n_base"),
+             F.sum(F.when(F.col("vec_id") >= _IVF_INC_CUTOFF, 1)
+                   .otherwise(0)).cast("bigint").alias("n_delta"),
+             F.count("*").alias("n_total"))
+    )
+
+
+@register("shard_shuffle_manifest", f"""
+WITH h AS (
+  SELECT doc_id, n_chars,
+         (doc_id * {dataset.SPLIT_A} + {dataset.SHUFFLE_B})
+           % {dataset.SPLIT_P} AS h
+  FROM documents),
+pos AS (
+  SELECT doc_id, n_chars, h,
+         CAST(h % {dataset.N_SHARDS} AS INT) AS shard,
+         row_number() OVER (PARTITION BY h % {dataset.N_SHARDS}
+                            ORDER BY h, doc_id) AS pos
+  FROM h)
+SELECT shard, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(h) AS min_h, MAX(h) AS max_h,
+       CAST(SUM(pos * (doc_id % 97)) AS BIGINT) AS order_checksum
+FROM pos GROUP BY shard
+""")
+def q_shard_shuffle(spark, sf_dir):
+    """Deterministic shuffled-shard layout manifest (dataset.py
+    shard_shuffle_manifest): hash-permute the corpus into training
+    shards with zero global sort; the checksum pins the exact
+    intra-shard order a shard writer would emit."""
+    return dataset.shard_shuffle_manifest(
+        load_table(spark, sf_dir, "documents"))
+
+
+@register("quality_weighted_mix", f"""
+WITH b AS (
+  SELECT source, doc_id, n_chars,
+         CAST(least(floor(len(string_split(text, ' ')) / 20.0), 4) AS INT)
+           AS quality_bucket,
+         ((doc_id * {dataset.SPLIT_A} + {dataset.SPLIT_B})
+           % {dataset.SPLIT_P}) % 10000 AS draw
+  FROM documents)
+SELECT source, quality_bucket, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN draw < (quality_bucket + 1) * 2000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN draw < (quality_bucket + 1) * 2000
+                     THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+FROM b GROUP BY 1, 2
+""")
+def q_quality_weighted_mix(spark, sf_dir):
+    """Quality-weighted corpus mix manifest (dataset.py
+    quality_weighted_mix): deterministic coin-flip keep-rate scaled by
+    the text-quality bucket — curriculum upsampling without an RNG."""
+    return dataset.quality_weighted_mix(
+        load_table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------
 # Driver-gate ordering. The correctness sweep evaluates the registry in
-# insertion order, and round 1's sweep was cut off after ~49 entries —
-# leaving everything registered later driver-unverified. Queries without
-# a green CORRECTNESS_r01 row register FIRST (cheap batch ones, then the
-# streaming pipelines, which share one staged input per variant via
-# streaming.pipeline.shared_stage), so a repeat truncation can only hit
-# rows that were already verified in a previous round.
+# insertion order and time-boxes at ~50 rows (r01 truncated at 49; r02
+# and r03 each verified exactly the first 50). Cumulative green driver
+# rows through r03: 150 of 164 — every row ever emitted is green. The
+# round-4 order puts the 14 never-driver-verified queries at positions
+# 0-13 (cheap batch first, per measured sf0.01 wall), then any round-4
+# additions, then re-verification of the most load-bearing r01 rows
+# (two rounds stale against evolving code), so the gate both closes the
+# registry to 164/164 cumulative AND proves no silent regression.
 # ---------------------------------------------------------------------
 _FRONT = [
-    # The 46 queries with no green CORRECTNESS_r01/r02 row — first, so
-    # the round-3 time-boxed gate (~50 rows) finally covers everything.
-    # Cheap batch queries before the expensive streaming pipelines.
-    "rolling_user_features",
-    "approx_distinct_audit",
-    "token_rate_anomalies",
-    "cohort_retention",
-    "embedding_label_centroids",
-    "zorder_layout_stats",
-    "scd2_status_intervals",
-    "corpus_filter_manifest",
-    "loglog_distinct_sketch",
-    "segment_dedup_stats",
-    "pii_scrub_audit",
-    "events_gap_fill_daily",
-    "revenue_deciles",
-    "incident_attribution",
-    "tfidf_top_terms",
-    "corpus_temperature_mix",
-    "cms_heavy_hitters",
-    "bloom_join_prune",
-    "lsh_candidate_jaccard",
-    "simhash_neardup_pairs",
-    "ann_ivf_topk",
-    "dataset_split_stats",
-    "sequence_packing_stats",
-    "token_bigram_pmi",
-    "stratified_sample_stats",
-    "benchmark_contamination",
-    "intra_doc_repetition",
-    "cyclic_replay_odometer",
-    "lineage_partition_audit",
-    "skew_safe_source_agg",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "multimodal_feature_stats",
-    "pagerank_token_graph",
-    # Streaming pipelines (each pays a staged-input + query start cost).
-    "streaming_ordered_merge_jvm",
-    "streaming_dedup_sessions",
-    "streaming_incomplete_audit",
-    "streaming_left_join",
-    "streaming_dedup",
-    "streaming_shard_join",
-    "streaming_sliding_pipeline",
-    "streaming_union_pipeline",
-    "streaming_events_daily",
-    "streaming_update_mode",
-    "streaming_enriched_pipeline",
-    "streaming_session_windows",
-    # Round-3 additions (never driver-verified) — AFTER the frozen 46,
-    # before anything already green, so a generous gate still reaches
-    # them without displacing the backlog. Ordered by measured sf0.01
-    # Spark wall (cheapest first) to maximize rows inside the box.
-    "coin_flip_corpus_sample",
-    "token_vocab_coverage",
-    "multimodal_binary_ingest",
-    "distribution_sampler_stats",
-    "ann_pq_topk",
-    "source_drift_tvd",
-    "cross_source_dup_matrix",
-    "ann_ivfpq_topk",
-    "lm_fluency_scores",
-    "ann_pq_rerank_topk",
-    "bpe_encode_stats",
+    # --- The 14 queries with no CORRECTNESS_r01/r02/r03 row (they sat
+    # at positions 50-63 last round, beyond the time-box). Cheap batch
+    # shapes first, the ANN PQ family next, streaming last.
     "funnel_conversion",
     "sole_fault_suppliers",
+    "source_drift_tvd",
+    "cross_source_dup_matrix",
     "simhash_wide_pairs",
-    "ann_pq_trained_topk",
+    "lm_fluency_scores",
+    "bpe_encode_stats",
     "bpe_merge_table",
+    "ann_pq_topk",
+    "ann_pq_trained_topk",
+    "ann_pq_rerank_topk",
+    "ann_ivfpq_topk",
     "ann_ivfpq_rerank_topk",
     "streaming_drift_monitor",
+    # --- Round-4 additions (never driver-verified) go here, ahead of
+    # re-verification rows but after the backlog.
+    "ann_ivf_incremental_lists",
+    "shard_shuffle_manifest",
+    "quality_weighted_mix",
+    # --- Re-verification: load-bearing rows whose only green driver
+    # row is r01 (two rounds stale). The driver re-runs whatever is in
+    # the window; green re-runs prove no silent regression since r01.
+    "streaming_ordered_merge",
+    "merged_doc_check",
+    "late_data_audit",
+    "output_id_allocation",
+    "dangling_edge_audit",
+    "pricing_summary",
+    "part_best_supplier",
+    "brand_value_concentration",
+    "token_topk",
+    "emitable_tree_expansion",
+    "work_chunk_stats",
+    "csv_directory_roundtrip",
+    "shard_pair_join",
+    "events_sessionization",
+    "validation_audit",
+    "tumbling_token_throughput",
+    "sliding_token_throughput",
+    "session_token_windows",
+    # --- Re-verification: r02 rows backing this round's edited code
+    # paths (BPE localCheckpoint lands in text.py; dedup/PQ untouched
+    # but adjacent) plus the r02 streaming chain forms.
+    "ann_brute_force_topk",
+    "minhash_lsh_stats",
+    "dedup_canonical_manifest",
+    "cc_pointer_doubling",
+    "kmv_set_algebra",
+    "dedup_exact_stats",
+    "span_ownership_stats",
+    "embedding_cosine_neardup",
+    "kmeans_training_loop",
+    "supplier_part_volume",
+    "grouping_sets_volume",
 ]
 _REGISTRY = {
     name: _REGISTRY[name]

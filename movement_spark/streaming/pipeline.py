@@ -229,6 +229,23 @@ def _tmp(prefix: str) -> str:
     return tempfile.mkdtemp(prefix=prefix)
 
 
+_INTERVAL_UNITS = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+                   "hour": 3600, "hours": 3600, "day": 86400, "days": 86400}
+
+
+def _interval_seconds(width: str) -> int:
+    """Seconds in a Spark interval string like '5 minutes'. Raises on
+    anything this module's window math can't honor — a silently
+    unparsed width would desynchronize the read-side fold from the
+    streaming window and produce empty (not wrong-looking) drift
+    output, which is the failure mode this guard exists to prevent."""
+    parts = width.strip().split()
+    if len(parts) == 2 and parts[0].isdigit() and parts[1] in _INTERVAL_UNITS:
+        return int(parts[0]) * _INTERVAL_UNITS[parts[1]]
+    raise ValueError(f"unsupported window width {width!r}; "
+                     f"use '<n> {'/'.join(sorted(set(_INTERVAL_UNITS)))}'")
+
+
 # Per-process staged-input cache: the 11 oracle-gated streaming pipelines
 # share one staged drop per (sf_dir, variant) instead of re-staging per
 # query — staging is setup, not the operator under test, and the driver's
@@ -363,6 +380,7 @@ def run_streaming_drift_monitor(spark: SparkSession, sf_dir: str,
     watermark (the dedup/filter sentinel corollary extended to
     generators) — outer keeps them as NULL-token rows that the window
     predicate cuts, per the CLAUDE.md invariant."""
+    width_sec = _interval_seconds(width)  # fail fast, pre-stage
     stage = _resolve_stage(spark, sf_dir, stage_dir)
     src = read_token_stream(spark, stage)
     flush_cut = F.timestamp_seconds(F.lit(EPOCH_2026 + TS_MOD + 3600))
@@ -380,7 +398,7 @@ def run_streaming_drift_monitor(spark: SparkSession, sf_dir: str,
                                ["ws", "source", "bucket"])
     _run_to_sink(hist, sink, checkpoint_dir or _tmp("msdr_ck_"), listener)
     from movement_spark.operators.dataset import window_drift_tvd
-    return window_drift_tvd(sink.read(spark), width_sec=300)
+    return window_drift_tvd(sink.read(spark), width_sec=width_sec)
 
 
 def run_streaming_dedup(spark: SparkSession, sf_dir: str,

@@ -755,3 +755,41 @@ def test_ivfpq_rerank_full_probe_equals_pq_rerank(spark, sf_dir):
     pq = pq_rerank_topk(emb, 6, 4)
     assert sorted(map(tuple, full.collect())) == \
         sorted(map(tuple, pq.collect()))
+
+
+def test_rerank_pool_raises_recall_monotonically(spark, sf_dir):
+    """The exact re-rank's pool depth is the second dial on the IVF-PQ
+    operating curve (bench/ann_scale.py run_curve): re-ranking a deeper
+    ADC-proposed pool must never lose recall vs exact brute force —
+    with PQ scores the pool ORDER is approximate, so the true neighbor
+    at ADC rank 12 is recovered by pool=20 but invisible to pool=5.
+    Also pins build/search decomposition: a one-shot ivfpq_topk must be
+    bit-identical to ivfpq_search over a prebuilt ivfpq_build index."""
+    from movement_spark.operators.similarity import (
+        _exact_rerank, brute_force_topk, ivfpq_build, ivfpq_search,
+        ivfpq_topk)
+    from movement_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bf = brute_force_topk(emb, 10, 5).select("query_id", "vec_id").persist()
+    total = bf.count()
+    index, cb, cents = ivfpq_build(emb)
+    index, cb, cents = index.persist(), cb.persist(), cents.persist()
+
+    one_shot = ivfpq_topk(emb, 10, 5, nprobe=2)
+    split = ivfpq_search(index, cb, cents, emb, 10, 5, nprobe=2)
+    assert one_shot.exceptAll(split).count() == 0
+    assert split.exceptAll(one_shot).count() == 0
+
+    def recall(pool):
+        cands = ivfpq_search(index, cb, cents, emb, 10, pool, nprobe=2) \
+            .select("query_id", "vec_id")
+        rr = _exact_rerank(emb, cands, 10, 5).select("query_id", "vec_id")
+        return bf.join(rr, ["query_id", "vec_id"]).count() / total
+
+    r5, r20, r80 = recall(5), recall(20), recall(80)
+    for df in (index, cb, cents, bf):
+        df.unpersist()
+    assert r5 <= r20 <= r80, \
+        f"recall not monotone in rerank pool: {r5} {r20} {r80}"
+    assert r80 > r5, "deeper rerank pool bought no recall at fixture scale"

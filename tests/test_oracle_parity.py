@@ -43,24 +43,51 @@ def test_batch_parity(batch_parity_results):
     assert not bad, f"parity failures: {bad}"
 
 
-def test_batch_query_timing_budget(batch_parity_results):
+# Clean-host median of the fixed calibration probe below on local[8]
+# (warm session; measured 0.36-0.38 s). The budget scales by the live
+# probe ratio so a documented uniform hypervisor slowdown (observed up
+# to ~1.5x) widens the ceiling instead of tripping it (ADVICE r03).
+_CALIB_CLEAN_SEC = 0.35
+
+
+def _calibration_scale(spark) -> float:
+    """Live host-speed factor: the same data-independent CPU probe
+    bench.py publishes as calibration_sec (200M codegen'd multiplies,
+    median of 3), divided by its pinned clean-host value. >= 1.0 —
+    a fast host never SHRINKS the budget."""
+    import time
+    runs = []
+    for _ in range(3):
+        t0 = time.monotonic()
+        spark.range(200_000_000).selectExpr(
+            "sum(id * 2654435761L % 1000003) AS s").collect()
+        runs.append(time.monotonic() - t0)
+    return max(1.0, sorted(runs)[1] / _CALIB_CLEAN_SEC)
+
+
+def test_batch_query_timing_budget(spark, batch_parity_results):
     """Registry-growth guard: the driver's correctness gate is
     time-boxed (~50 rows/round — it truncated in r01), so neither a
     single query nor the registry as a whole may silently grow
     expensive enough to eat the box (the local sweep tripled in
-    wall-clock during round 2). Ceilings at sf0.001 on local[8]:
-    30 s per query — the slowest legitimate ones (pagerank's 3 fixed
-    join rounds, BPE's 8 collect rounds, the first query's cold-session
-    warmup) measure 2-15 s, and this host's single-run noise band is
-    ±25-47% (BENCH/BASELINE.md), so the ceiling sits above worst-case
-    noise on a single sample — and 300 s for the whole batch sweep
-    (measures ~120-190 s; the total is the real growth guard)."""
+    wall-clock during round 2). Ceilings at sf0.001 on local[8],
+    NORMALIZED by the live calibration probe: 30 s per query — the
+    slowest legitimate ones (pagerank's 3 fixed join rounds, BPE's 8
+    collect rounds, the first query's cold-session warmup) measure
+    2-15 s — and 300 s for the whole batch sweep (measures ~120-190 s;
+    the total is the real growth guard). The probe ratio keeps a
+    uniform degraded-hypervisor window (every query ~1.5x, observed
+    r02/r03) from failing the gate for non-code reasons."""
+    scale = _calibration_scale(spark)
+    per_query = 30.0 * scale
     over = [(r.name, round(r.spark_sec, 2)) for r in batch_parity_results
-            if r.spark_sec > 30.0]
-    assert not over, f"batch queries over the 30s sf0.001 budget: {over}"
+            if r.spark_sec > per_query]
+    assert not over, (f"batch queries over the {per_query:.0f}s sf0.001 "
+                      f"budget (host scale {scale:.2f}): {over}")
     total = sum(r.spark_sec for r in batch_parity_results)
-    assert total < 300.0, \
-        f"batch sweep took {total:.0f}s — registry outgrowing the gate box"
+    assert total < 300.0 * scale, (
+        f"batch sweep took {total:.0f}s vs {300 * scale:.0f}s budget "
+        f"(host scale {scale:.2f}) — registry outgrowing the gate box")
 
 
 @pytest.mark.parametrize("name", STREAMING)

@@ -1008,3 +1008,41 @@ def test_triple_stateful_chain_on_rocksdb(spark, sf_dir):
                 "n_pairs", "pair_tok"))
     assert result.count() == expected.count()
     assert result.exceptAll(expected).count() == 0
+
+
+def test_interval_seconds_parses_and_rejects():
+    """ADVICE r03: run_streaming_drift_monitor silently hard-coded the
+    read-side fold at 300 s regardless of the width argument. The
+    parser must cover the widths the window math honors and FAIL FAST
+    on anything else (an unparsed width yields silently-empty drift
+    output, not an error)."""
+    from movement_spark.streaming.pipeline import _interval_seconds
+    assert _interval_seconds("5 minutes") == 300
+    assert _interval_seconds("10 minutes") == 600
+    assert _interval_seconds("90 seconds") == 90
+    assert _interval_seconds("2 hours") == 7200
+    assert _interval_seconds("1 day") == 86400
+    with pytest.raises(ValueError):
+        _interval_seconds("7 fortnights")
+    with pytest.raises(ValueError):
+        _interval_seconds("1.5 minutes")
+
+
+def test_drift_monitor_honors_nondefault_width(spark, sf_dir):
+    """End-to-end pin of the width pass-through: a 10-minute drift
+    monitor must equal the batch fold over 10-minute histograms (the
+    pre-fix behavior paired 600-s windows at a 300-s offset → zero
+    pairs → silently empty output)."""
+    from movement_spark.streaming.pipeline import run_streaming_drift_monitor
+    from movement_spark.operators.dataset import window_drift_tvd
+    result = run_streaming_drift_monitor(spark, sf_dir, width="10 minutes")
+    t = token_sequences(spark, sf_dir)
+    hist = (
+        t.select("ts", "source", F.explode("tokens").alias("tok"))
+        .groupBy((F.floor(F.unix_timestamp("ts") / 600) * 600).alias("ws"),
+                 "source", (F.col("tok") % 64).alias("bucket"))
+        .agg(F.count("*").alias("cnt")))
+    expected = window_drift_tvd(hist, width_sec=600)
+    n = result.count()
+    assert n == expected.count() and n > 0
+    assert result.exceptAll(expected).count() == 0
