@@ -19,8 +19,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from movement_spark import queries as Q                     # noqa: E402
 from movement_spark.benchmarks import (                     # noqa: E402
-    HEADLINE, cep_assembler_throughput, streaming_throughput,
-    time_query_stats,
+    HEADLINE, cep_assembler_throughput, drift_monitor_throughput,
+    streaming_throughput, time_query_stats,
 )
 from movement_spark.session import get_spark                # noqa: E402
 from movement_spark.sources.synth import stage_synth_stream  # noqa: E402
@@ -140,6 +140,24 @@ def main() -> None:
         "python_small": _cep_run("python", max(int(200_000 * sf), 5_000)),
     }
 
+    # Drift-monitor sub-metric (VERDICT r03 #5): the newest stateful
+    # pipeline and the heaviest per-row one — every token explodes into
+    # bucketed histogram state — so its input is sized below the
+    # headline run (per-token work ≈ LEN_MOD/2 × per-seq work).
+    def _drift_run(n_docs: int) -> dict:
+        work = tempfile.mkdtemp(prefix="ms_driftbench_")
+        stage = os.path.join(work, "stage")
+        n_rows = stage_synth_stream(spark, n_docs, stage, n_files=64)
+        out = drift_monitor_throughput(
+            spark, stage, n_rows,
+            sink_dir=os.path.join(work, "sink"),
+            checkpoint_dir=os.path.join(work, "ck"),
+            files_per_trigger=8)
+        shutil.rmtree(work, ignore_errors=True)
+        return out
+
+    drift = _drift_run(max(int(2_000_000 * sf), 20_000))
+
     result = {
         "metric": "headline_suite_sec",
         "value": round(sum(timings.values()), 3),
@@ -153,6 +171,7 @@ def main() -> None:
         "streaming": stream,
         "streaming_r01_comparable": stream_small,
         "cep": cep,
+        "drift_monitor": drift,
     }
     spark.stop()
     print(json.dumps(result))

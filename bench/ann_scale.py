@@ -242,10 +242,16 @@ every batch); each cell = recall@{curve["k"]} / search seconds for a
 {sep}
 {chr(10).join(lines)}
 
-Read it as a deployer: the rerank pool is the cheap knob (exact work is
-O(pool × dim) per query, index reads unchanged); nprobe is the
-expensive one (candidate volume × nprobe). Monotonicity in BOTH axes is
-test-pinned (tests/test_operators.py:
+Read it as a deployer: the two knobs fix different losses. nprobe
+recovers neighbors the COARSE quantizer misplaced — and on this corpus
+the IVF stage is already near-complete at nprobe=1 (exact-dot IVF
+recall 0.957 in the levels table), so extra probes buy ~nothing and
+only add candidate volume. The binding loss is PQ quantization
+(ADC-order recall ~0.17 at every nprobe), and the exact re-rank buys
+it back for O(pool × dim) per query with index reads unchanged. A
+deployment whose queries straddle list boundaries would see the
+opposite profile; the grid is how you find out. Monotonicity in BOTH
+axes is test-pinned (tests/test_operators.py:
 test_ivf_nprobe_raises_recall_monotonically,
 test_rerank_pool_raises_recall_monotonically).
 {CURVE_END}"""

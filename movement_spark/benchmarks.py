@@ -216,3 +216,40 @@ def _streaming_throughput_inner(spark, stage_dir, n_rows, sink_dir,
         "batches": len(listener.records),
         "sum_tok": int(total_tok or 0),
     }
+
+
+def drift_monitor_throughput(spark: SparkSession, stage_dir: str,
+                             n_rows: int, sink_dir: str,
+                             checkpoint_dir: str,
+                             files_per_trigger: int = 8) -> dict:
+    """Throughput of the streaming drift monitor — the heaviest
+    per-row stateful pipeline (every token explodes into the bucketed
+    histogram state, vs one row per sequence in the throughput agg) —
+    plus its read-side TVD fold. Same sink/checkpoint/steady-state
+    methodology as streaming_throughput; state partitions are pinned
+    by _run_to_sink itself."""
+    from movement_spark.streaming.pipeline import (
+        run_streaming_drift_monitor)
+
+    listener = RuntimeMetricsListener()
+    t0 = time.perf_counter()
+    out = run_streaming_drift_monitor(
+        spark, sf_dir="", stage_dir=stage_dir, sink_dir=sink_dir,
+        checkpoint_dir=checkpoint_dir, listener=listener,
+        files_per_trigger=files_per_trigger)
+    n_out = out.count()
+    elapsed = time.perf_counter() - t0
+    recs = sorted(listener.records, key=lambda r: r.batch_id)
+    mid = recs[1:-1] if len(recs) >= 3 else recs
+    mid_rows = sum(r.num_input_rows for r in mid)
+    mid_sec = sum(r.duration_ms for r in mid) / 1000.0
+    return {
+        "elapsed_sec": round(elapsed, 3),
+        "rows_in": n_rows,
+        "seq_per_sec": round(n_rows / elapsed, 1),
+        "seq_per_sec_steady": round(mid_rows / mid_sec, 1)
+        if mid_sec > 0 else 0.0,
+        "steady_batches": len(mid),
+        "batches": len(recs),
+        "drift_windows_out": n_out,
+    }

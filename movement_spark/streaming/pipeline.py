@@ -363,7 +363,9 @@ def run_streaming_drift_monitor(spark: SparkSession, sf_dir: str,
                                 stage_dir: str | None = None,
                                 sink_dir: str | None = None,
                                 checkpoint_dir: str | None = None,
-                                listener=None) -> DataFrame:
+                                listener=None,
+                                files_per_trigger: int | None = None
+                                ) -> DataFrame:
     """Streaming distribution-drift monitor: per-(window, source)
     BUCKETED token histograms through the exactly-once sink; reading
     the sink folds consecutive windows into an exact integer TVD per
@@ -382,7 +384,7 @@ def run_streaming_drift_monitor(spark: SparkSession, sf_dir: str,
     predicate cuts, per the CLAUDE.md invariant."""
     width_sec = _interval_seconds(width)  # fail fast, pre-stage
     stage = _resolve_stage(spark, sf_dir, stage_dir)
-    src = read_token_stream(spark, stage)
+    src = read_token_stream(spark, stage, files_per_trigger)
     flush_cut = F.timestamp_seconds(F.lit(EPOCH_2026 + TS_MOD + 3600))
     hist = (
         src.withWatermark("ts", watermark)
