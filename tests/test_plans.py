@@ -233,3 +233,52 @@ def test_window_drift_fold_plan_shape(spark, sf_dir):
     assert "CartesianProduct" not in txt
     n_shuffles = txt.count("Exchange hashpartitioning")
     assert n_shuffles <= 8, f"drift fold shuffles {n_shuffles}x"
+
+
+def test_shard_shuffle_plan_single_hash_exchange(spark, sf_dir):
+    """shard_shuffle_manifest's whole claim is ONE hash-partition
+    shuffle and no global sort: shard = h % n_shards keys both the
+    row_number window and the final agg, so the window's exchange is
+    reused and nothing above it re-partitions. A global row_number
+    (the tempting implementation) would plan a single-partition
+    Exchange — the 100 TB killer this pins against."""
+    from movement_spark.operators.dataset import shard_shuffle_manifest
+    df = shard_shuffle_manifest(load_table(spark, sf_dir, "documents"))
+    txt = explain_text(df)
+    audit = plan_audit(df)
+    assert "SinglePartition" not in txt, "global-order exchange crept in"
+    # ONE Exchange node (formatted explain lists each node in tree +
+    # details → raw count is 2×): the window's shard-keyed exchange,
+    # reused by the groupBy on the same key
+    assert audit["shuffles"] == 2, txt[:600]
+    assert "Window" in txt and "hashpartitioning" in txt
+    assert audit["python_stages"] == 0
+
+
+def test_quality_mix_plan_is_one_agg_shuffle(spark, sf_dir):
+    """Bucket + coin flip must stay codegen'd expressions over the
+    scan: one (source, bucket)-keyed aggregate exchange, no joins, no
+    Python."""
+    from movement_spark.operators.dataset import quality_weighted_mix
+    df = quality_weighted_mix(load_table(spark, sf_dir, "documents"))
+    audit = plan_audit(df)
+    # one Exchange node (2× in formatted text): the final agg shuffle
+    assert audit["shuffles"] == 2
+    assert audit["python_stages"] == 0
+    assert audit["broadcast_joins"] == 0 and audit["sort_merge_joins"] == 0
+
+
+def test_ivf_incremental_broadcasts_frozen_codebook(spark, sf_dir):
+    """The incremental assign must join the delta batch against a
+    BROADCAST of the frozen codebook (O(delta x centroids), corpus
+    untouched) — never a shuffled join of delta against index, and
+    never a CartesianProduct."""
+    from movement_spark.operators.similarity import (
+        ivf_assign, ivf_assign_incremental)
+    emb = load_table(spark, sf_dir, "embeddings")
+    index = ivf_assign(emb.where(F.col("vec_id") < 256))
+    full = ivf_assign_incremental(index, emb.where(F.col("vec_id") >= 256))
+    txt = explain_text(full)
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" in txt or "BroadcastHashJoin" in txt
+    assert plan_audit(full)["sort_merge_joins"] == 0

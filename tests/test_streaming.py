@@ -1046,3 +1046,40 @@ def test_drift_monitor_honors_nondefault_width(spark, sf_dir):
     n = result.count()
     assert n == expected.count() and n > 0
     assert result.exceptAll(expected).count() == 0
+
+
+def test_drift_monitor_resumes_from_checkpoint(spark, sf_dir):
+    """Kill/resume for the drift monitor: the bucketed histogram state
+    spans the kill point (a window's bucket counts accumulate across
+    the restart), and the read-side TVD fold runs over the union of
+    epochs — the resumed run must equal a clean single-run batch fold
+    over the full table. Same partial-stage/full-stage discipline as
+    the other resume tests."""
+    from movement_spark.operators.dataset import window_drift_tvd
+    from movement_spark.streaming.pipeline import (
+        run_streaming_drift_monitor, stage_token_stream)
+
+    full_stage = _mkdir()
+    stage_token_stream(spark, sf_dir, full_stage)
+    files = sorted(os.listdir(full_stage))
+    part_stage, ck, sink_dir = _mkdir(), _mkdir(), _mkdir()
+    cut = len(files) // 2
+    for f in files[:cut]:
+        shutil.copy2(os.path.join(full_stage, f), os.path.join(part_stage, f))
+    run_streaming_drift_monitor(spark, sf_dir, stage_dir=part_stage,
+                                sink_dir=sink_dir, checkpoint_dir=ck)
+    for f in files[cut:]:
+        shutil.copy2(os.path.join(full_stage, f), os.path.join(part_stage, f))
+    result = run_streaming_drift_monitor(spark, sf_dir,
+                                         stage_dir=part_stage,
+                                         sink_dir=sink_dir,
+                                         checkpoint_dir=ck)
+    t = token_sequences(spark, sf_dir)
+    hist = (
+        t.select("ts", "source", F.explode("tokens").alias("tok"))
+        .groupBy((F.floor(F.unix_timestamp("ts") / 300) * 300).alias("ws"),
+                 "source", (F.col("tok") % 64).alias("bucket"))
+        .agg(F.count("*").alias("cnt")))
+    expected = window_drift_tvd(hist, width_sec=300)
+    assert result.count() == expected.count() > 0
+    assert result.exceptAll(expected).count() == 0
