@@ -5055,6 +5055,21 @@ _FRONT = [
     "kmeans_training_loop",
     "supplier_part_volume",
     "grouping_sets_volume",
+    # --- Re-verification: rows green in r03 but whose code changed
+    # AFTER r03's sweep (multimodal.py corpus_stage_key content-hash
+    # fix), then the most-stale r01-only rows over this round's edited
+    # files (text.py). Positions past the ~50-row time-box are a
+    # priority ordering for whatever the driver still has budget for.
+    "multimodal_binary_ingest",
+    "multimodal_feature_stats",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "text_tokenize_stats",
+    "text_quality_scores",
+    "text_langid_heuristic",
+    "doc_fingerprints",
+    "ngram_jaccard_pairs",
+    "streaming_tumbling_pipeline",
 ]
 _REGISTRY = {
     name: _REGISTRY[name]
