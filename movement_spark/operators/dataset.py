@@ -577,3 +577,82 @@ def quality_weighted_mix(documents: DataFrame) -> DataFrame:
              F.sum(F.col("kept") * F.col("n_chars"))
              .cast("bigint").alias("kept_chars"))
     )
+
+
+# DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+# for Language Models via Importance Resampling"): score every doc by
+# how much more likely its hashed-unigram bag is under a TARGET domain
+# model than under the RAW corpus model. Bucket width is a FIXTURE
+# value (the tiny oracle corpus must populate buckets densely enough
+# to have a signal); production runs pass ~100k buckets.
+DSIR_BUCKETS = 1024
+DSIR_SCALE = 1_000_000      # ratio unit: ppm of "equally likely"
+DSIR_MOD = 1_000_000_007    # rolling-hash modulus (same family as FP_MOD)
+DSIR_TARGET_LANG = "en"
+
+
+def dsir_bucket_expr(n_buckets: int) -> str:
+    """Spark SQL expression hashing a non-empty `term` into a model
+    bucket: fold(h*31 + ascii(c)) mod DSIR_MOD over the term's chars
+    (the fingerprint_expr convention — engine-neutral a*x+b mod p
+    arithmetic, no engine hash builtins), then mod n_buckets. The ONE
+    term-hash rule shared with the query's oracle mirror."""
+    return (
+        f"(aggregate(sequence(1, cast(length(term) as int)), 0L, "
+        f"(acc, i) -> (acc * 31 + ascii(substring(term, cast(i as int), 1)))"
+        f" % {DSIR_MOD}) % {n_buckets})"
+    )
+
+
+def dsir_importance_weights(documents: DataFrame,
+                            n_buckets: int = DSIR_BUCKETS,
+                            target_lang: str = DSIR_TARGET_LANG) -> DataFrame:
+    """DSIR importance-resampling manifest: estimate hashed-unigram
+    models for the target domain (lang == target_lang) and the raw
+    corpus in ONE conditional aggregate, score each doc by its mean
+    per-token likelihood ratio, and report per-lang how many docs the
+    ratio >= 1 cut would select. Log-free integral form (the tfidf_
+    top_terms convention): ratio_ppm(b) = cnt_tgt(b)*tot_raw*1e6 div
+    (cnt_raw(b)*tot_tgt) — 1e6 means "as likely under target as raw",
+    so target-lang docs score far above 1e6 and off-target docs near 0,
+    all in bigint (swap for decimal(38,0) at web scale).
+
+    Shape at 100 TB: the model pass is one explode + one map-side-
+    combined aggregate onto n_buckets rows; the bucket->ratio table is
+    bounded by n_buckets and BROADCAST back onto the tokenized
+    projection (no shuffle), so scoring adds only the doc-keyed agg.
+    Two passes over the tokens are inherent to DSIR (estimate, then
+    score); production persists the tokenized projection once between
+    them.
+    """
+    words = (documents
+             .select("doc_id", "lang", "n_chars",
+                     F.explode(F.split("text", " ")).alias("term"))
+             .where(F.length("term") > 0)
+             .withColumn("bucket", F.expr(dsir_bucket_expr(n_buckets)))
+             .drop("term"))
+    model = words.groupBy("bucket").agg(
+        F.count("*").alias("cnt_raw"),
+        F.sum(F.when(F.col("lang") == target_lang, 1).otherwise(0))
+        .cast("bigint").alias("cnt_tgt"))
+    totals = model.agg(
+        F.sum("cnt_raw").cast("bigint").alias("tot_raw"),
+        F.sum("cnt_tgt").cast("bigint").alias("tot_tgt"))
+    ratios = (model.crossJoin(F.broadcast(totals))
+              .withColumn("ratio_ppm",
+                          F.expr(f"(cnt_tgt * tot_raw * {DSIR_SCALE}L) "
+                                 f"div (cnt_raw * tot_tgt)"))
+              .select("bucket", "ratio_ppm"))
+    scored = (words.join(F.broadcast(ratios), "bucket")
+              .groupBy("doc_id", "lang", "n_chars")
+              .agg(F.count("*").alias("n_tok"),
+                   F.sum("ratio_ppm").alias("ratio_sum"))
+              .withColumn("avg_ppm", F.expr("ratio_sum div n_tok")))
+    sel = (F.col("avg_ppm") >= DSIR_SCALE).cast("int")
+    return (scored
+            .groupBy("lang")
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 F.sum("avg_ppm").cast("bigint").alias("sum_avg_ppm"),
+                 F.sum(sel).cast("bigint").alias("n_selected"),
+                 F.sum(sel * F.col("n_chars")).cast("bigint")
+                 .alias("selected_chars")))

@@ -4986,6 +4986,54 @@ def q_quality_weighted_mix(spark, sf_dir):
         load_table(spark, sf_dir, "documents"))
 
 
+@register("dsir_importance_weights", f"""
+WITH words AS (
+  SELECT doc_id, lang, n_chars,
+         (list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(range(1, length(term) + 1),
+              i -> CAST(ascii(substring(term, CAST(i AS INT), 1)) AS BIGINT))),
+            (acc, c) -> (acc * 31 + c) % {dataset.DSIR_MOD})
+          % {dataset.DSIR_BUCKETS}) AS bucket
+  FROM (SELECT doc_id, lang, n_chars,
+               unnest(string_split(text, ' ')) AS term
+        FROM documents)
+  WHERE length(term) > 0),
+model AS (
+  SELECT bucket, COUNT(*) AS cnt_raw,
+         SUM(CASE WHEN lang = '{dataset.DSIR_TARGET_LANG}'
+                  THEN 1 ELSE 0 END) AS cnt_tgt
+  FROM words GROUP BY 1),
+tot AS (SELECT SUM(cnt_raw) AS tot_raw, SUM(cnt_tgt) AS tot_tgt FROM model),
+ratios AS (
+  SELECT bucket,
+         (cnt_tgt * tot_raw * {dataset.DSIR_SCALE})
+           // (cnt_raw * tot_tgt) AS ratio_ppm
+  FROM model, tot),
+scored AS (
+  SELECT w.doc_id, w.lang, w.n_chars, COUNT(*) AS n_tok,
+         SUM(r.ratio_ppm) AS ratio_sum
+  FROM words w JOIN ratios r USING (bucket)
+  GROUP BY 1, 2, 3),
+docavg AS (
+  SELECT lang, n_chars, ratio_sum // n_tok AS avg_ppm FROM scored)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(avg_ppm) AS BIGINT) AS sum_avg_ppm,
+       CAST(SUM(CASE WHEN avg_ppm >= {dataset.DSIR_SCALE}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+       CAST(SUM(CASE WHEN avg_ppm >= {dataset.DSIR_SCALE}
+                     THEN n_chars ELSE 0 END) AS BIGINT) AS selected_chars
+FROM docavg GROUP BY 1
+""")
+def q_dsir_importance_weights(spark, sf_dir):
+    """DSIR importance-resampling manifest (dataset.py
+    dsir_importance_weights): hashed-unigram target-vs-raw likelihood
+    ratios in log-free ppm form; per-lang selection counts under the
+    ratio >= 1 cut. Model table is DSIR_BUCKETS-bounded and broadcast;
+    the ratio >= 1e6 cut should select mostly target-lang docs."""
+    return dataset.dsir_importance_weights(
+        load_table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------
 # Driver-gate ordering. The correctness sweep evaluates the registry in
 # insertion order and time-boxes at ~50 rows (r01 truncated at 49; r02
@@ -5020,6 +5068,7 @@ _FRONT = [
     "ann_ivf_incremental_lists",
     "shard_shuffle_manifest",
     "quality_weighted_mix",
+    "dsir_importance_weights",
     # --- Re-verification: load-bearing rows whose only green driver
     # row is r01 (two rounds stale). The driver re-runs whatever is in
     # the window; green re-runs prove no silent regression since r01.

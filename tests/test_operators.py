@@ -793,3 +793,24 @@ def test_rerank_pool_raises_recall_monotonically(spark, sf_dir):
     assert r5 <= r20 <= r80, \
         f"recall not monotone in rerank pool: {r5} {r20} {r80}"
     assert r80 > r5, "deeper rerank pool bought no recall at fixture scale"
+
+
+def test_dsir_selects_target_lang_docs_at_highest_rate(spark, sf_dir):
+    """DSIR importance weighting must rank the target domain first: the
+    ratio >= 1 selection rate for the target lang must strictly exceed
+    every other lang's rate (the synthetic corpus shares most vocabulary
+    across langs, so ratios sit near 1e6 — the per-doc vocabulary is
+    still enough signal to order the langs), and every lang must appear
+    in the manifest."""
+    from movement_spark.operators.dataset import (
+        DSIR_TARGET_LANG, dsir_importance_weights)
+    from movement_spark.sources.tables import load_table
+
+    rows = {r["lang"]: r for r in dsir_importance_weights(
+        load_table(spark, sf_dir, "documents")).collect()}
+    assert DSIR_TARGET_LANG in rows
+    assert len(rows) >= 3, f"degenerate lang split: {sorted(rows)}"
+    rate = {lang: r["n_selected"] / r["n_docs"] for lang, r in rows.items()}
+    tgt = rate.pop(DSIR_TARGET_LANG)
+    assert all(tgt > v for v in rate.values()), \
+        f"target rate {tgt} not strictly above {rate}"
