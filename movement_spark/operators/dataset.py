@@ -638,10 +638,17 @@ def dsir_importance_weights(documents: DataFrame,
     totals = model.agg(
         F.sum("cnt_raw").cast("bigint").alias("tot_raw"),
         F.sum("cnt_tgt").cast("bigint").alias("tot_tgt"))
+    # decimal(38,0) for the products: cnt_tgt*tot_raw*1e6 passes int64
+    # around a billion tokens (found by bench/dsir_scale.py at 10M docs
+    # / 1.12B tokens); the quotient is back under 1e7, so the ratio
+    # column itself stays bigint. DuckDB needs no cast — its SUM is
+    # already HUGEINT.
     ratios = (model.crossJoin(F.broadcast(totals))
               .withColumn("ratio_ppm",
-                          F.expr(f"(cnt_tgt * tot_raw * {DSIR_SCALE}L) "
-                                 f"div (cnt_raw * tot_tgt)"))
+                          F.expr(f"cast((cast(cnt_tgt as decimal(38,0)) "
+                                 f"* tot_raw * {DSIR_SCALE}) "
+                                 f"div (cast(cnt_raw as decimal(38,0)) "
+                                 f"* tot_tgt) as bigint)"))
               .select("bucket", "ratio_ppm"))
     scored = (words.join(F.broadcast(ratios), "bucket")
               .groupBy("doc_id", "lang", "n_chars")
