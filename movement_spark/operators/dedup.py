@@ -783,3 +783,66 @@ def cross_source_dup_matrix(documents: DataFrame) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.count("*").alias("n_shared_segments"))
     )
+
+
+# Trigram packing width. Unlike SHINGLE_MOD/JACCARD_MOD (deliberately
+# coarse so the tiny fixture has near-dups), this DEFAULT is the full
+# token-universe width of the derived token table (sources/tokens.py
+# TOK_MOD): packing is then INJECTIVE — t0*M² + t1*M + t2 < 2^48 — so
+# the coverage metric counts only TRUE repeated trigrams, which is the
+# production semantic. Corpora with wider token ids pass their own
+# width (aliasing then adds a ~1/M² random floor, like any hash).
+TRIGRAM_MOD = 50261
+
+
+def duplicate_ngram_coverage(tokens: DataFrame,
+                             gram_mod: int = TRIGRAM_MOD) -> DataFrame:
+    """Per-source duplicated-text share — the corpus report the dedup
+    literature actually acts on: for every token-trigram INSTANCE, does
+    its packed trigram value occur in >= 2 distinct docs corpus-wide?
+    Emits, per source, total instances, duplicated instances, and the
+    exact integer-bps duplicated share (the "fraction of this source
+    that is text seen elsewhere" number that sets dedup budgets and
+    per-source mix weights; pairwise Jaccard/LSH tells you WHICH docs
+    collide, this tells you HOW MUCH of each source is involved).
+
+    Scale shape: a single linear pipeline, NO self-join and NO
+    materialized mid-frame — instances collapse to (source, doc, gram,
+    cnt) in ONE map-side-combined aggregate, the corpus-wide doc count
+    per gram is a window COUNT over the gram key (one more shuffle, by
+    g), and the final rollup shrinks that (docs x distinct-grams) frame
+    to n_sources rows. Two shuffles total, each keyed by data that is
+    uniform by construction (grams), zero driver-side state. The
+    windowed census replaces the join-back-to-an-aggregate shape on
+    purpose: Catalyst cannot reuse the aggregate's exchange across the
+    two branches (column pruning makes the subtrees differ), so the
+    join form either recomputes the explode or checkpoints a
+    corpus-sized frame — both wrong at 100 TB."""
+    m = gram_mod
+    gram_expr = (
+        f"if(n_tok >= 3, "
+        f"transform(sequence(0, n_tok - 3), "
+        f"i -> cast(tokens[i] % {m} as bigint) * {m * m} "
+        f"   + cast(tokens[i+1] % {m} as bigint) * {m} "
+        f"   + cast(tokens[i+2] % {m} as bigint)), "
+        f"array())"
+    )
+    from pyspark.sql.window import Window
+    per_doc = (
+        tokens
+        .select("source", "doc_id", F.explode(F.expr(gram_expr)).alias("g"))
+        .groupBy("source", "doc_id", "g")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        per_doc
+        .withColumn("n_docs", F.count("*").over(Window.partitionBy("g")))
+        .groupBy("source")
+        .agg(F.sum("cnt").cast("bigint").alias("total_ngrams"),
+             F.sum(F.when(F.col("n_docs") >= 2, F.col("cnt"))
+                   .otherwise(F.lit(0))).cast("bigint").alias("dup_ngrams"))
+        # integer div (not floor-of-double): matches DuckDB // at any SF
+        .select("source", "total_ngrams", "dup_ngrams",
+                F.expr("(dup_ngrams * 10000) div total_ngrams")
+                .cast("bigint").alias("dup_bps"))
+    )

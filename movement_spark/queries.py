@@ -5034,6 +5034,45 @@ def q_dsir_importance_weights(spark, sf_dir):
         load_table(spark, sf_dir, "documents"))
 
 
+_DUP_COVERAGE_SQL = with_token_cte(f"""
+, grams AS (
+  SELECT source, doc_id,
+         unnest(CASE WHEN n_tok >= 3 THEN
+           list_transform(range(0, n_tok - 2), i ->
+             CAST(tokens[i + 1] % {dedup.TRIGRAM_MOD} AS BIGINT)
+               * {dedup.TRIGRAM_MOD * dedup.TRIGRAM_MOD}
+             + CAST(tokens[i + 2] % {dedup.TRIGRAM_MOD} AS BIGINT)
+               * {dedup.TRIGRAM_MOD}
+             + CAST(tokens[i + 3] % {dedup.TRIGRAM_MOD} AS BIGINT))
+           ELSE CAST([] AS BIGINT[]) END) AS g
+  FROM token_sequences),
+per_doc AS (
+  SELECT source, doc_id, g, COUNT(*) AS cnt FROM grams GROUP BY 1, 2, 3),
+gram_docs AS (
+  SELECT g, COUNT(*) AS n_docs FROM per_doc GROUP BY 1)
+SELECT source,
+       CAST(SUM(cnt) AS BIGINT) AS total_ngrams,
+       CAST(SUM(CASE WHEN n_docs >= 2 THEN cnt ELSE 0 END) AS BIGINT)
+         AS dup_ngrams,
+       CAST(SUM(CASE WHEN n_docs >= 2 THEN cnt ELSE 0 END) * 10000
+            // SUM(cnt) AS BIGINT) AS dup_bps
+FROM per_doc JOIN gram_docs USING (g)
+GROUP BY source
+""")
+
+
+@register("duplicate_ngram_coverage", _DUP_COVERAGE_SQL)
+def q_duplicate_ngram_coverage(spark, sf_dir):
+    """Per-source duplicated-trigram coverage (dedup.py
+    duplicate_ngram_coverage): the HOW-MUCH companion to the WHICH-pairs
+    dedup queries — exact integer-bps share of each source's trigram
+    instances whose trigram value appears in >= 2 distinct docs.
+    Injective full-width packing (TOK_MOD universe), so only TRUE
+    repeats count; one aggregate + one windowed census on the gram key,
+    never all-pairs, never a self-join."""
+    return dedup.duplicate_ngram_coverage(token_sequences(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------
 # Driver-gate ordering. The correctness sweep evaluates the registry in
 # insertion order and time-boxes at ~50 rows (r01 truncated at 49; r02
@@ -5069,6 +5108,7 @@ _FRONT = [
     "shard_shuffle_manifest",
     "quality_weighted_mix",
     "dsir_importance_weights",
+    "duplicate_ngram_coverage",
     # --- Re-verification: load-bearing rows whose only green driver
     # row is r01 (two rounds stale). The driver re-runs whatever is in
     # the window; green re-runs prove no silent regression since r01.

@@ -814,3 +814,29 @@ def test_dsir_selects_target_lang_docs_at_highest_rate(spark, sf_dir):
     tgt = rate.pop(DSIR_TARGET_LANG)
     assert all(tgt > v for v in rate.values()), \
         f"target rate {tgt} not strictly above {rate}"
+
+
+def test_duplicate_ngram_coverage_golden(spark):
+    """Pins the three semantic edges of the coverage metric on a
+    hand-computable corpus: (1) an instance is duplicated only when its
+    trigram occurs in >= 2 DISTINCT docs — intra-doc repetition alone
+    does not count; (2) every instance of a shared trigram counts in
+    its own source's numerator; (3) docs shorter than the gram width
+    contribute nothing, so an all-short source is absent entirely."""
+    from movement_spark.operators.dedup import duplicate_ngram_coverage
+
+    rows = [
+        ("s1", "a", [1, 2, 3, 4], 4),   # (1,2,3) shared; (2,3,4) unique
+        ("s1", "b", [1, 2, 3], 3),      # (1,2,3) shared
+        ("s2", "c", [7, 7, 7, 7], 4),   # (7,7,7) x2, ONE doc: not dup
+        ("s2", "d", [1, 2, 3, 5], 4),   # (1,2,3) shared; (2,3,5) unique
+        ("s3", "e", [9], 1),            # too short: source s3 absent
+    ]
+    toks = spark.createDataFrame(
+        rows, "source string, doc_id string, tokens array<int>, n_tok int")
+    got = {r["source"]: r for r in duplicate_ngram_coverage(toks).collect()}
+    assert set(got) == {"s1", "s2"}
+    assert (got["s1"]["total_ngrams"], got["s1"]["dup_ngrams"],
+            got["s1"]["dup_bps"]) == (3, 2, 6666)
+    assert (got["s2"]["total_ngrams"], got["s2"]["dup_ngrams"],
+            got["s2"]["dup_bps"]) == (4, 1, 2500)
