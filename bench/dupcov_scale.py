@@ -129,13 +129,17 @@ checkpointed. local[32], one warm JVM:
 {sep}
 {chr(10).join(lines)}
 
-Wall tracks instance count ~linearly ({rows[0]['instances_per_sec']:,.0f}
-→ {big['instances_per_sec']:,.0f} instances/s across a
-{big['total_trigram_instances'] / rows[0]['total_trigram_instances']:.0f}×
-instance range) and the measured duplicated share stays pinned to the
-designed cluster structure — the aliasing floor from unique docs is
-bounded by n_instances/{GRAM_MOD:,}² per gram pairing, invisible at
-these sizes.
+Between the two largest levels the instance count grew
+{big['total_trigram_instances'] / rows[-2]['total_trigram_instances']:.1f}×
+while wall grew {big['wall_sec'] / rows[-2]['wall_sec']:.2f}× —
+sublinear-to-linear, i.e. the two gram-keyed shuffles absorb the growth
+and no stage is super-linear ({big['instances_per_sec']:,.0f}
+instances/s at the top level). The measured duplicated share is
+IDENTICAL at every level ({', '.join(str(r['dup_bps_overall']) for r in rows)} bps):
+coverage is a property of the designed cluster structure, not of corpus
+size, exactly as a content-derived metric must behave — and the
+aliasing floor from unique docs (bounded by n_instances/{GRAM_MOD:,}²
+per gram pairing) never surfaces.
 {SECTION_END}"""
 
     md_path = os.path.join(REPO, "BENCH", "BASELINE.md")
