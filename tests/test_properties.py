@@ -207,3 +207,49 @@ def test_zvalue_interleave_is_bijective(spark, a, b):
     ra = sum(((z >> (2 * i)) & 1) << i for i in range(Z_BITS))
     rb = sum(((z >> (2 * i + 1)) & 1) << i for i in range(Z_BITS))
     assert (ra, rb) == (a, b)
+
+
+def _model_dupcov(rows):
+    """Pure-Python duplicate_ngram_coverage: per-source (total, dup,
+    bps) where an instance is duplicated iff its trigram occurs in >= 2
+    distinct docs corpus-wide."""
+    from collections import Counter, defaultdict
+    per_doc = Counter()
+    docs_per_gram = defaultdict(set)
+    for source, doc, toks in rows:
+        for i in range(len(toks) - 2):
+            g = tuple(toks[i:i + 3])
+            per_doc[(source, doc, g)] += 1
+            docs_per_gram[g].add(doc)
+    agg = {}
+    for (source, doc, g), cnt in per_doc.items():
+        tot, dup = agg.get(source, (0, 0))
+        agg[source] = (tot + cnt,
+                       dup + (cnt if len(docs_per_gram[g]) >= 2 else 0))
+    return {s: (t, d, d * 10000 // t) for s, (t, d) in agg.items()}
+
+
+@SET
+@given(seed=st.integers(0, 10_000))
+def test_duplicate_ngram_coverage_matches_model(spark, seed):
+    """The windowed-census coverage operator must agree with the
+    executable model on random tiny corpora over a 5-symbol alphabet
+    (small alphabet forces heavy cross-doc and intra-doc collisions —
+    both dup branches and the short-doc dropout get exercised)."""
+    import random
+
+    from movement_spark.operators.dedup import duplicate_ngram_coverage
+
+    rng = random.Random(seed)
+    rows = [
+        (f"s{rng.randrange(2)}", f"d{i}",
+         [rng.randrange(5) for _ in range(rng.randrange(9))])
+        for i in range(rng.randrange(1, 7))
+    ]
+    expected = _model_dupcov(rows)
+    toks = spark.createDataFrame(
+        [(s, d, t, len(t)) for s, d, t in rows],
+        "source string, doc_id string, tokens array<int>, n_tok int")
+    got = {r["source"]: (r["total_ngrams"], r["dup_ngrams"], r["dup_bps"])
+           for r in duplicate_ngram_coverage(toks).collect()}
+    assert got == expected
