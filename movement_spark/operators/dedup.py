@@ -846,3 +846,84 @@ def duplicate_ngram_coverage(tokens: DataFrame,
                 F.expr("(dup_ngrams * 10000) div total_ngrams")
                 .cast("bigint").alias("dup_bps"))
     )
+
+
+def dup_span_scrub(tokens: DataFrame,
+                   gram_mod: int = TRIGRAM_MOD) -> DataFrame:
+    """Span-level dedup scrub manifest — the WHAT-GETS-REMOVED
+    companion to ``duplicate_ngram_coverage``: that operator reports
+    how much of each source is duplicated text; this one measures the
+    effect of actually scrubbing it, duplicated-substring-removal
+    style (remove every token position covered by a trigram whose
+    value occurs in >= 2 distinct docs corpus-wide). Overlapping
+    duplicated trigrams must not double-count a position, so the
+    covered set is a per-(shard, position) union, not a sum of 3x the
+    duplicated-instance count.
+
+    Input contract: one row per shard with (source, doc_id, seq,
+    tokens, n_tok) — positions are per-shard offsets, so the shard key
+    (doc_id, seq) identifies the row a position belongs to; the dup
+    census stays per-DOC (intra-doc cross-shard repeats are not dups,
+    matching the coverage operator).
+
+    Scale shape: linear, no self-join. Instances collapse to one row
+    per (doc, gram) carrying its (seq, pos) occurrence list (bounded
+    by per-doc repeats of one gram); the corpus-wide census is the
+    same windowed COUNT over the gram key the coverage operator uses;
+    only rows that survive the >= 2-docs cut re-expand to covered
+    positions, so the distinct-positions shuffle is sized by the
+    DUPLICATED share of the corpus, not the corpus. Every source
+    appears in the manifest (left join), including untouched ones.
+    """
+    from pyspark.sql.window import Window
+
+    m = gram_mod
+    gram_expr = (
+        f"if(n_tok >= 3, "
+        f"transform(sequence(0, n_tok - 3), "
+        f"i -> cast(tokens[i] % {m} as bigint) * {m * m} "
+        f"   + cast(tokens[i+1] % {m} as bigint) * {m} "
+        f"   + cast(tokens[i+2] % {m} as bigint)), "
+        f"array())"
+    )
+    per_doc_gram = (
+        tokens
+        .select("source", "doc_id", "seq",
+                F.posexplode(F.expr(gram_expr)).alias("p", "g"))
+        .groupBy("source", "doc_id", "g")
+        .agg(F.collect_list(F.struct("seq", "p")).alias("occ"))
+    )
+    covered = (
+        per_doc_gram
+        .withColumn("n_docs", F.count("*").over(Window.partitionBy("g")))
+        .filter(F.col("n_docs") >= 2)
+        .select("source", "doc_id", F.explode("occ").alias("o"))
+        .select("source", "doc_id", F.col("o.seq").alias("seq"),
+                F.explode(F.array(F.col("o.p"), F.col("o.p") + F.lit(1),
+                                  F.col("o.p") + F.lit(2))).alias("cov_pos"))
+        .distinct()
+    )
+    scrub = (
+        covered
+        .groupBy("source")
+        .agg(F.countDistinct("doc_id").cast("bigint").alias("docs_scrubbed"),
+             F.count("*").cast("bigint").alias("removed_tokens"))
+    )
+    base = (
+        tokens
+        .groupBy("source")
+        .agg(F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+             F.sum("n_tok").cast("bigint").alias("total_tokens"))
+    )
+    return (
+        base.join(F.broadcast(scrub), "source", "left")
+        # integer div (not floor-of-double): matches DuckDB // at any SF
+        .select("source", "n_docs", "total_tokens",
+                F.coalesce("docs_scrubbed", F.lit(0))
+                .cast("bigint").alias("docs_scrubbed"),
+                F.coalesce("removed_tokens", F.lit(0))
+                .cast("bigint").alias("removed_tokens"),
+                F.expr("coalesce(removed_tokens, 0) * 10000"
+                       " div total_tokens")
+                .cast("bigint").alias("removed_bps"))
+    )

@@ -5073,6 +5073,58 @@ def q_duplicate_ngram_coverage(spark, sf_dir):
     return dedup.duplicate_ngram_coverage(token_sequences(spark, sf_dir))
 
 
+_SPAN_SCRUB_SQL = with_token_cte(f"""
+, pos AS (
+  SELECT source, doc_id, seq, tokens,
+         unnest(range(0, GREATEST(n_tok - 2, 0))) AS p
+  FROM token_sequences),
+grams AS (
+  SELECT source, doc_id, seq, p,
+         CAST(tokens[p + 1] % {dedup.TRIGRAM_MOD} AS BIGINT)
+           * {dedup.TRIGRAM_MOD * dedup.TRIGRAM_MOD}
+       + CAST(tokens[p + 2] % {dedup.TRIGRAM_MOD} AS BIGINT)
+           * {dedup.TRIGRAM_MOD}
+       + CAST(tokens[p + 3] % {dedup.TRIGRAM_MOD} AS BIGINT) AS g
+  FROM pos),
+gram_docs AS (
+  SELECT g, COUNT(DISTINCT doc_id) AS n_docs FROM grams GROUP BY 1),
+cov1 AS (
+  SELECT gr.source, gr.doc_id, gr.seq,
+         unnest([gr.p, gr.p + 1, gr.p + 2]) AS cov_pos
+  FROM grams gr JOIN gram_docs gd USING (g)
+  WHERE gd.n_docs >= 2),
+cov AS (SELECT DISTINCT source, doc_id, seq, cov_pos FROM cov1),
+scrub AS (
+  SELECT source, COUNT(DISTINCT doc_id) AS docs_scrubbed,
+         COUNT(*) AS removed_tokens
+  FROM cov GROUP BY 1),
+base AS (
+  SELECT source, COUNT(DISTINCT doc_id) AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+  FROM token_sequences GROUP BY 1)
+SELECT b.source, b.n_docs, b.total_tokens,
+       CAST(COALESCE(s.docs_scrubbed, 0) AS BIGINT) AS docs_scrubbed,
+       CAST(COALESCE(s.removed_tokens, 0) AS BIGINT) AS removed_tokens,
+       CAST(COALESCE(s.removed_tokens, 0) * 10000 // b.total_tokens
+            AS BIGINT) AS removed_bps
+FROM base b LEFT JOIN scrub s USING (source)
+""")
+
+
+@register("dup_span_scrub_stats", _SPAN_SCRUB_SQL)
+def q_dup_span_scrub_stats(spark, sf_dir):
+    """Span-level dedup scrub manifest (dedup.py dup_span_scrub): the
+    WHAT-GETS-REMOVED companion to duplicate_ngram_coverage —
+    duplicated-substring-removal accounting in the Lee-et-al. style.
+    Every token position covered by a trigram seen in >= 2 distinct
+    docs is scrubbed; overlapping duplicated trigrams union (per-shard
+    DISTINCT positions), so removed_tokens is the exact post-scrub
+    token delta, not 3x an instance count. Linear shape: doc-level gram
+    collapse -> windowed census on the gram key -> only the duplicated
+    share re-expands to positions."""
+    return dedup.dup_span_scrub(token_sequences(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------
 # Driver-gate ordering. The correctness sweep evaluates the registry in
 # insertion order and time-boxes at ~50 rows (r01 truncated at 49; r02
@@ -5109,6 +5161,7 @@ _FRONT = [
     "quality_weighted_mix",
     "dsir_importance_weights",
     "duplicate_ngram_coverage",
+    "dup_span_scrub_stats",
     # --- Re-verification: load-bearing rows whose only green driver
     # row is r01 (two rounds stale). The driver re-runs whatever is in
     # the window; green re-runs prove no silent regression since r01.

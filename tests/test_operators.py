@@ -840,3 +840,37 @@ def test_duplicate_ngram_coverage_golden(spark):
             got["s1"]["dup_bps"]) == (3, 2, 6666)
     assert (got["s2"]["total_ngrams"], got["s2"]["dup_ngrams"],
             got["s2"]["dup_bps"]) == (4, 1, 2500)
+
+
+def test_dup_span_scrub_golden(spark):
+    """Pins the scrub semantics the manifest depends on: (1) covered
+    positions UNION across overlapping duplicated trigrams (doc b's two
+    overlapping shared trigrams remove 4 tokens, not 6); (2) the census
+    is per-DOC, so intra-doc repetition (doc c) and a doc's own other
+    shard never scrub anything; (3) untouched and too-short sources
+    still appear with 0 removed; (4) positions key by (doc_id, seq) —
+    the same offset in two shards counts twice."""
+    from movement_spark.operators.dedup import dup_span_scrub
+
+    rows = [
+        ("s1", "a", 0, [1, 2, 3, 4], 4),    # (1,2,3) shared -> pos 0,1,2
+        ("s1", "a", 1, [1, 2, 3], 3),       # same gram, other shard -> 0,1,2
+        ("s1", "b", 0, [5, 1, 2, 3, 4], 5), # (1,2,3)+(2,3,4) overlap -> 1..4
+        ("s2", "c", 0, [7, 7, 7, 7], 4),    # intra-doc repeat: not dup
+        ("s3", "e", 0, [9], 1),             # too short: 0 removed
+    ]
+    toks = spark.createDataFrame(
+        rows,
+        "source string, doc_id string, seq int, tokens array<int>, "
+        "n_tok int")
+    got = {r["source"]: r for r in dup_span_scrub(toks).collect()}
+    assert set(got) == {"s1", "s2", "s3"}
+    r1 = got["s1"]
+    # Both (1,2,3) and (2,3,4) occur in docs a AND b. Covered unions:
+    # a/shard0 {0,1,2}+{1,2,3} -> 4; a/shard1 {0,1,2} -> 3;
+    # b {1,2,3}+{2,3,4} -> 4 (naive 3x-instances would say 6). Sum 11.
+    assert (r1["n_docs"], r1["total_tokens"], r1["docs_scrubbed"],
+            r1["removed_tokens"]) == (2, 12, 2, 11)
+    assert r1["removed_bps"] == 11 * 10000 // 12
+    assert (got["s2"]["removed_tokens"], got["s2"]["docs_scrubbed"]) == (0, 0)
+    assert (got["s3"]["removed_tokens"], got["s3"]["removed_bps"]) == (0, 0)
