@@ -605,24 +605,20 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
     )
 
 
-def kmeans_centroids(embeddings: DataFrame, k: int = 4,
-                     iters: int = 2) -> DataFrame:
-    """Fixed-iteration Lloyd's k-means over the quantized vectors — the
-    full distributed training loop (assign → re-estimate), companion to
-    the single re-estimation step in ``label_centroids`` and to the
-    PageRank loop in operators/graph.py: a bounded number of rounds,
-    each one broadcast-assign (centroids are k rows — NEVER a shuffle
-    of the corpus) plus one map-side-combined (cluster, dim) aggregate.
+def _lloyd_rounds(q: DataFrame, k: int, iters: int):
+    """The shared Lloyd's loop: ``iters`` rounds of broadcast-assign
+    (centroids are k rows — NEVER a shuffle of the corpus) plus one
+    map-side-combined (cluster, dim) re-estimation aggregate. Returns
+    (assigned, cent): the final per-vector assignment (vec_id, cluster,
+    q) and the centroids re-estimated FROM that assignment.
 
     Deterministic spec so any engine reproduces it bit-for-bit: seeds =
     the first k vectors by vec_id; distance = exact integer L2 on the
     fixed-point vectors; argmin ties break on the lower cluster id;
-    means use explicit floor(). Returns (cluster, dim, centroid_q,
-    n_assigned) after ``iters`` rounds.
+    means use explicit floor().
     """
     from pyspark.sql.window import Window
 
-    q = quantized(embeddings).select("vec_id", "q")
     cent = q.where(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cluster"), F.col("q").alias("c"))
     dist = F.expr(
@@ -646,6 +642,21 @@ def kmeans_centroids(embeddings: DataFrame, k: int = 4,
         cent = est.groupBy("cluster").agg(
             F.expr("transform(sort_array(collect_list(struct(dim, cq))), "
                    "s -> s.cq)").alias("c"))
+    return assigned, cent
+
+
+def kmeans_centroids(embeddings: DataFrame, k: int = 4,
+                     iters: int = 2) -> DataFrame:
+    """Fixed-iteration Lloyd's k-means over the quantized vectors — the
+    full distributed training loop (assign → re-estimate), companion to
+    the single re-estimation step in ``label_centroids`` and to the
+    PageRank loop in operators/graph.py: a bounded number of rounds,
+    each broadcast-assign + one map-side-combined aggregate
+    (``_lloyd_rounds``). Returns (cluster, dim, centroid_q, n_assigned)
+    after ``iters`` rounds.
+    """
+    q = quantized(embeddings).select("vec_id", "q")
+    assigned, cent = _lloyd_rounds(q, k, iters)
     sizes = assigned.groupBy("cluster").agg(
         F.count("*").alias("n_assigned"))
     dims = cent.select(
@@ -655,6 +666,85 @@ def kmeans_centroids(embeddings: DataFrame, k: int = 4,
         .select("cluster", F.col("dim").cast("int").alias("dim"),
                 F.col("centroid_q").cast("bigint").alias("centroid_q"),
                 "n_assigned")
+    )
+
+
+# Fixture cosine threshold for semantic_dedup as a rational p/q (the
+# synthetic corpus needs a low bar to have near-dups at all); a
+# production run passes e.g. (cos_p, cos_q) = (95, 100). Rational so the
+# predicate stays integer-exact: cos >= p/q  <=>  dot > 0 AND
+# dot^2 * q^2 >= p^2 * |a|^2 * |b|^2 — no sqrt, no floats.
+SEM_COS_P, SEM_COS_Q = 1, 4
+
+
+def semantic_dedup(embeddings: DataFrame, k: int = 4, iters: int = 2,
+                   cos_p: int = SEM_COS_P,
+                   cos_q: int = SEM_COS_Q) -> DataFrame:
+    """SemDeDup-style semantic deduplication manifest (Abbas et al.
+    2023): k-means the embedding space, then look for near-duplicates
+    ONLY within a cluster — the cluster key bounds the quadratic, so
+    total pair work is O(sum of cluster sizes squared), never corpus².
+    Keep-first rule: a vector is pruned iff some SAME-CLUSTER vector
+    with a LOWER vec_id clears the cosine threshold (deterministic, no
+    RNG). Returns one row per cluster: (cluster, n_vecs, n_pairs,
+    n_pruned, pruned_bps).
+
+    Scale shape: the Lloyd loop is broadcast-assign + map-side combine
+    (``_lloyd_rounds``); the final assignment is localCheckpoint'ed so
+    its three consumers (sizes, both pair-join sides) scan the
+    materialized frame instead of re-running the loop — exactly the
+    checkpoint a production run would take before the quadratic stage.
+    The pair join shuffles on the cluster key; at production k the
+    clusters are small and many (the paper's regime). A runaway-skew
+    cluster would sub-bucket via lsh_bucket_expr, the same fallback
+    cosine_neardup_pairs already uses corpus-wide.
+
+    Cosine is integer-exact on the quantized vectors: dot > 0 AND
+    dot² · cos_q² >= cos_p² · n_a · n_b, computed in decimal(38,0) so
+    dot² never wraps (reference parity target: the reference has no
+    embedding surface; this extends its dedup family — see
+    SequenceUtil.java:34 for its exact-match-only scope).
+    """
+    q = quantized(embeddings).select("vec_id", "q")
+    assigned, _ = _lloyd_rounds(q, k, iters)
+    assigned = assigned.localCheckpoint(eager=True)
+    v = assigned.select("vec_id", "cluster", "q",
+                        _dot("q", "q").alias("n2"))
+    a = v.select(F.col("vec_id").alias("vec_a"), "cluster",
+                 F.col("q").alias("qa"), F.col("n2").alias("na"))
+    b = v.select(F.col("vec_id").alias("vec_b"), "cluster",
+                 F.col("q").alias("qb"), F.col("n2").alias("nb"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    pairs = (
+        a.join(b, "cluster")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("cluster", "vec_a", "vec_b",
+                _dot("qa", "qb").alias("dot"), "na", "nb")
+        .where((F.col("dot") > 0)
+               & (dec("dot") * dec("dot") * F.lit(cos_q * cos_q)
+                  >= dec("na") * dec("nb") * F.lit(cos_p * cos_p)))
+    )
+    sizes = assigned.groupBy("cluster").agg(
+        F.count("*").cast("bigint").alias("n_vecs"))
+    pair_ct = pairs.groupBy("cluster").agg(
+        F.count("*").cast("bigint").alias("n_pairs"))
+    prune_ct = (
+        pairs.select("cluster", "vec_b").distinct()
+        .groupBy("cluster").agg(
+            F.count("*").cast("bigint").alias("n_pruned"))
+    )
+    return (
+        sizes.join(F.broadcast(pair_ct), "cluster", "left")
+        .join(F.broadcast(prune_ct), "cluster", "left")
+        # integer div (not floor-of-double): matches DuckDB // at any SF
+        .select(F.col("cluster").cast("bigint").alias("cluster"),
+                "n_vecs",
+                F.coalesce("n_pairs", F.lit(0))
+                .cast("bigint").alias("n_pairs"),
+                F.coalesce("n_pruned", F.lit(0))
+                .cast("bigint").alias("n_pruned"),
+                F.expr("coalesce(n_pruned, 0) * 10000 div n_vecs")
+                .cast("bigint").alias("pruned_bps"))
     )
 
 

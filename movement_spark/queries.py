@@ -5125,6 +5125,79 @@ def q_dup_span_scrub_stats(spark, sf_dir):
     return dedup.dup_span_scrub(token_sequences(spark, sf_dir))
 
 
+_SEMANTIC_DEDUP_SQL = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS qv
+  FROM embeddings),
+d AS (SELECT vec_id, unnest(qv) AS v,
+             CAST(generate_subscripts(qv, 1) - 1 AS INT) AS dim
+      FROM q),
+c0 AS (SELECT vec_id AS cluster, qv AS cv FROM q WHERE vec_id < 4),
+s1 AS (
+  SELECT q.vec_id, c.cluster,
+         list_sum(list_transform(range(len(q.qv)),
+           i -> (q.qv[i+1] - c.cv[i+1]) * (q.qv[i+1] - c.cv[i+1]))) AS dist
+  FROM q CROSS JOIN c0 c),
+a1 AS (SELECT vec_id, cluster FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY dist, cluster) AS rn FROM s1) WHERE rn = 1),
+e1 AS (
+  SELECT a.cluster, d.dim,
+         CAST(floor(SUM(d.v) / COUNT(*)) AS BIGINT) AS cq
+  FROM a1 a JOIN d USING (vec_id) GROUP BY 1, 2),
+c1 AS (SELECT cluster, list(cq ORDER BY dim) AS cv FROM e1 GROUP BY 1),
+s2 AS (
+  SELECT q.vec_id, c.cluster,
+         list_sum(list_transform(range(len(q.qv)),
+           i -> (q.qv[i+1] - c.cv[i+1]) * (q.qv[i+1] - c.cv[i+1]))) AS dist
+  FROM q CROSS JOIN c1 c),
+a2 AS (SELECT vec_id, cluster FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY dist, cluster) AS rn FROM s2) WHERE rn = 1),
+v AS (
+  SELECT a2.vec_id, a2.cluster, q.qv,
+         CAST(list_sum(list_transform(q.qv, x -> x * x)) AS HUGEINT) AS n2
+  FROM a2 JOIN q USING (vec_id)),
+hits AS (
+  SELECT a.cluster, a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM v a JOIN v b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE CAST(list_sum(list_transform(range(len(a.qv)),
+          i -> a.qv[i+1] * b.qv[i+1])) AS HUGEINT) > 0
+    AND CAST(list_sum(list_transform(range(len(a.qv)),
+          i -> a.qv[i+1] * b.qv[i+1])) AS HUGEINT)
+        * CAST(list_sum(list_transform(range(len(a.qv)),
+          i -> a.qv[i+1] * b.qv[i+1])) AS HUGEINT)
+        * {similarity.SEM_COS_Q * similarity.SEM_COS_Q}
+        >= a.n2 * b.n2 * {similarity.SEM_COS_P * similarity.SEM_COS_P}),
+sizes AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs
+          FROM a2 GROUP BY 1),
+pc AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_pairs
+       FROM hits GROUP BY 1),
+pr AS (SELECT cluster, CAST(COUNT(DISTINCT vec_b) AS BIGINT) AS n_pruned
+       FROM hits GROUP BY 1)
+SELECT CAST(s.cluster AS BIGINT) AS cluster, s.n_vecs,
+       CAST(COALESCE(pc.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(pr.n_pruned, 0) AS BIGINT) AS n_pruned,
+       CAST(COALESCE(pr.n_pruned, 0) * 10000 // s.n_vecs AS BIGINT)
+         AS pruned_bps
+FROM sizes s LEFT JOIN pc USING (cluster) LEFT JOIN pr USING (cluster)
+"""
+
+
+@register("semantic_dedup_stats", _SEMANTIC_DEDUP_SQL)
+def q_semantic_dedup_stats(spark, sf_dir):
+    """SemDeDup manifest (similarity.py semantic_dedup): k-means the
+    embeddings (2 Lloyd rounds, deterministic seeds/ties), then count
+    integer-exact cosine near-dup pairs ONLY within each cluster and
+    prune by the keep-lowest-vec_id rule — the cluster key bounds the
+    quadratic so pair work is sum-of-cluster-sizes², never corpus².
+    The oracle unrolls both Lloyd rounds as CTEs (same chain as
+    kmeans_training_loop) and squares the dot product in HUGEINT."""
+    return similarity.semantic_dedup(load_table(spark, sf_dir, "embeddings"))
+
+
 # ---------------------------------------------------------------------
 # Driver-gate ordering. The correctness sweep evaluates the registry in
 # insertion order and time-boxes at ~50 rows (r01 truncated at 49; r02
@@ -5162,6 +5235,7 @@ _FRONT = [
     "dsir_importance_weights",
     "duplicate_ngram_coverage",
     "dup_span_scrub_stats",
+    "semantic_dedup_stats",
     # --- Re-verification: load-bearing rows whose only green driver
     # row is r01 (two rounds stale). The driver re-runs whatever is in
     # the window; green re-runs prove no silent regression since r01.

@@ -874,3 +874,33 @@ def test_dup_span_scrub_golden(spark):
     assert r1["removed_bps"] == 11 * 10000 // 12
     assert (got["s2"]["removed_tokens"], got["s2"]["docs_scrubbed"]) == (0, 0)
     assert (got["s3"]["removed_tokens"], got["s3"]["removed_bps"]) == (0, 0)
+
+
+def test_semantic_dedup_golden(spark):
+    """Pins the SemDeDup semantics: (1) near-dup pairs are counted ONLY
+    within a k-means cluster — v5 is cosine-opposite to everything yet
+    lands in c1, and its (1,5) pair dies on dot > 0, (4,5) on the
+    threshold; (2) keep-first pruning — a vector is pruned iff a
+    LOWER-id same-cluster vector clears cos >= p/q (v2,v3 pruned
+    against v0; v4 against v1); (3) assignment is the final Lloyd-round
+    assignment (k=2 seeds = v0,v1; one round)."""
+    from movement_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.0, 1.0], 0),
+        (2, [0.9, 0.1], 0),     # near v0 -> c0, pruned by v0
+        (3, [0.95, 0.05], 0),   # near v0 -> c0, pruned by v0
+        (4, [-0.1, 0.9], 0),    # near v1 -> c1, pruned by v1
+        (5, [-1.0, 0.0], 0),    # c1 by L2 but cos <= 0 / 0.11: kept
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int")
+    got = {r["cluster"]: r
+           for r in semantic_dedup(emb, k=2, iters=1).collect()}
+    assert set(got) == {0, 1}
+    r0, r1 = got[0], got[1]
+    assert (r0["n_vecs"], r0["n_pairs"], r0["n_pruned"]) == (3, 3, 2)
+    assert r0["pruned_bps"] == 2 * 10000 // 3
+    assert (r1["n_vecs"], r1["n_pairs"], r1["n_pruned"]) == (3, 1, 1)
+    assert r1["pruned_bps"] == 1 * 10000 // 3
