@@ -185,6 +185,52 @@ def intra_doc_repetition(tokens: DataFrame, tok_mod: int = 50261,
     )
 
 
+def top_ngram_fraction(tokens: DataFrame, tok_mod: int = 50261,
+                       flag_x1000: int = 150) -> DataFrame:
+    """Top-n-gram fraction quality filter — Gopher's OTHER repetition
+    rule, complementing ``intra_doc_repetition``: that one measures the
+    duplicated share of all bigrams (distinct ratio); this one measures
+    how much of the doc its single MOST FREQUENT bigram takes up
+    (frac = top_count * 2 / total_tokens, exact floor(x1000) integer).
+    A doc of one phrase repeated verbatim scores ~1000+ here while its
+    distinct-ratio can stay moderate. Values can exceed 1000 when the
+    top bigram self-overlaps ("a a a a") — same artifact as Gopher's
+    chars-in-top-ngram definition; it is a filter signal, not a share.
+
+    Only the max count matters, so there is no argmax tie-break to
+    specify. Docs with no bigram (< 2 tokens in every shard) are out of
+    scope, as in intra_doc_repetition. Scale shape: one shuffle on
+    (source, doc_id, gram) with map-side combine, then doc-keyed
+    max/total, then the per-source fold — never a corpus-wide gram
+    census, so skewed grams stay inside their doc's key space.
+    """
+    bg_expr = packed_bigram_expr(tok_mod)
+    top = (
+        tokens.select("source", "doc_id",
+                      F.explode(F.expr(bg_expr)).alias("g"))
+        .groupBy("source", "doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("source", "doc_id")
+        .agg(F.max("c").alias("top_c"))
+    )
+    totals = tokens.groupBy("source", "doc_id").agg(
+        F.sum("n_tok").cast("bigint").alias("n_tok_doc"))
+    per_doc = (
+        top.join(totals, ["source", "doc_id"])
+        # integer div (not floor-of-double): matches DuckDB // at any SF
+        .withColumn("frac_x1000",
+                    F.expr("(top_c * 2 * 1000) div n_tok_doc"))
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum((F.col("frac_x1000") >= flag_x1000).cast("int"))
+             .cast("bigint").alias("n_flagged"),
+             F.sum("frac_x1000").cast("bigint").alias("sum_frac_x1000"),
+             F.max("frac_x1000").cast("bigint").alias("max_frac_x1000"))
+    )
+
+
 IDF_SCALE = 1_000_000
 
 

@@ -2145,6 +2145,41 @@ def q_repetition(spark, sf_dir):
                                      tok_mod=TOK_MOD)
 
 
+@register("top_ngram_fraction", with_token_cte(f"""
+, bg AS (
+  SELECT source, doc_id,
+         unnest(CASE WHEN n_tok >= 2 THEN
+           list_transform(range(0, n_tok - 1), i ->
+             CAST(tokens[i + 1] AS BIGINT) * {TOK_MOD} + CAST(tokens[i + 2] AS BIGINT))
+           ELSE CAST([] AS BIGINT[]) END) AS g
+  FROM token_sequences),
+top AS (
+  SELECT source, doc_id, MAX(c) AS top_c FROM (
+    SELECT source, doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2, 3)
+  GROUP BY 1, 2),
+tot AS (
+  SELECT source, doc_id, CAST(SUM(n_tok) AS BIGINT) AS n_tok_doc
+  FROM token_sequences GROUP BY 1, 2),
+per_doc AS (
+  SELECT t.source, t.doc_id, (top_c * 2 * 1000) // n_tok_doc AS frac_x1000
+  FROM top t JOIN tot USING (source, doc_id))
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN frac_x1000 >= 150 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged,
+       CAST(SUM(frac_x1000) AS BIGINT) AS sum_frac_x1000,
+       CAST(MAX(frac_x1000) AS BIGINT) AS max_frac_x1000
+FROM per_doc GROUP BY source
+"""))
+def q_top_ngram_fraction(spark, sf_dir):
+    """Top-n-gram fraction filter (text.py top_ngram_fraction): the
+    share of a doc its single most frequent bigram occupies — Gopher's
+    second repetition rule, the max-frequency complement to
+    intra_doc_repetition's distinct-ratio. Exact integer permille; no
+    argmax tie-break needed because only the max COUNT is used."""
+    return text.top_ngram_fraction(token_sequences(spark, sf_dir),
+                                   tok_mod=TOK_MOD)
+
+
 _SIMHASH_PAIRS_SQL = with_token_cte(f"""
 , shingles AS (
   SELECT DISTINCT doc_id, unnest(tokens) % {dedup.SHINGLE_MOD} AS sh
@@ -5236,6 +5271,7 @@ _FRONT = [
     "duplicate_ngram_coverage",
     "dup_span_scrub_stats",
     "semantic_dedup_stats",
+    "top_ngram_fraction",
     # --- Re-verification: load-bearing rows whose only green driver
     # row is r01 (two rounds stale). The driver re-runs whatever is in
     # the window; green re-runs prove no silent regression since r01.

@@ -904,3 +904,33 @@ def test_semantic_dedup_golden(spark):
     assert r0["pruned_bps"] == 2 * 10000 // 3
     assert (r1["n_vecs"], r1["n_pairs"], r1["n_pruned"]) == (3, 1, 1)
     assert r1["pruned_bps"] == 1 * 10000 // 3
+
+
+def test_top_ngram_fraction_golden(spark):
+    """Pins the max-frequency rule: (1) frac = top_count * 2 * 1000 div
+    total tokens ACROSS shards — doc a's top bigram (1,2) appears 3x
+    over 2 shards of 10 tokens total -> 600; (2) the self-overlap
+    artifact can push past 1000 (doc b "7 7 7 7" -> top (7,7) x3 over 4
+    tokens -> 1500); (3) a 1-token doc has no bigram and is out of
+    scope entirely (s3 absent); (4) flagging uses >= flag_x1000."""
+    from movement_spark.operators.text import top_ngram_fraction
+
+    rows = [
+        ("s1", "a", 0, [1, 2, 9, 1, 2], 5),
+        ("s1", "a", 1, [1, 2, 8, 8, 8], 5),   # (1,2) 3x total; (8,8) 2x
+        ("s2", "b", 0, [7, 7, 7, 7], 4),      # (7,7) 3x / 4 tok -> 1500
+        ("s3", "e", 0, [9], 1),               # no bigram: out of scope
+    ]
+    toks = spark.createDataFrame(
+        rows,
+        "source string, doc_id string, seq int, tokens array<int>, "
+        "n_tok int")
+    got = {r["source"]: r
+           for r in top_ngram_fraction(toks, flag_x1000=700).collect()}
+    assert set(got) == {"s1", "s2"}
+    assert (got["s1"]["n_docs"], got["s1"]["n_flagged"],
+            got["s1"]["sum_frac_x1000"], got["s1"]["max_frac_x1000"]) == \
+        (1, 0, 600, 600)
+    assert (got["s2"]["n_docs"], got["s2"]["n_flagged"],
+            got["s2"]["sum_frac_x1000"], got["s2"]["max_frac_x1000"]) == \
+        (1, 1, 1500, 1500)
