@@ -4,8 +4,9 @@
 SemDeDup's scale claim is that the CLUSTER KEY bounds the quadratic:
 near-dup pairs are scanned only within a cluster, so pair work is
 sum-of-cluster-sizes² = n·g (g = mean cluster size), never n²/2. This
-run measures that bound on the ann_scale clustered corpus (center ±5%
-noise per true cluster, all-deterministic a*x+b mod p draws).
+run measures that bound on a clustered corpus (center ±5% noise per true
+cluster, all-deterministic integer draws; see semdedup_corpus for why
+the center formula adds a cross term over ann_scale's).
 
 Two measurements:
 
@@ -47,7 +48,6 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F                           # noqa: E402
 
-from ann_scale import ann_corpus                                 # noqa: E402
 from movement_spark.operators.similarity import (                # noqa: E402
     cluster_neardup_manifest, quantized, semantic_dedup,
 )
@@ -58,11 +58,40 @@ SECTION_END = "<!-- semdedup_scale:end -->"
 
 G = 125           # mean cluster size, held constant across levels
 COS_P, COS_Q = 9, 10   # production-grade threshold (cos >= 0.9)
+P = 2_147_483_647
+DIM = 32
+
+
+def semdedup_corpus(spark, n_vecs: int, n_clusters: int, dim: int = DIM):
+    """Clustered corpus like ann_scale's, but with NON-LINEAR center
+    mixing. ann_corpus's centers are (c·A + j·B) mod P ramps: two
+    centers' per-dim differences take only two values (Δc·A mod P,
+    shifted by the wrap), so center pairs with small Δc·A mod P are
+    near-IDENTICAL — fine for IVF recall, wrong for a near-dup bench
+    where cross-cluster cosine must stay low. No linear-congruential
+    tweak fixes that (multiplication mod P preserves the additive
+    structure); xxhash64 does. Bench-only corpus, never oracle-hashed,
+    so the in-plan engine hash is allowed here (CLAUDE.md hash-parity
+    rule applies to checked VALUES)."""
+    center = (f"(cast(pmod(xxhash64(c, j), {P}) as double)"
+              f" / {P} - 0.5)")
+    noise = (f"(cast((id * 48271 + j * 69621) % {P} as double)"
+             f" / {P} - 0.5) * 0.1")
+    return (
+        spark.range(n_vecs)
+        .selectExpr("id", f"cast(id % {n_clusters} as int) as c")
+        .selectExpr(
+            "id as vec_id",
+            "concat('l', cast(c as string)) as label",
+            f"transform(sequence(0, {dim - 1}), j -> "
+            f"  cast({center} + {noise} as float)) as embedding",
+        )
+    )
 
 
 def run_pair_stage(spark, n_vecs: int) -> dict:
     k = n_vecs // G
-    emb = ann_corpus(spark, n_vecs, n_clusters=k)
+    emb = semdedup_corpus(spark, n_vecs, n_clusters=k)
     assigned = quantized(emb).select(
         "vec_id", (F.col("vec_id") % k).cast("bigint").alias("cluster"),
         "q")
@@ -91,7 +120,7 @@ def run_pair_stage(spark, n_vecs: int) -> dict:
 
 def run_composed(spark, n_vecs: int) -> dict:
     k = n_vecs // G
-    emb = ann_corpus(spark, n_vecs, n_clusters=k)
+    emb = semdedup_corpus(spark, n_vecs, n_clusters=k)
     t0 = time.perf_counter()
     rows = semantic_dedup(emb, k=k, iters=2,
                           cos_p=COS_P, cos_q=COS_Q).collect()
@@ -158,13 +187,15 @@ def main() -> None:
 ## Semantic dedup (SemDeDup) at scale (measured, {result['generated_at']})
 
 `cluster_neardup_manifest` — the pair stage of `semantic_dedup` — over
-the ann_scale clustered corpus (center ±5% noise), cluster size held at
+a clustered corpus (center ±5% noise, cross-term-mixed centers so
+distinct clusters are genuinely dissimilar), cluster size held at
 ~{G} while the corpus grows {rows[-1]['n_vecs'] // rows[0]['n_vecs']}×,
 cos ≥ {COS_P}/{COS_Q} integer-exact. Cluster assignment here is the
 corpus's designed one (what Lloyd converges to — the composed operator
 with 2 Lloyd rounds at {composed['n_vecs']:,} vectors prunes
-{composed['n_pruned']:,} in {composed['wall_sec']} s, matching the
-designed structure); at deployment scale the assignment comes from the
+{composed['n_pruned']:,} in {composed['wall_sec']} s and finds
+{composed['candidate_pairs']:,} candidate pairs, bit-identical to the
+designed assignment's count); at deployment scale the assignment comes from the
 IVF coarse index measured in the ANN table above. local[32]:
 
 {hdr}

@@ -253,3 +253,76 @@ def test_duplicate_ngram_coverage_matches_model(spark, seed):
     got = {r["source"]: (r["total_ngrams"], r["dup_ngrams"], r["dup_bps"])
            for r in duplicate_ngram_coverage(toks).collect()}
     assert got == expected
+
+
+def _model_semdedup(vecs, k, iters, cos_p, cos_q):
+    """Pure-Python semantic_dedup: Lloyd rounds (seeds = first k ids,
+    integer L2, ties to lower cluster, floor means) then within-cluster
+    integer-exact cosine pairs and keep-lowest-id pruning."""
+    from collections import defaultdict
+
+    q = {i: v for i, v in vecs}
+    dim = len(vecs[0][1])
+    cent = {c: list(q[c]) for c in range(k)}
+    assigned = {}
+    for _ in range(iters):
+        assigned = {
+            i: min((sum((x - y) ** 2 for x, y in zip(qv, cv)), c)
+                   for c, cv in cent.items())[1]
+            for i, qv in q.items()}
+        members = defaultdict(list)
+        for i, c in assigned.items():
+            members[c].append(i)
+        cent = {c: [sum(q[i][d] for i in ms) // len(ms)
+                    for d in range(dim)]
+                for c, ms in members.items()}
+    out = {}
+    members = defaultdict(list)
+    for i, c in assigned.items():
+        members[c].append(i)
+    for c, ms in members.items():
+        ms.sort()
+        pairs, pruned = 0, set()
+        for x in range(len(ms)):
+            for y in range(x + 1, len(ms)):
+                a, b = ms[x], ms[y]
+                dot = sum(p * r for p, r in zip(q[a], q[b]))
+                na = sum(p * p for p in q[a])
+                nb = sum(p * p for p in q[b])
+                if dot > 0 and dot * dot * cos_q * cos_q >= \
+                        na * nb * cos_p * cos_p:
+                    pairs += 1
+                    pruned.add(b)
+        out[c] = (len(ms), pairs, len(pruned),
+                  len(pruned) * 10000 // len(ms))
+    return out
+
+
+@SET
+@given(seed=st.integers(0, 10_000))
+def test_semantic_dedup_matches_model(spark, seed):
+    """semantic_dedup must agree with the executable model on random
+    tiny corpora: integer coordinates in [-500, 500] divided by 1000
+    are exactly recoverable through the float32 embedding column and
+    round(x*1000), so the model runs on the identical quantized
+    vectors. Small dim + a low threshold force hits, misses, dot<=0
+    exclusions, uneven Lloyd clusters, and emptied seed clusters."""
+    import random
+
+    from movement_spark.operators.similarity import semantic_dedup
+
+    rng = random.Random(seed)
+    k = rng.randrange(2, 4)
+    n = rng.randrange(k + 1, k + 9)
+    iters = rng.randrange(1, 3)
+    dim = rng.randrange(2, 4)
+    vecs = [(i, [rng.randrange(-500, 501) for _ in range(dim)])
+            for i in range(n)]
+    expected = _model_semdedup(vecs, k, iters, 1, 4)
+    emb = spark.createDataFrame(
+        [(i, [x / 1000.0 for x in v], 0) for i, v in vecs],
+        "vec_id bigint, embedding array<float>, label int")
+    got = {r["cluster"]: (r["n_vecs"], r["n_pairs"], r["n_pruned"],
+                          r["pruned_bps"])
+           for r in semantic_dedup(emb, k=k, iters=iters).collect()}
+    assert got == expected
