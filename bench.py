@@ -20,7 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from movement_spark import queries as Q                     # noqa: E402
 from movement_spark.benchmarks import (                     # noqa: E402
     HEADLINE, cep_assembler_throughput, drift_monitor_throughput,
-    streaming_throughput, time_query_stats,
+    neardup_monitor_throughput, streaming_throughput, time_query_stats,
 )
 from movement_spark.session import get_spark                # noqa: E402
 from movement_spark.sources.synth import stage_synth_stream  # noqa: E402
@@ -171,6 +171,24 @@ def main() -> None:
 
     drift = _drift_run(max(int(8_000_000 * sf), 20_000))
 
+    # Near-dup-monitor sub-metric: the newest stateful pipeline (chained
+    # windowed aggregates over an in-row MinHash signature) at the same
+    # 2M-row input as the headline streaming run — per-row cost is pure
+    # codegen (no token explode), so this isolates the chained-agg tax.
+    def _neardup_run(n_docs: int) -> dict:
+        work = tempfile.mkdtemp(prefix="ms_ndbench_")
+        stage = os.path.join(work, "stage")
+        n_rows = stage_synth_stream(spark, n_docs, stage, n_files=64)
+        out = neardup_monitor_throughput(
+            spark, stage, n_rows,
+            sink_dir=os.path.join(work, "sink"),
+            checkpoint_dir=os.path.join(work, "ck"),
+            files_per_trigger=8)
+        shutil.rmtree(work, ignore_errors=True)
+        return out
+
+    neardup = _neardup_run(max(int(8_000_000 * sf), 100_000))
+
     result = {
         "metric": "headline_suite_sec",
         "value": round(sum(timings.values()), 3),
@@ -185,6 +203,7 @@ def main() -> None:
         "streaming_r01_comparable": stream_small,
         "cep": cep,
         "drift_monitor": drift,
+        "neardup_monitor": neardup,
     }
     spark.stop()
     print(json.dumps(result))

@@ -253,3 +253,43 @@ def drift_monitor_throughput(spark: SparkSession, stage_dir: str,
         "batches": len(recs),
         "drift_windows_out": n_out,
     }
+
+
+def neardup_monitor_throughput(spark: SparkSession, stage_dir: str,
+                               n_rows: int, sink_dir: str,
+                               checkpoint_dir: str,
+                               files_per_trigger: int = 8) -> dict:
+    """Throughput of the streaming near-dup monitor — the newest
+    stateful pipeline and the only chained-aggregate one (per-signature
+    groups feeding a per-(window, source) fold). Unlike the drift
+    monitor it never explodes the token array: the MinHash signature is
+    one in-row expression, so its per-row cost is pure codegen work and
+    its state is bounded by distinct signatures per open window. Same
+    sink/checkpoint/steady-state methodology as streaming_throughput."""
+    from movement_spark.streaming.pipeline import (
+        run_streaming_neardup_monitor)
+
+    listener = RuntimeMetricsListener()
+    t0 = time.perf_counter()
+    out = run_streaming_neardup_monitor(
+        spark, sf_dir="", stage_dir=stage_dir, sink_dir=sink_dir,
+        checkpoint_dir=checkpoint_dir, listener=listener,
+        files_per_trigger=files_per_trigger)
+    n_out = out.count()
+    dup_seq = out.agg(F.sum("n_dup_seq")).collect()[0][0] or 0
+    elapsed = time.perf_counter() - t0
+    recs = sorted(listener.records, key=lambda r: r.batch_id)
+    mid = recs[1:-1] if len(recs) >= 3 else recs
+    mid_rows = sum(r.num_input_rows for r in mid)
+    mid_sec = sum(r.duration_ms for r in mid) / 1000.0
+    return {
+        "elapsed_sec": round(elapsed, 3),
+        "rows_in": n_rows,
+        "seq_per_sec": round(n_rows / elapsed, 1),
+        "seq_per_sec_steady": round(mid_rows / mid_sec, 1)
+        if mid_sec > 0 else 0.0,
+        "steady_batches": len(mid),
+        "batches": len(recs),
+        "monitor_windows_out": n_out,
+        "dup_seq_flagged": int(dup_seq),
+    }

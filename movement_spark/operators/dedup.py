@@ -74,6 +74,35 @@ def _hash_j(j: int) -> F.Column:
              + F.lit(b)) % MINHASH_P)
 
 
+def shard_signature_expr(dialect: str = "spark",
+                         shingle_mod: int = SHINGLE_MOD) -> str:
+    """Per-SHARD MinHash signature as ONE in-row expression — no
+    aggregation, no state: each of the k min-hashes is an array_min
+    over the token array (min is duplicate-insensitive, so skipping the
+    per-shard shingle distinct is exact), folded into a single bigint
+    by the same chained-mod mix the band buckets use. This is the
+    signature the STREAMING near-dup monitor computes per arriving row
+    (the batch family signs per DOC across shards via the wide
+    aggregate above — different key, same hash family).
+
+    Emitted for both engines from one coefficient loop (``dialect`` =
+    'spark' | 'duckdb') so the pipeline and its oracle can never drift.
+    An empty/NULL token array (the flush sentinel) folds to NULL.
+    """
+    amin = "array_min" if dialect == "spark" else "list_min"
+    tr = "transform" if dialect == "spark" else "list_transform"
+    parts = []
+    for j in range(MINHASH_K):
+        a, b = minhash_coeffs(j)
+        parts.append(
+            f"{amin}({tr}(tokens, t -> (cast({a} as bigint)"
+            f" * (t % {shingle_mod}) + {b}) % {MINHASH_P}))")
+    sig = parts[0]
+    for p in parts[1:]:
+        sig = f"(({sig}) * {BUCKET_MIX} + {p}) % {BUCKET_Q}"
+    return sig
+
+
 def minhash_signatures(tokens: DataFrame, k: int = MINHASH_K,
                        shingle_mod: int = SHINGLE_MOD) -> DataFrame:
     """MinHash signature per doc, WIDE form: one shuffle keyed doc_id

@@ -4598,6 +4598,32 @@ def q_streaming_window_rollup(spark, sf_dir):
     return run_streaming_window_rollup(spark, sf_dir)
 
 
+_NEARDUP_MON_SQL = with_token_cte(f"""
+, shard AS (
+  SELECT time_bucket(INTERVAL 5 MINUTES, ts) AS w5, source,
+         {dedup.shard_signature_expr('duckdb')} AS sig
+  FROM token_sequences),
+per_sig AS (
+  SELECT w5, source, sig, COUNT(*) AS n FROM shard GROUP BY 1, 2, 3)
+SELECT CAST(epoch(w5) AS BIGINT) AS ws, source,
+       CAST(SUM(n) AS BIGINT) AS n_seq,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_sig,
+       CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_dup_seq
+FROM per_sig GROUP BY 1, 2
+""")
+
+
+@register("streaming_neardup_monitor", _NEARDUP_MON_SQL)
+def q_streaming_neardup_monitor(spark, sf_dir):
+    """Streaming near-dup-rate monitor: in-row per-shard MinHash
+    signature (dedup.shard_signature_expr, both dialects from one
+    coefficient loop) feeding two chained windowed aggregates — the
+    exact-distinct-per-window form a single streaming agg cannot
+    express. Oracle: the same two-level fold in SQL."""
+    from movement_spark.streaming.pipeline import run_streaming_neardup_monitor
+    return run_streaming_neardup_monitor(spark, sf_dir)
+
+
 @register("streaming_dedup_join_window", with_token_cte("""
 , even AS (SELECT doc_id, ts AS ts_a, n_tok AS n_tok_a
            FROM token_sequences WHERE seq % 2 = 0),
@@ -5272,6 +5298,7 @@ _FRONT = [
     "dup_span_scrub_stats",
     "semantic_dedup_stats",
     "top_ngram_fraction",
+    "streaming_neardup_monitor",
     # --- Re-verification: load-bearing rows whose only green driver
     # row is r01 (two rounds stale). The driver re-runs whatever is in
     # the window; green re-runs prove no silent regression since r01.

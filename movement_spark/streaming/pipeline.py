@@ -1266,6 +1266,67 @@ def run_streaming_window_rollup(spark: SparkSession, sf_dir: str,
     return sink.read(spark)
 
 
+def run_streaming_neardup_monitor(spark: SparkSession, sf_dir: str,
+                                  width: str = "5 minutes",
+                                  watermark: str = "10 minutes",
+                                  stage_dir: str | None = None,
+                                  sink_dir: str | None = None,
+                                  checkpoint_dir: str | None = None,
+                                  listener=None,
+                                  files_per_trigger: int | None = None
+                                  ) -> DataFrame:
+    """Streaming near-dup-rate monitor: per (window, source), how many
+    arriving shards were MinHash-signature duplicates of another shard
+    in the same window. The signature is computed IN-ROW
+    (dedup.shard_signature_expr — array_min per hash over the token
+    array; no aggregation, no extra state), so the stateful plan is two
+    CHAINED windowed aggregates: (window, source, sig) groups, then the
+    per-(window, source) fold of their emitted rows. That chain is the
+    exact-distinct form a single streaming agg forbids (count_distinct
+    is unsupported; approx_count_distinct is the sketch escape hatch).
+
+    Scale shape: state is one row per distinct signature per open
+    window (duplicate shards collapse map-side before the shuffle),
+    then one row per (window, source). A keep/suppress FILTER form
+    would be batch-order-dependent — which duplicate survives depends
+    on intra-batch arrival order — while COUNTS are order-free, which
+    is what keeps this oracle-checkable; the filtering form is the
+    batch path (dedup.lsh_verified_neardups / dup_cluster_labels).
+
+    Sentinel note (rollup corollary): the flush sentinels' empty token
+    arrays fold to a NULL signature and group alone; their far-future
+    window is cut AFTER the second aggregate by the window-column
+    predicate — cutting between the aggs would push the filter below
+    the first window and stall the flush.
+    """
+    from movement_spark.operators.dedup import shard_signature_expr
+
+    stage = _resolve_stage(spark, sf_dir, stage_dir)
+    src = read_token_stream(spark, stage, files_per_trigger)
+    flush_cut = F.timestamp_seconds(F.lit(EPOCH_2026 + TS_MOD + 3600))
+    per_sig = (
+        src.withColumn("sig", F.expr(shard_signature_expr()))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w5"), "source", "sig")
+        .agg(F.count("*").alias("n"))
+    )
+    mon = (
+        per_sig
+        .groupBy(F.window(F.col("w5"), width).alias("w"), "source")
+        .agg(F.sum("n").cast("bigint").alias("n_seq"),
+             F.count("*").cast("bigint").alias("n_distinct_sig"))
+        .where(F.col("w.start") < flush_cut)
+        .select(F.unix_timestamp("w.start").alias("ws"), "source",
+                "n_seq", "n_distinct_sig",
+                (F.col("n_seq") - F.col("n_distinct_sig"))
+                .cast("bigint").alias("n_dup_seq"))
+    )
+    sink = IdempotentKeyedSink(sink_dir or _tmp("msnd_sink_"),
+                               ["ws", "source"])
+    _run_to_sink(mon, sink, checkpoint_dir or _tmp("msnd_ck_"), listener)
+    return sink.read(spark)
+
+
 def run_streaming_dedup_join_window(spark: SparkSession, sf_dir: str,
                                     watermark: str = "10 minutes",
                                     max_gap_sec: int = 60,

@@ -934,3 +934,31 @@ def test_top_ngram_fraction_golden(spark):
     assert (got["s2"]["n_docs"], got["s2"]["n_flagged"],
             got["s2"]["sum_frac_x1000"], got["s2"]["max_frac_x1000"]) == \
         (1, 1, 1500, 1500)
+
+
+def test_shard_signature_expr_dialects_agree(spark):
+    """The streaming monitor's per-shard signature is emitted for BOTH
+    engines from one coefficient loop (dedup.shard_signature_expr) —
+    this pins the dialect pair at a NON-fixture shingle width (the
+    production path oracle parity never exercises), and the NULL fold
+    for the sentinel's empty array."""
+    import duckdb
+
+    from movement_spark.operators.dedup import shard_signature_expr
+
+    rows = [(list(range(1, 40)),), ([7, 7, 7, 1 << 20],), ([],), (None,)]
+    toks = spark.createDataFrame(rows, "tokens array<int>")
+    got_spark = [
+        r["sig"] for r in
+        toks.select(F.expr(shard_signature_expr(
+            "spark", shingle_mod=1_000_003)).alias("sig")).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (tokens INT[])")
+    for (arr,) in rows:
+        con.execute("INSERT INTO t VALUES (?)", [arr])
+    got_duck = [r[0] for r in con.execute(
+        f"SELECT {shard_signature_expr('duckdb', shingle_mod=1_000_003)}"
+        " AS sig FROM t").fetchall()]
+    assert got_spark == got_duck
+    assert got_spark[2] is None and got_spark[3] is None
+    assert got_spark[0] != got_spark[1]

@@ -1083,3 +1083,46 @@ def test_drift_monitor_resumes_from_checkpoint(spark, sf_dir):
     expected = window_drift_tvd(hist, width_sec=300)
     assert result.count() == expected.count() > 0
     assert result.exceptAll(expected).count() == 0
+
+
+def test_neardup_monitor_resumes_from_checkpoint(spark, sf_dir):
+    """Kill/resume for the near-dup monitor: the chained-aggregate
+    state (per-signature counts, then the per-(window, source) fold)
+    spans the kill point — a signature seen before AND after the
+    restart must count as one distinct signature with its duplicates
+    summed, so the resumed run must equal a clean batch two-level fold
+    over the full table."""
+    from movement_spark.operators.dedup import shard_signature_expr
+    from movement_spark.streaming.pipeline import (
+        run_streaming_neardup_monitor)
+
+    full_stage = _mkdir()
+    stage_token_stream(spark, sf_dir, full_stage)
+    files = sorted(os.listdir(full_stage))
+    part_stage, ck, sink_dir = _mkdir(), _mkdir(), _mkdir()
+    cut = len(files) // 2
+    for f in files[:cut]:
+        shutil.copy2(os.path.join(full_stage, f), os.path.join(part_stage, f))
+    run_streaming_neardup_monitor(spark, sf_dir, stage_dir=part_stage,
+                                  sink_dir=sink_dir, checkpoint_dir=ck)
+    for f in files[cut:]:
+        shutil.copy2(os.path.join(full_stage, f), os.path.join(part_stage, f))
+    result = run_streaming_neardup_monitor(spark, sf_dir,
+                                           stage_dir=part_stage,
+                                           sink_dir=sink_dir,
+                                           checkpoint_dir=ck)
+    t = token_sequences(spark, sf_dir)
+    per_sig = (
+        t.withColumn("sig", F.expr(shard_signature_expr()))
+        .groupBy((F.floor(F.unix_timestamp("ts") / 300) * 300).alias("ws"),
+                 "source", "sig")
+        .agg(F.count("*").alias("n")))
+    expected = (
+        per_sig.groupBy("ws", "source")
+        .agg(F.sum("n").cast("bigint").alias("n_seq"),
+             F.count("*").cast("bigint").alias("n_distinct_sig"))
+        .select("ws", "source", "n_seq", "n_distinct_sig",
+                (F.col("n_seq") - F.col("n_distinct_sig"))
+                .cast("bigint").alias("n_dup_seq")))
+    assert result.count() == expected.count() > 0
+    assert result.exceptAll(expected).count() == 0
