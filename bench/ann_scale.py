@@ -38,8 +38,9 @@ sys.path.insert(0, REPO)
 from pyspark.sql import DataFrame, SparkSession, functions as F  # noqa: E402
 
 from movement_spark.operators.similarity import (  # noqa: E402
-    _exact_rerank, brute_force_topk, ivf_assign, ivf_search, ivfpq_build,
-    ivfpq_search, pq_codebook, pq_encode, pq_search,
+    _exact_rerank, brute_force_topk, ivf_assign, ivf_assign_incremental,
+    ivf_search, ivfpq_build, ivfpq_search, pq_codebook, pq_encode,
+    pq_search,
 )
 from movement_spark.session import get_spark       # noqa: E402
 
@@ -111,6 +112,20 @@ def run_level(spark: SparkSession, n_vecs: int) -> dict:
 
     hits = brute.join(ivf, ["query_id", "vec_id"]).count()
     recall = hits / n_brute if n_brute else 0.0
+
+    # Incremental maintenance path: assign a 10% delta batch against
+    # the frozen coarse codebook (ivf_assign_incremental — the
+    # append-only index update a daily crawl drop needs; commutes with
+    # a full rebuild, pinned by test_ivf_incremental_equals_rebuild).
+    # O(delta × centroids) work, never touches the existing lists.
+    n_delta = max(n_vecs // 10, 10_000)
+    delta_emb = ann_corpus(spark, n_delta).withColumn(
+        "vec_id", (F.col("vec_id") + n_vecs).cast("long"))
+    t0 = time.perf_counter()
+    n_after = ivf_assign_incremental(index, delta_emb,
+                                     n_centroids=N_CLUSTERS).count()
+    t_delta = time.perf_counter() - t0
+    assert n_after == n_vecs + n_delta
     ivf.unpersist()
     index.unpersist()
 
@@ -147,6 +162,9 @@ def run_level(spark: SparkSession, n_vecs: int) -> dict:
         "ivf_search_sec": round(t_search, 1),
         "ivf_rows": n_ivf,
         "recall_at_k": round(recall, 4),
+        "delta_vecs": n_delta,
+        "delta_assign_sec": round(t_delta, 1),
+        "delta_assign_vecs_per_sec": round(n_delta / t_delta, 1),
         "brute_vecs_per_sec": round(n_vecs / t_brute, 1),
         "ivf_search_vecs_per_sec": round(n_vecs / t_search, 1),
         "pq_m": PQ_BM,
@@ -158,6 +176,23 @@ def run_level(spark: SparkSession, n_vecs: int) -> dict:
         "pq_encode_vecs_per_sec": round(n_vecs / t_pq_build, 1),
         "pq_search_vecs_per_sec": round(n_vecs / t_pq_search, 1),
     }
+
+
+def _delta_sentence(big: dict) -> str:
+    """Incremental-maintenance sentence; empty when reusing pre-delta
+    level rows (curve-only runs over an old JSON)."""
+    if "delta_assign_sec" not in big:
+        return ""
+    return (
+        f"\nIncremental maintenance: `ivf_assign_incremental` folds a "
+        f"{big['delta_vecs']:,}-vector delta batch (a daily crawl drop) "
+        f"into the {big['n_vecs']:,}-vector index in "
+        f"{big['delta_assign_sec']} s "
+        f"({big['delta_assign_vecs_per_sec']:,.0f} vecs/s) against the "
+        f"frozen coarse codebook — O(delta × centroids), never touching "
+        f"the existing lists; commutes with a full rebuild "
+        f"(test_ivf_incremental_equals_rebuild, oracle row "
+        f"`ann_ivf_incremental_lists`).")
 
 
 CURVE_NPROBE = (1, 4, 16)
@@ -338,6 +373,7 @@ seeds = one representative per true cluster) compresses each vector to
 {big['pq_recall_at_k']} at {big['n_vecs']:,} vectors. PQ bounds BYTES
 per candidate where IVF bounds CANDIDATES; `ivfpq_topk` composes both
 (oracle-gated at fixture scale: `ann_ivfpq_topk`).
+{_delta_sentence(big)}
 {SECTION_END}"""
 
     md_path = os.path.join(REPO, "BENCH", "BASELINE.md")
