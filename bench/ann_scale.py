@@ -305,6 +305,22 @@ def main() -> None:
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
+
+    def _calibrate() -> float:
+        """Fixed data-independent CPU probe (bench.py's convention):
+        median-of-3 of a 200M-multiply sum. Records HOST state beside
+        the timings so a degraded-hypervisor run is identifiable
+        instead of reading as a code regression (clean ≈ 0.05-0.08 s
+        on local[32]; the local[8] reference band is 0.19-0.28 s)."""
+        vals = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spark.range(200_000_000).selectExpr(
+                "sum(id * 2654435761L % 1000003) AS s").collect()
+            vals.append(time.perf_counter() - t0)
+        return round(sorted(vals)[1], 3)
+
+    calib_pre = _calibrate()
     prev = {}
     prev_path = os.path.join(REPO, "BENCH", "ann_scale.json")
     if os.path.exists(prev_path):
@@ -318,10 +334,13 @@ def main() -> None:
     if not rows:  # curve-only run (MS_ANN_LEVELS="")
         rows = prev.get("levels", [])
     curve = run_curve(spark, curve_vecs) if curve_vecs else prev.get("curve")
+    calib_post = _calibrate()
     spark.stop()
 
     result = {
         "generated_at": datetime.now(timezone.utc).isoformat(),
+        "calibration_sec_pre": calib_pre,
+        "calibration_sec_post": calib_post,
         "levels": rows,
     }
     if curve:
