@@ -663,3 +663,60 @@ def dsir_importance_weights(documents: DataFrame,
                  F.sum(sel).cast("bigint").alias("n_selected"),
                  F.sum(sel * F.col("n_chars")).cast("bigint")
                  .alias("selected_chars")))
+
+
+# ---------------------------------------------------------------------
+# Per-source/domain document cap: the "no domain may dominate" stage of
+# web-corpus assembly (RefinedWeb/C4-style URL- or domain-frequency
+# capping). Keep at most `cap` docs per (source, lang) key, chosen by a
+# deterministic hash priority so re-runs and engines agree. The naive
+# form is one row_number window per key — which is exactly the skewed
+# shuffle a 100 TB corpus cannot run (a handful of giant domains land
+# on single tasks). The implementation is the salted two-phase cap:
+# phase 1 caps within (key, salt) — a balanced shuffle — leaving at
+# most cap×CAP_SALT rows per key, and phase 2 runs the exact cap over
+# that bounded survivor set. The oracle is the naive single-window
+# form, proving the rewrite exact.
+
+CAP_PER_KEY = 4          # fixture width; production passes e.g. 100k
+CAP_SALT = 16            # phase-1 salt fan-out
+CAP_PRI_MULT = 2654435761
+CAP_PRI_ADD = 11
+CAP_PRI_MOD = 1_000_003
+
+
+def source_cap_manifest(documents: DataFrame,
+                        cap: int = CAP_PER_KEY,
+                        salt: int = CAP_SALT) -> DataFrame:
+    """Cap manifest per (source, lang): docs seen, kept under the cap,
+    dropped, and the char mass kept. Priority = (doc_id*a + b) mod p —
+    every global top-`cap` row is also top-`cap` inside its salt
+    bucket, so phase 1 never discards a final keeper."""
+    from pyspark.sql.window import Window
+
+    pri = F.expr(f"(doc_id * {CAP_PRI_MULT}L + {CAP_PRI_ADD}) % {CAP_PRI_MOD}")
+    base = documents.select(
+        "source", "lang", "doc_id", "n_chars", pri.alias("pri"),
+        (F.col("doc_id") % salt).alias("salt"))
+    w1 = Window.partitionBy("source", "lang", "salt").orderBy(
+        F.asc("pri"), F.asc("doc_id"))
+    pre = (base.withColumn("rn1", F.row_number().over(w1))
+           .where(F.col("rn1") <= cap))
+    w2 = Window.partitionBy("source", "lang").orderBy(
+        F.asc("pri"), F.asc("doc_id"))
+    kept = (pre.withColumn("rn", F.row_number().over(w2))
+            .where(F.col("rn") <= cap))
+    totals = documents.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"))
+    kept_agg = kept.groupBy("source", "lang").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars_kept"))
+    # cap ≥ 1 and every (source, lang) group is non-empty → inner join
+    return (
+        totals.join(F.broadcast(kept_agg), ["source", "lang"])
+        .select("source", "lang", "n_docs", "n_kept",
+                (F.col("n_docs") - F.col("n_kept")).cast("bigint")
+                .alias("n_dropped"),
+                "sum_chars_kept", "sum_chars")
+    )

@@ -783,3 +783,104 @@ def ivfpq_rerank_topk(embeddings: DataFrame, n_queries: int = 10,
                        n_centroids=n_centroids, nprobe=nprobe,
                        m=m, ksub=ksub, sub=sub).select("query_id", "vec_id")
     return _exact_rerank(embeddings, cands, n_queries, k)
+
+
+# ---------------------------------------------------------------------
+# Scalar quantization (SQ8): one byte per dimension. The fifth ANN
+# layout next to brute-force / sign-LSH / IVF / PQ — faiss's SQ8: keep
+# every dimension but store it as an 8-bit level between the corpus-wide
+# per-dimension min and max. 4× smaller than float32 (vs PQ's 64×) with
+# far less quantization error, so it is the standard "cheap compression
+# first" step before PQ is justified.
+
+SQ_LEVELS = 255   # 8-bit code: levels 0..255
+EMB_DIM = 64      # embeddings table dimension (TESTDATA.md)
+
+
+def sq8_train(embeddings: DataFrame, dim: int = EMB_DIM) -> DataFrame:
+    """Train the SQ8 quantizer: per-dimension [min, max] over the
+    quantized corpus, as ONE map-side-combined aggregate row (2×dim
+    aggregates, no explode, no shuffle of vector payloads). The result
+    is the entire 'codebook' — 2×dim integers — broadcast everywhere."""
+    q = quantized(embeddings)
+    return q.agg(
+        F.array(*[F.min(F.expr(f"q[{i}]")) for i in range(dim)]).alias("mn"),
+        F.array(*[F.max(F.expr(f"q[{i}]")) for i in range(dim)]).alias("mx"))
+
+
+def sq8_encode(embeddings: DataFrame, trained: DataFrame,
+               dim: int = EMB_DIM) -> DataFrame:
+    """Encode each vector against the broadcast per-dim ranges:
+    code[i] = ((q[i]-mn[i]) * SQ_LEVELS) div (mx[i]-mn[i]) ∈ [0, 255]
+    (constant dims code to 0). Pure codegen transform — zero shuffle,
+    the corpus streams through once, exactly the shape an encode pass
+    over 100 TB needs."""
+    return (
+        quantized(embeddings)
+        .crossJoin(F.broadcast(trained))
+        .select(
+            "vec_id",
+            F.expr(
+                f"transform(sequence(0, {dim - 1}), i -> "
+                f"if(mx[i] > mn[i], "
+                f"((q[i] - mn[i]) * {SQ_LEVELS}) div (mx[i] - mn[i]), 0L))"
+            ).alias("code"))
+    )
+
+
+def sq8_decode(coded: DataFrame, trained: DataFrame,
+               dim: int = EMB_DIM) -> DataFrame:
+    """Reconstruct the quantized-domain vector from its 8-bit code:
+    x̂[i] = mn[i] + (code[i]·(mx[i]-mn[i])) div SQ_LEVELS. Distances must
+    be computed on DECODED values — the raw codes are shifted by the
+    per-dim minimum, and a shifted dot product is not monotone in the
+    true one (pinned by test_sq8_rerank_recall_beats_compressed_scan,
+    which caught exactly this: both engines agreed on the wrong metric,
+    so only a semantic property test could see it)."""
+    return (
+        coded.crossJoin(F.broadcast(trained))
+        .select("vec_id", F.expr(
+            f"transform(sequence(0, {dim - 1}), i -> "
+            f"mn[i] + (code[i] * (mx[i] - mn[i])) div {SQ_LEVELS})"
+        ).alias("dq"))
+    )
+
+
+def sq8_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
+             dim: int = EMB_DIM) -> DataFrame:
+    """SQ8 compressed-domain top-k: integer dot product over decoded
+    8-bit codes (both sides encode→decode), per-query rank ≤ k. Same
+    streaming scan shape as brute_force_topk but each stored vector is
+    4× smaller — at 100 TB the win is IO and cache footprint, not
+    arithmetic; compose with IVF lists to also bound WHICH vectors are
+    touched."""
+    trained = sq8_train(embeddings, dim)
+    decoded = sq8_decode(sq8_encode(embeddings, trained, dim), trained, dim)
+    queries = decoded.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("dq").alias("qc"))
+    scored = (
+        decoded.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", _dot("dq", "qc").alias("dot"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "dot",
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def sq8_rerank_topk(embeddings: DataFrame, n_queries: int = 10,
+                    k: int = 5, pool: int = 20,
+                    dim: int = EMB_DIM) -> DataFrame:
+    """SQ8 as deployed: the compressed scan proposes a ``pool``-sized
+    candidate set, the exact integer dot re-ranks it to top-k
+    (_exact_rerank: one narrow corpus probe keyed by vec_id). SQ8's
+    per-dim error is small, so unlike PQ the pool rarely needs to be
+    deep — the composition exists to make the recall exact-verifiable,
+    not to rescue it."""
+    cands = sq8_topk(embeddings, n_queries=n_queries, k=pool,
+                     dim=dim).select("query_id", "vec_id")
+    return _exact_rerank(embeddings, cands, n_queries, k)

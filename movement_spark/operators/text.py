@@ -520,3 +520,124 @@ def bpe_encode_stats(documents: DataFrame,
         .withColumn("compression_bps",
                     F.expr("(n_tokens * 10000L) div n_chars"))
     )
+
+
+# ---------------------------------------------------------------------
+# Hashed-feature linear classifier (fastText-style inference). The model
+# is a weight vector indexed by feature-hash bucket; inference is a pure
+# per-row expression: hash each word, look up its bucket weight, sum.
+# Here the weight table is itself a deterministic function of the bucket
+# id so the oracle can reproduce scores exactly; a real deployment
+# swaps `_bucket_weight` for a broadcast map over trained weights —
+# same plan, still zero shuffle until the final rollup.
+
+CLS_BUCKETS = 4096       # feature-hash space (power of two, fits int64 math)
+CLS_WEIGHT_MOD = 2003    # weight = ((bucket*A + 97) % MOD) - (MOD-1)/2
+CLS_WEIGHT_MULT = 2654435761
+
+
+def classifier_score_expr() -> str:
+    """Spark SQL expression: per-doc classifier score over `text`.
+
+    score = Σ_words weight(bucket(word)); word hash is the repo's
+    rolling-polynomial convention ((acc*31 + ascii) % FP_MOD, same as
+    fingerprint_expr), bucket = hash % CLS_BUCKETS, weight =
+    ((bucket * CLS_WEIGHT_MULT + 97) % CLS_WEIGHT_MOD) - 1001 ∈
+    [-1001, 1001]. Everything stays in whole-stage codegen: no explode,
+    no shuffle, no Python — the inference pass IS the document scan."""
+    word_hash = (
+        "if(length(w) = 0, 0L, "
+        "aggregate(sequence(1, length(w)), 0L, "
+        f"(h, i) -> (h * 31 + ascii(substring(w, cast(i as int), 1))) % {FP_MOD}))"
+    )
+    return (
+        "aggregate(split(text, ' '), 0L, (acc, w) -> acc + "
+        f"((({word_hash} % {CLS_BUCKETS}) * {CLS_WEIGHT_MULT}L + 97) "
+        f"% {CLS_WEIGHT_MOD}) - {(CLS_WEIGHT_MOD - 1) // 2})"
+    )
+
+
+def hashed_classifier_scores(documents: DataFrame) -> DataFrame:
+    """Per-source inference manifest of the hashed linear classifier:
+    how many docs score positive (kept by the quality gate), the score
+    mass, and the extremes. One corpus scan + one map-side-combined
+    rollup — the exact shape of classifier-filter passes (fastText
+    quality/langid gates) over a 100 TB corpus."""
+    scored = documents.select(
+        "source", F.expr(classifier_score_expr()).alias("score"))
+    return (
+        scored.groupBy("source")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum((F.col("score") > 0).cast("int")).cast("bigint")
+             .alias("n_pos"),
+             F.sum("score").cast("bigint").alias("sum_score"),
+             F.min("score").cast("bigint").alias("min_score"),
+             F.max("score").cast("bigint").alias("max_score"))
+    )
+
+
+# ---------------------------------------------------------------------
+# BM25 retrieval. Inverted-index scoring re-expressed relationally: the
+# postings list of a term = the exploded (doc, term) pairs for that term
+# only. Filtering to the query's terms happens BEFORE any shuffle, so
+# the data that moves is O(postings of the query terms), not the corpus
+# — the relational form of "look up the posting lists". IDF uses the
+# same log-free integral surrogate as tfidf_top_terms (monotone in the
+# true idf, which is all ranking needs); the tf-saturation term keeps
+# BM25's k1=6/5, b=3/4 as EXACT rational arithmetic so both engines
+# floor-divide identical integers.
+
+BM25_TERMS = ("dup", "merge", "query")   # rare + mid + common df
+BM25_IDF_SCALE = 1000
+BM25_K = 10
+
+
+def bm25_topk(documents: DataFrame, terms: tuple = BM25_TERMS,
+              k: int = BM25_K) -> DataFrame:
+    """Top-k docs for a term query under integer-exact BM25.
+
+    score(d) = Σ_t idf(t) * 22·tf·S div (10·tf·S + 3·S + 9·dl·N)
+    with idf(t) = (N * BM25_IDF_SCALE) div df(t), S = Σ doc lengths,
+    N = corpus size — the k1=1.2, b=0.75 BM25 saturation written as one
+    integer floor-division (products ≤ ~1e15 at sf1; swap bigint for
+    decimal(38,0) beyond that, same plan). Docs that contain no query
+    term are pruned at the SCAN by an array_contains disjunction, so
+    explode fan-out and the (doc, term) shuffle see only matching docs;
+    df/N/S come from one tiny broadcast aggregate each."""
+    from pyspark.sql.window import Window
+
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    stats = documents.select(
+        F.size(F.split("text", " ")).alias("dl")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("s_dl"))
+    prune = " or ".join(
+        f"array_contains(split(text, ' '), '{t}')" for t in terms)
+    hits = (
+        documents.where(F.expr(prune))
+        .select("doc_id", F.size(F.split("text", " ")).alias("dl"),
+                F.explode(F.split("text", " ")).alias("term"))
+        .where(F.expr(f"term in ({term_list})"))
+    )
+    tf = hits.groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf"), F.max("dl").alias("dl"))
+    dfreq = hits.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("idf", F.expr(f"(n_docs * {BM25_IDF_SCALE}L) div df"))
+        .withColumn("part", F.expr(
+            "(idf * 22 * tf * s_dl) div "
+            "(10 * tf * s_dl + 3 * s_dl + 9 * dl * n_docs)"))
+    )
+    doc_scores = scored.groupBy("doc_id").agg(
+        F.sum("part").cast("bigint").alias("score"),
+        F.count("*").cast("int").alias("n_terms_hit"))
+    # TakeOrderedAndProject: per-partition top-k then a driver merge of
+    # k rows per partition — never a global sort. The rank window runs
+    # over the ≤k surviving rows only.
+    top = doc_scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    rnk = F.row_number().over(
+        Window.orderBy(F.desc("score"), F.asc("doc_id")))
+    return top.withColumn("rank", rnk.cast("int"))

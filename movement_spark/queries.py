@@ -5259,6 +5259,178 @@ def q_semantic_dedup_stats(spark, sf_dir):
     return similarity.semantic_dedup(load_table(spark, sf_dir, "embeddings"))
 
 
+
+
+# =====================================================================
+# Round-4 continuation: classifier inference, BM25 retrieval,
+# per-source/domain cap, SQ8 scalar-quantized ANN
+# =====================================================================
+
+@register("hashed_classifier_scores", f"""
+WITH scored AS (
+  SELECT source,
+         CAST(list_sum(list_transform(string_split(text, ' '), w ->
+           (((CASE WHEN length(w) = 0 THEN 0 ELSE
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(1, length(w) + 1),
+                   i -> CAST(ascii(substring(w, CAST(i AS INT), 1)) AS BIGINT))),
+                 (acc, c) -> (acc * 31 + c) % {text.FP_MOD}) END
+             % {text.CLS_BUCKETS}) * {text.CLS_WEIGHT_MULT} + 97)
+            % {text.CLS_WEIGHT_MOD} - {(text.CLS_WEIGHT_MOD - 1) // 2})))
+         AS BIGINT) AS score
+  FROM documents)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       CAST(SUM(score) AS BIGINT) AS sum_score,
+       CAST(MIN(score) AS BIGINT) AS min_score,
+       CAST(MAX(score) AS BIGINT) AS max_score
+FROM scored GROUP BY source
+""")
+def q_hashed_classifier(spark, sf_dir):
+    """Hashed-feature linear classifier inference (the fastText-shaped
+    quality/langid gate of pretraining pipelines): word-hash buckets to
+    deterministic weights, per-doc score, per-source keep manifest.
+    Zero shuffle until the rollup — the inference pass IS the scan."""
+    return text.hashed_classifier_scores(
+        load_table(spark, sf_dir, "documents"))
+
+
+@register("bm25_doc_retrieval", f"""
+WITH stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS s_dl
+  FROM documents),
+words AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         unnest(string_split(text, ' ')) AS term
+  FROM documents),
+hits AS (SELECT * FROM words
+         WHERE term IN ({", ".join(f"'{{t}}'".format(t=t) for t in text.BM25_TERMS)})),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf, MAX(dl) AS dl
+       FROM hits GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM hits GROUP BY 1),
+scored AS (
+  SELECT doc_id,
+         (((n_docs * {text.BM25_IDF_SCALE}) // df) * 22 * tf * s_dl)
+           // (10 * tf * s_dl + 3 * s_dl + 9 * dl * n_docs) AS part
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats),
+doc_scores AS (
+  SELECT doc_id, CAST(SUM(part) AS BIGINT) AS score,
+         CAST(COUNT(*) AS INT) AS n_terms_hit
+  FROM scored GROUP BY 1),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM doc_scores)
+SELECT doc_id, score, n_terms_hit, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {text.BM25_K}
+""")
+def q_bm25(spark, sf_dir):
+    """BM25 top-k retrieval: the inverted-index lookup re-expressed
+    relationally — query-term postings only reach the shuffle (scan-level
+    array_contains prune), df/N/S broadcast, k1=6/5 b=3/4 saturation as
+    exact rational arithmetic, TakeOrderedAndProject top-k (never a
+    global sort)."""
+    return text.bm25_topk(load_table(spark, sf_dir, "documents"))
+
+
+@register("source_cap_manifest", f"""
+WITH r AS (
+  SELECT source, lang, n_chars,
+         row_number() OVER (
+           PARTITION BY source, lang
+           ORDER BY (doc_id * {dataset.CAP_PRI_MULT} + {dataset.CAP_PRI_ADD})
+                      % {dataset.CAP_PRI_MOD} ASC, doc_id ASC) AS rn
+  FROM documents)
+SELECT source, lang, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN rn <= {dataset.CAP_PER_KEY} THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_kept,
+       CAST(COUNT(*) - SUM(CASE WHEN rn <= {dataset.CAP_PER_KEY} THEN 1
+         ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(SUM(CASE WHEN rn <= {dataset.CAP_PER_KEY} THEN n_chars ELSE 0 END)
+         AS BIGINT) AS sum_chars_kept,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM r GROUP BY 1, 2
+""")
+def q_source_cap(spark, sf_dir):
+    """Per-source/domain document cap (the RefinedWeb-style "no domain
+    dominates" stage): keep ≤cap docs per (source, lang) by hash
+    priority via the salted two-phase cap — phase 1 bounds every key to
+    cap×salt survivors on a balanced shuffle, phase 2 is exact. The
+    oracle is the naive one-window form, proving the rewrite exact."""
+    return dataset.source_cap_manifest(load_table(spark, sf_dir, "documents"))
+
+
+_SQ8_CODED_CTE = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x ->
+           CAST(round(CAST(x AS DOUBLE) * {similarity.QUANT}, 0) AS BIGINT)) AS qv
+  FROM embeddings),
+mm AS (SELECT [MIN(qv[1]), MIN(qv[2]), MIN(qv[3]), MIN(qv[4]), MIN(qv[5]), MIN(qv[6]), MIN(qv[7]), MIN(qv[8]), MIN(qv[9]), MIN(qv[10]), MIN(qv[11]), MIN(qv[12]), MIN(qv[13]), MIN(qv[14]), MIN(qv[15]), MIN(qv[16]), MIN(qv[17]), MIN(qv[18]), MIN(qv[19]), MIN(qv[20]), MIN(qv[21]), MIN(qv[22]), MIN(qv[23]), MIN(qv[24]), MIN(qv[25]), MIN(qv[26]), MIN(qv[27]), MIN(qv[28]), MIN(qv[29]), MIN(qv[30]), MIN(qv[31]), MIN(qv[32]), MIN(qv[33]), MIN(qv[34]), MIN(qv[35]), MIN(qv[36]), MIN(qv[37]), MIN(qv[38]), MIN(qv[39]), MIN(qv[40]), MIN(qv[41]), MIN(qv[42]), MIN(qv[43]), MIN(qv[44]), MIN(qv[45]), MIN(qv[46]), MIN(qv[47]), MIN(qv[48]), MIN(qv[49]), MIN(qv[50]), MIN(qv[51]), MIN(qv[52]), MIN(qv[53]), MIN(qv[54]), MIN(qv[55]), MIN(qv[56]), MIN(qv[57]), MIN(qv[58]), MIN(qv[59]), MIN(qv[60]), MIN(qv[61]), MIN(qv[62]), MIN(qv[63]), MIN(qv[64])] AS mn, [MAX(qv[1]), MAX(qv[2]), MAX(qv[3]), MAX(qv[4]), MAX(qv[5]), MAX(qv[6]), MAX(qv[7]), MAX(qv[8]), MAX(qv[9]), MAX(qv[10]), MAX(qv[11]), MAX(qv[12]), MAX(qv[13]), MAX(qv[14]), MAX(qv[15]), MAX(qv[16]), MAX(qv[17]), MAX(qv[18]), MAX(qv[19]), MAX(qv[20]), MAX(qv[21]), MAX(qv[22]), MAX(qv[23]), MAX(qv[24]), MAX(qv[25]), MAX(qv[26]), MAX(qv[27]), MAX(qv[28]), MAX(qv[29]), MAX(qv[30]), MAX(qv[31]), MAX(qv[32]), MAX(qv[33]), MAX(qv[34]), MAX(qv[35]), MAX(qv[36]), MAX(qv[37]), MAX(qv[38]), MAX(qv[39]), MAX(qv[40]), MAX(qv[41]), MAX(qv[42]), MAX(qv[43]), MAX(qv[44]), MAX(qv[45]), MAX(qv[46]), MAX(qv[47]), MAX(qv[48]), MAX(qv[49]), MAX(qv[50]), MAX(qv[51]), MAX(qv[52]), MAX(qv[53]), MAX(qv[54]), MAX(qv[55]), MAX(qv[56]), MAX(qv[57]), MAX(qv[58]), MAX(qv[59]), MAX(qv[60]), MAX(qv[61]), MAX(qv[62]), MAX(qv[63]), MAX(qv[64])] AS mx FROM q),
+coded AS (
+  SELECT vec_id,
+         list_transform(range(1, {similarity.EMB_DIM} + 1), i ->
+           CASE WHEN mx[i] > mn[i]
+                THEN ((qv[i] - mn[i]) * {similarity.SQ_LEVELS})
+                       // (mx[i] - mn[i])
+                ELSE CAST(0 AS BIGINT) END) AS code
+  FROM q CROSS JOIN mm),
+dec AS (
+  SELECT vec_id,
+         list_transform(range(1, {similarity.EMB_DIM} + 1), i ->
+           mn[i] + (code[i] * (mx[i] - mn[i])) // {similarity.SQ_LEVELS})
+           AS dq
+  FROM coded CROSS JOIN mm),
+queries AS (SELECT vec_id AS query_id, dq AS qc
+            FROM dec WHERE vec_id < 10),
+adc AS (
+  SELECT query_id, c.vec_id,
+         CAST(list_sum(list_transform(range(1, {similarity.EMB_DIM} + 1),
+              i -> c.dq[i] * queries.qc[i])) AS BIGINT) AS dot
+  FROM dec c CROSS JOIN queries WHERE c.vec_id <> queries.query_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY dot DESC, vec_id ASC) AS rank
+  FROM adc)
+"""
+
+
+@register("ann_sq8_topk", _SQ8_CODED_CTE + """
+SELECT query_id, vec_id, dot, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+""")
+def q_ann_sq8(spark, sf_dir):
+    """SQ8 scalar-quantized ANN (faiss SQ8 analog): per-dim [min,max]
+    trained in one aggregate row, 8-bit codes via codegen transform,
+    symmetric compressed-domain dot top-k — the fifth ANN layout next
+    to brute/LSH/IVF/PQ; 4× smaller vectors on the same scan shape."""
+    df = similarity.sq8_topk(load_table(spark, sf_dir, "embeddings"))
+    return df
+
+
+@register("ann_sq8_rerank_topk", _SQ8_CODED_CTE + f"""
+, cand AS (SELECT query_id, vec_id FROM ranked WHERE rank <= 20),
+qq AS (SELECT vec_id AS query_id, qv AS qv2 FROM q WHERE vec_id < 10),
+exact AS (
+  SELECT c.query_id, c.vec_id,
+         CAST(list_sum(list_transform(range(1, {similarity.EMB_DIM} + 1),
+              i -> q.qv[i] * qq.qv2[i])) AS BIGINT) AS dot
+  FROM cand c JOIN q ON q.vec_id = c.vec_id
+  JOIN qq ON qq.query_id = c.query_id),
+r2 AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY dot DESC, vec_id ASC) AS rank
+  FROM exact)
+SELECT query_id, vec_id, dot, CAST(rank AS INT) AS rank
+FROM r2 WHERE rank <= 5
+""")
+def q_ann_sq8_rerank(spark, sf_dir):
+    """SQ8 as deployed: compressed scan proposes a 20-deep pool, exact
+    integer dot re-ranks to top-5 (_exact_rerank: one narrow corpus
+    probe keyed by vec_id, queries and pool broadcast)."""
+    return similarity.sq8_rerank_topk(load_table(spark, sf_dir, "embeddings"))
+
+
 # ---------------------------------------------------------------------
 # Driver-gate ordering. The correctness sweep evaluates the registry in
 # insertion order and time-boxes at ~50 rows (r01 truncated at 49; r02
@@ -5299,6 +5471,12 @@ _FRONT = [
     "semantic_dedup_stats",
     "top_ngram_fraction",
     "streaming_neardup_monitor",
+    # --- Round-4 continuation additions (never driver-verified).
+    "hashed_classifier_scores",
+    "bm25_doc_retrieval",
+    "source_cap_manifest",
+    "ann_sq8_topk",
+    "ann_sq8_rerank_topk",
     # --- Re-verification: load-bearing rows whose only green driver
     # row is r01 (two rounds stale). The driver re-runs whatever is in
     # the window; green re-runs prove no silent regression since r01.

@@ -962,3 +962,103 @@ def test_shard_signature_expr_dialects_agree(spark):
     assert got_spark == got_duck
     assert got_spark[2] is None and got_spark[3] is None
     assert got_spark[0] != got_spark[1]
+
+
+def test_source_cap_two_phase_equals_naive(spark, sf_dir):
+    """The salted two-phase cap must equal the naive one-window cap on
+    ANY physical layout (the oracle proves it on DuckDB; this pins it
+    against a hostile repartitioning on the Spark side) and must
+    exercise both branches: some (source, lang) groups above the cap,
+    some at-or-below it."""
+    from pyspark.sql.window import Window
+
+    from movement_spark.operators.dataset import (
+        CAP_PER_KEY, CAP_PRI_ADD, CAP_PRI_MOD, CAP_PRI_MULT,
+        source_cap_manifest)
+    from movement_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").repartition(13, "doc_id")
+    got = {(r["source"], r["lang"]): (r["n_kept"], r["n_dropped"],
+                                      r["sum_chars_kept"])
+           for r in source_cap_manifest(docs).collect()}
+
+    pri = F.expr(f"(doc_id * {CAP_PRI_MULT}L + {CAP_PRI_ADD}) % {CAP_PRI_MOD}")
+    w = Window.partitionBy("source", "lang").orderBy(F.asc("pri"),
+                                                     F.asc("doc_id"))
+    naive = (docs.select("source", "lang", "doc_id", "n_chars",
+                         pri.alias("pri"))
+             .withColumn("rn", F.row_number().over(w))
+             .groupBy("source", "lang")
+             .agg(F.sum((F.col("rn") <= CAP_PER_KEY).cast("int")).alias("k"),
+                  F.sum((F.col("rn") > CAP_PER_KEY).cast("int")).alias("d"),
+                  F.sum(F.when(F.col("rn") <= CAP_PER_KEY,
+                               F.col("n_chars")).otherwise(0)).alias("c")))
+    want = {(r["source"], r["lang"]): (r["k"], r["d"], r["c"])
+            for r in naive.collect()}
+    assert got == want
+    assert any(v[1] > 0 for v in got.values()), "no group above the cap"
+    assert any(v[1] == 0 for v in got.values()), "no group under the cap"
+
+
+def test_sq8_codes_are_8bit_and_span_range(spark, sf_dir):
+    """Every SQ8 code is in [0, 255]; the trained range is tight (some
+    dim codes to 0 AND to 255 — the min and max vectors themselves)."""
+    from movement_spark.operators.similarity import sq8_encode, sq8_train
+    from movement_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    coded = sq8_encode(emb, sq8_train(emb))
+    stats = coded.select(
+        F.expr("array_min(code)").alias("lo"),
+        F.expr("array_max(code)").alias("hi")).agg(
+        F.min("lo").alias("lo"), F.max("hi").alias("hi")).collect()[0]
+    assert stats["lo"] == 0 and stats["hi"] == 255
+
+
+def test_sq8_rerank_recall_beats_compressed_scan(spark, sf_dir):
+    """Composing the exact re-rank on the SQ8 pool must not lower
+    recall vs the plain compressed scan (ground truth = brute force),
+    and SQ8's small per-dim error should land recall near-exact."""
+    from movement_spark.operators.similarity import (
+        brute_force_topk, sq8_rerank_topk, sq8_topk)
+    from movement_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    truth = {(r["query_id"], r["vec_id"])
+             for r in brute_force_topk(emb).collect()}
+    raw = {(r["query_id"], r["vec_id"]) for r in sq8_topk(emb).collect()}
+    rr = {(r["query_id"], r["vec_id"])
+          for r in sq8_rerank_topk(emb).collect()}
+    assert len(rr & truth) >= len(raw & truth)
+    assert len(rr & truth) >= int(0.9 * len(truth))
+
+
+def test_bm25_rare_term_outranks_common_at_equal_tf(spark):
+    """BM25 semantics on a constructed corpus: with equal tf and equal
+    doc length, the doc matching the RARER query term scores higher
+    (idf dominates); a doc matching two terms outranks both."""
+    from movement_spark.operators.text import bm25_topk
+
+    rows = [(0, "dup alpha beta gamma"),        # rare term, tf=1
+            (1, "merge alpha beta gamma"),      # common term, tf=1
+            (2, "dup merge beta gamma")]        # both terms
+    rows += [(i, "merge alpha beta gamma") for i in range(3, 10)]
+    rows += [(i, "alpha beta gamma delta") for i in range(10, 40)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: (r["rank"], r["score"])
+           for r in bm25_topk(docs, terms=("dup", "merge"), k=10).collect()}
+    assert got[2][0] == 1, "two-term doc must rank first"
+    assert got[0][1] > got[1][1], "rare-term doc must outscore common"
+
+
+def test_classifier_is_single_rollup_no_extra_shuffle(spark, sf_dir):
+    """The classifier inference pass is one scan + one map-side-combined
+    rollup: exactly one Exchange in the plan, zero Python stages."""
+    from movement_spark.operators.text import hashed_classifier_scores
+    from movement_spark.plans.audit import explain_text, plan_audit
+    from movement_spark.sources.tables import load_table
+
+    df = hashed_classifier_scores(load_table(spark, sf_dir, "documents"))
+    txt = explain_text(df)
+    assert txt.count("Exchange") <= 2, "classifier must not add shuffles"
+    assert plan_audit(df)["python_stages"] == 0
