@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F  # noqa: E402
 from movement_spark.operators.similarity import (  # noqa: E402
     _exact_rerank, brute_force_topk, ivf_assign, ivf_assign_incremental,
     ivf_search, ivfpq_build, ivfpq_search, pq_codebook, pq_encode,
-    pq_search,
+    pq_search, sq8_decode, sq8_encode, sq8_search, sq8_train,
 )
 from movement_spark.session import get_spark       # noqa: E402
 
@@ -146,10 +146,33 @@ def run_level(spark: SparkSession, n_vecs: int) -> dict:
 
     pq_hits = brute.join(pq, ["query_id", "vec_id"]).count()
     pq_recall = pq_hits / n_brute if n_brute else 0.0
-    brute.unpersist()
     pq.unpersist()
     codes.unpersist()
     cb.unpersist()
+
+    # SQ8: per-dim [min,max] trained in one aggregate row, 8-bit codes
+    # (4× smaller than float32), compressed-domain scan on DECODED
+    # values. Bounds BYTES like PQ but keeps every dimension, so the
+    # recall floor is far higher at the same scan shape.
+    t0 = time.perf_counter()
+    sq_trained = sq8_train(emb, dim=DIM).persist()
+    sq_codes = sq8_decode(sq8_encode(emb, sq_trained, dim=DIM),
+                          sq_trained, dim=DIM).persist()
+    sq_codes.count()
+    t_sq_build = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    sq = sq8_search(sq_codes, n_queries=N_QUERIES, k=K) \
+        .select("query_id", "vec_id").persist()
+    n_sq = sq.count()
+    t_sq_search = time.perf_counter() - t0
+
+    sq_hits = brute.join(sq, ["query_id", "vec_id"]).count()
+    sq_recall = sq_hits / n_brute if n_brute else 0.0
+    brute.unpersist()
+    sq.unpersist()
+    sq_codes.unpersist()
+    sq_trained.unpersist()
     return {
         "n_vecs": n_vecs,
         "dim": DIM,
@@ -175,6 +198,12 @@ def run_level(spark: SparkSession, n_vecs: int) -> dict:
         "pq_recall_at_k": round(pq_recall, 4),
         "pq_encode_vecs_per_sec": round(n_vecs / t_pq_build, 1),
         "pq_search_vecs_per_sec": round(n_vecs / t_pq_search, 1),
+        "sq8_build_sec": round(t_sq_build, 1),
+        "sq8_search_sec": round(t_sq_search, 1),
+        "sq8_rows": n_sq,
+        "sq8_recall_at_k": round(sq_recall, 4),
+        "sq8_encode_vecs_per_sec": round(n_vecs / t_sq_build, 1),
+        "sq8_search_vecs_per_sec": round(n_vecs / t_sq_search, 1),
     }
 
 
@@ -351,15 +380,18 @@ def main() -> None:
 
     hdr = ("| vectors | brute wall (s) | IVF build (s, once) | "
            "IVF search (s) | search speedup | recall@10 | "
-           "PQ encode (s, once) | PQ/ADC search (s) | PQ recall@10 |")
-    sep = "|---|---|---|---|---|---|---|---|---|"
+           "PQ encode (s, once) | PQ/ADC search (s) | PQ recall@10 | "
+           "SQ8 encode (s, once) | SQ8 search (s) | SQ8 recall@10 |")
+    sep = "|---|---|---|---|---|---|---|---|---|---|---|---|"
     lines = [
         f"| {r['n_vecs']:,} | {r['brute_sec']} | {r['ivf_build_sec']} | "
         f"{r['ivf_search_sec']} | "
         f"{r['brute_sec'] / r['ivf_search_sec']:.1f}× | "
         f"{r['recall_at_k']} | "
         f"{r['pq_build_sec']} | {r['pq_search_sec']} | "
-        f"{r['pq_recall_at_k']} |"
+        f"{r['pq_recall_at_k']} | "
+        f"{r.get('sq8_build_sec', '—')} | {r.get('sq8_search_sec', '—')} | "
+        f"{r.get('sq8_recall_at_k', '—')} |"
         for r in rows
     ]
     big = rows[-1]
@@ -392,6 +424,15 @@ seeds = one representative per true cluster) compresses each vector to
 {big['pq_recall_at_k']} at {big['n_vecs']:,} vectors. PQ bounds BYTES
 per candidate where IVF bounds CANDIDATES; `ivfpq_topk` composes both
 (oracle-gated at fixture scale: `ann_ivfpq_topk`).
+
+SQ8 columns: scalar quantization (`sq8_train`/`sq8_encode`) keeps every
+dimension at 8 bits — 4× smaller than float32 vs PQ's 32×, but with a
+recall floor of {big.get('sq8_recall_at_k', '—')} on the same corpus
+because the per-dim error is a quantization step, not a subspace
+collapse. The cheap-compression-first rung of the ladder: SQ8 when 4×
+IO reduction suffices, PQ(+re-rank) when the index must shrink 32×,
+IVF composed with either to bound candidates (oracle rows
+`ann_sq8_topk`, `ann_sq8_rerank_topk`).
 {_delta_sentence(big)}
 {SECTION_END}"""
 

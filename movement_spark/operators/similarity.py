@@ -846,16 +846,12 @@ def sq8_decode(coded: DataFrame, trained: DataFrame,
     )
 
 
-def sq8_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
-             dim: int = EMB_DIM) -> DataFrame:
-    """SQ8 compressed-domain top-k: integer dot product over decoded
-    8-bit codes (both sides encode→decode), per-query rank ≤ k. Same
-    streaming scan shape as brute_force_topk but each stored vector is
-    4× smaller — at 100 TB the win is IO and cache footprint, not
-    arithmetic; compose with IVF lists to also bound WHICH vectors are
-    touched."""
-    trained = sq8_train(embeddings, dim)
-    decoded = sq8_decode(sq8_encode(embeddings, trained, dim), trained, dim)
+def sq8_search(decoded: DataFrame, n_queries: int = 10,
+               k: int = 5) -> DataFrame:
+    """Compressed-domain top-k over a PREBUILT decoded-code frame (the
+    build-once/search-many split, mirroring ivf_assign/ivf_search):
+    integer dot product on decoded values, per-query rank ≤ k. Queries
+    are drawn from the same frame and broadcast."""
     queries = decoded.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("dq").alias("qc"))
     scored = (
@@ -870,6 +866,21 @@ def sq8_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
         .select("query_id", "vec_id", "dot",
                 F.col("rank").cast("int").alias("rank"))
     )
+
+
+def sq8_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
+             dim: int = EMB_DIM) -> DataFrame:
+    """SQ8 compressed-domain top-k: integer dot product over decoded
+    8-bit codes (both sides encode→decode), per-query rank ≤ k. Same
+    streaming scan shape as brute_force_topk but each stored vector is
+    4× smaller — at 100 TB the win is IO and cache footprint, not
+    arithmetic; compose with IVF lists to also bound WHICH vectors are
+    touched. One-shot composition of sq8_train → sq8_encode →
+    sq8_decode → sq8_search; production persists the decoded frame and
+    calls sq8_search per query batch."""
+    trained = sq8_train(embeddings, dim)
+    decoded = sq8_decode(sq8_encode(embeddings, trained, dim), trained, dim)
+    return sq8_search(decoded, n_queries=n_queries, k=k)
 
 
 def sq8_rerank_topk(embeddings: DataFrame, n_queries: int = 10,
