@@ -720,3 +720,50 @@ def source_cap_manifest(documents: DataFrame,
                 .alias("n_dropped"),
                 "sum_chars_kept", "sum_chars")
     )
+
+
+# ---------------------------------------------------------------------
+# Data-constrained epoch scheduling (the Muennighoff-style repetition
+# recipe): given a total token budget split across sources, how many
+# epochs does each source run before hitting the repetition cap, and
+# how much of its budget goes unfilled because the data ran out?
+# Everything in x1000 fixed point — the schedule is pure arithmetic
+# over one per-source aggregate row, reproducible in any engine.
+
+EPOCH_BUDGET_MULT = 4     # fixture: budget = 4× the corpus token mass
+EPOCH_CAP_X1000 = 4000    # fixture: at most 4.0 epochs per source
+
+
+def epoch_schedule_manifest(documents: DataFrame,
+                            budget_mult: int = EPOCH_BUDGET_MULT,
+                            cap_x1000: int = EPOCH_CAP_X1000) -> DataFrame:
+    """Per-source epoch schedule under a token budget: the budget is
+    split uniformly across sources; each source serves
+    min(cap, budget/corpus) epochs (x1000 fixed point, floored), and
+    `shortfall` records budget tokens the source cannot fill once
+    capped — the data-constrained signal that triggers re-weighting or
+    new collection. One corpus scan + one ≤n_sources-row broadcast."""
+    toks = documents.select(
+        "source", F.size(F.split("text", " ")).alias("t"))
+    per = toks.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("t").cast("bigint").alias("corpus_tokens"))
+    tot = per.agg(F.sum("corpus_tokens").cast("bigint").alias("total_tokens"),
+                  F.count("*").alias("n_sources"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("budget_tokens",
+                    F.expr(f"(total_tokens * {budget_mult}) div n_sources"))
+        .withColumn("epochs_x1000",
+                    F.expr(f"least(cast({cap_x1000} as bigint), "
+                           f"(budget_tokens * 1000) div corpus_tokens)"))
+        .withColumn("tokens_served",
+                    F.expr("(corpus_tokens * epochs_x1000) div 1000"))
+        .select(
+            "source", "n_docs", "corpus_tokens", "budget_tokens",
+            "epochs_x1000", "tokens_served",
+            (F.col("budget_tokens") - F.col("tokens_served"))
+            .cast("bigint").alias("shortfall"),
+            (F.col("epochs_x1000") == cap_x1000).cast("int")
+            .alias("capped"))
+    )

@@ -684,3 +684,39 @@ def funnel_conversion(events: DataFrame,
         .select(F.col("stage").cast("int").alias("stage"),
                 "n_users", "sum_convert_sec")
     )
+
+
+def small_quantity_part_revenue(lineitem: DataFrame,
+                                part: DataFrame) -> DataFrame:
+    """TPC-H Q17 shape: revenue locked in small-quantity lines — those
+    whose quantity is under 0.2× their part's average quantity, rolled
+    up per brand.
+
+    The correlated per-part AVG subquery is the textbook shape that
+    must NOT run per-row: it becomes ONE per-part aggregate joined back
+    to the fact on the aggregation key (partkey-keyed equi-join — at
+    TPC-H scale the per-part frame is fact-derived and big, so it
+    shuffles on the same key the aggregate just used; AQE handles the
+    residual skew). Exactness: qty < sum/(5·n) is evaluated as
+    qty·5·n < sum in bigint — no float average anywhere (quantities
+    are whole; verified at every test SF) — and money flows through
+    DECIMAL(18,4) before the final round."""
+    pa = lineitem.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        F.count("*").alias("n_li"))
+    small = (
+        lineitem.select(
+            "l_partkey",
+            F.col("l_quantity").cast("bigint").alias("qty"),
+            F.col("l_extendedprice").cast("decimal(18,4)").alias("price"))
+        .join(pa, "l_partkey")
+        .where(F.expr("qty * 5 * n_li < sum_qty"))
+        .join(F.broadcast(part.select("p_partkey", "p_brand")),
+              F.col("l_partkey") == F.col("p_partkey"))
+    )
+    return (
+        small.groupBy("p_brand")
+        .agg(F.count("*").cast("bigint").alias("n_small_lines"),
+             F.expr("cast(round(sum(price), 2) as double)")
+             .alias("small_qty_revenue"))
+    )

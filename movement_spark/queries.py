@@ -5431,6 +5431,67 @@ def q_ann_sq8_rerank(spark, sf_dir):
     return similarity.sq8_rerank_topk(load_table(spark, sf_dir, "embeddings"))
 
 
+
+
+@register("small_quantity_part_revenue", """
+WITH pa AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+         COUNT(*) AS n_li
+  FROM lineitem GROUP BY 1),
+small AS (
+  SELECT l.l_partkey,
+         CAST(l.l_extendedprice AS DECIMAL(18,4)) AS price
+  FROM lineitem l JOIN pa USING (l_partkey)
+  WHERE CAST(l_quantity AS BIGINT) * 5 * n_li < sum_qty)
+SELECT p_brand, COUNT(*) AS n_small_lines,
+       CAST(ROUND(SUM(price), 2) AS DOUBLE) AS small_qty_revenue
+FROM small JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+""")
+def q_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: the correlated per-part AVG subquery as ONE
+    per-part aggregate joined back on its own key — qty < 0.2·avg
+    evaluated float-free as qty·5·n < sum_qty in bigint, money through
+    DECIMAL."""
+    return relational.small_quantity_part_revenue(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"))
+
+
+@register("epoch_schedule_manifest", f"""
+WITH per AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS corpus_tokens
+  FROM documents GROUP BY 1),
+tot AS (SELECT CAST(SUM(corpus_tokens) AS BIGINT) AS total_tokens,
+               COUNT(*) AS n_sources FROM per),
+j AS (
+  SELECT source, n_docs, corpus_tokens,
+         (total_tokens * {dataset.EPOCH_BUDGET_MULT}) // n_sources
+           AS budget_tokens
+  FROM per CROSS JOIN tot),
+e AS (
+  SELECT *, least(CAST({dataset.EPOCH_CAP_X1000} AS BIGINT),
+                  (budget_tokens * 1000) // corpus_tokens) AS epochs_x1000
+  FROM j)
+SELECT source, n_docs, corpus_tokens, budget_tokens, epochs_x1000,
+       (corpus_tokens * epochs_x1000) // 1000 AS tokens_served,
+       CAST(budget_tokens - (corpus_tokens * epochs_x1000) // 1000
+         AS BIGINT) AS shortfall,
+       CAST(CASE WHEN epochs_x1000 = {dataset.EPOCH_CAP_X1000}
+            THEN 1 ELSE 0 END AS INT) AS capped
+FROM e
+""")
+def q_epoch_schedule(spark, sf_dir):
+    """Data-constrained epoch schedule (Muennighoff-style repetition
+    accounting): uniform per-source token budget, epochs floored in
+    x1000 fixed point under the repetition cap, shortfall = budget the
+    source cannot fill once capped. One scan + one broadcast scalar."""
+    return dataset.epoch_schedule_manifest(
+        load_table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------
 # Driver-gate ordering. The correctness sweep evaluates the registry in
 # insertion order and time-boxes at ~50 rows (r01 truncated at 49; r02
@@ -5477,6 +5538,8 @@ _FRONT = [
     "source_cap_manifest",
     "ann_sq8_topk",
     "ann_sq8_rerank_topk",
+    "small_quantity_part_revenue",
+    "epoch_schedule_manifest",
     # --- Re-verification: load-bearing rows whose only green driver
     # row is r01 (two rounds stale). The driver re-runs whatever is in
     # the window; green re-runs prove no silent regression since r01.

@@ -1062,3 +1062,52 @@ def test_classifier_is_single_rollup_no_extra_shuffle(spark, sf_dir):
     txt = explain_text(df)
     assert txt.count("Exchange") <= 2, "classifier must not add shuffles"
     assert plan_audit(df)["python_stages"] == 0
+
+
+def test_small_qty_revenue_matches_correlated_subquery(spark, sf_dir):
+    """The Q17-shape rewrite (per-part aggregate joined back) must
+    equal the literal correlated-subquery formulation Spark would
+    otherwise evaluate as a rewritten join anyway — pinned so the
+    float-free qty·5·n < sum form stays equivalent to qty < sum/(5n)."""
+    from movement_spark.operators.relational import (
+        small_quantity_part_revenue)
+    from movement_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    li.createOrReplaceTempView("li_q17")
+    part.createOrReplaceTempView("part_q17")
+    want = {r["p_brand"]: (r["n"], r["rev"]) for r in spark.sql("""
+        SELECT p_brand, COUNT(*) AS n,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2)
+                    AS DOUBLE) AS rev
+        FROM li_q17 l JOIN part_q17 ON l_partkey = p_partkey
+        WHERE CAST(l_quantity AS BIGINT) * 5 *
+              (SELECT COUNT(*) FROM li_q17 i
+               WHERE i.l_partkey = l.l_partkey)
+              < (SELECT SUM(CAST(l_quantity AS BIGINT)) FROM li_q17 i
+                 WHERE i.l_partkey = l.l_partkey)
+        GROUP BY p_brand""").collect()}
+    got = {r["p_brand"]: (r["n_small_lines"], r["small_qty_revenue"])
+           for r in small_quantity_part_revenue(li, part).collect()}
+    assert got == want
+
+
+def test_epoch_schedule_conserves_budget_and_caps(spark, sf_dir):
+    """Schedule invariants: served ≤ budget, shortfall is the exact
+    remainder, capped ⟺ the epoch cap bound, and the fixture corpus
+    exercises BOTH branches (some sources capped, some budget-bound)."""
+    from movement_spark.operators.dataset import (
+        EPOCH_CAP_X1000, epoch_schedule_manifest)
+    from movement_spark.sources.tables import load_table
+
+    rows = epoch_schedule_manifest(
+        load_table(spark, sf_dir, "documents")).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["tokens_served"] <= r["budget_tokens"]
+        assert r["shortfall"] == r["budget_tokens"] - r["tokens_served"]
+        assert r["capped"] == int(r["epochs_x1000"] == EPOCH_CAP_X1000)
+        assert r["epochs_x1000"] <= EPOCH_CAP_X1000
+    assert any(r["capped"] for r in rows), "no source hit the cap"
+    assert any(not r["capped"] for r in rows), "every source capped"
