@@ -426,13 +426,19 @@ per candidate where IVF bounds CANDIDATES; `ivfpq_topk` composes both
 (oracle-gated at fixture scale: `ann_ivfpq_topk`).
 
 SQ8 columns: scalar quantization (`sq8_train`/`sq8_encode`) keeps every
-dimension at 8 bits — 4× smaller than float32 vs PQ's 32×, but with a
-recall floor of {big.get('sq8_recall_at_k', '—')} on the same corpus
-because the per-dim error is a quantization step, not a subspace
-collapse. The cheap-compression-first rung of the ladder: SQ8 when 4×
-IO reduction suffices, PQ(+re-rank) when the index must shrink 32×,
-IVF composed with either to bound candidates (oracle rows
-`ann_sq8_topk`, `ann_sq8_rerank_topk`).
+dimension at 8 bits — 4× compression vs PQ's 32×. Measured profile:
+the ENCODE side is where SQ8 wins ({big.get('sq8_encode_vecs_per_sec', 0):,.0f} vecs/s at
+{big['n_vecs']:,} vectors, ~60× cheaper than PQ's Lloyd-round codebook + argmin
+encode — the whole 'codebook' is one 2×dim aggregate row), while raw
+compressed-domain recall@10 is {big.get('sq8_recall_at_k', '—')} here: this corpus's 256 tight
+clusters separate neighbors by margins below the global quantization
+step, the adversarial case for uniform per-dim levels (PQ's
+cluster-seeded codebook is correspondingly flattered at 100k and
+collapses by 1M). Deployment reading: SQ8 = cheapest index build + 4×
+IO cut with the exact re-rank restoring ordering over a shallow pool
+(recall ≥ the raw scan by construction, property-pinned); PQ(+re-rank)
+when the index must shrink 32×; IVF composed with either to bound
+candidates (oracle rows `ann_sq8_topk`, `ann_sq8_rerank_topk`).
 {_delta_sentence(big)}
 {SECTION_END}"""
 
