@@ -83,6 +83,10 @@ def main() -> None:
         "segment_dedup_stats", "zorder_layout_stats",
         "incident_attribution", "rolling_user_features",
         "loglog_distinct_sketch", "tfidf_top_terms",
+        # round-4 continuation families
+        "hashed_classifier_scores", "bm25_doc_retrieval",
+        "source_cap_manifest", "ann_sq8_rerank_topk",
+        "small_quantity_part_revenue", "epoch_schedule_manifest",
     )
     extended: dict[str, float] = {}
     for name in EXTENDED:
