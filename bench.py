@@ -87,6 +87,9 @@ def main() -> None:
         "hashed_classifier_scores", "bm25_doc_retrieval",
         "source_cap_manifest", "ann_sq8_rerank_topk",
         "small_quantity_part_revenue", "epoch_schedule_manifest",
+        # round-4 third-session families
+        "local_supplier_volume", "large_volume_customers",
+        "hard_negative_mining", "prefix_boilerplate_clusters",
     )
     extended: dict[str, float] = {}
     for name in EXTENDED:

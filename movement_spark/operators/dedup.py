@@ -956,3 +956,38 @@ def dup_span_scrub(tokens: DataFrame,
                        " div total_tokens")
                 .cast("bigint").alias("removed_bps"))
     )
+
+
+PREFIX_W = 6  # words of document head that define a boilerplate key
+
+
+def prefix_boilerplate_clusters(documents: DataFrame,
+                                prefix_w: int = PREFIX_W) -> DataFrame:
+    """Template/boilerplate detection by shared document head: docs
+    whose first ``prefix_w`` words are identical form a cluster — the
+    cheap pre-pass that catches mirrored pages and form letters before
+    the (much costlier) MinHash stage runs, and the canonical-doc
+    choice feeds the same keep-min-id scrub convention as
+    dedup_canonical_manifest.
+
+    Scale shape: one projection (no explode — a doc contributes exactly
+    one key) and one groupBy on the prefix key; the >1 filter rides the
+    aggregate. At 100 TB the key would be a 128-bit digest of the
+    prefix instead of the string (same note as segment_dedup_stats);
+    the string keeps the oracle engine-exact.
+    """
+    words = documents.select(
+        "doc_id", "source", F.split("text", " ").alias("w"))
+    pref = (
+        words.where(F.size("w") >= prefix_w)
+        .select("doc_id", "source",
+                F.expr(f"array_join(slice(w, 1, {prefix_w}), ' ')")
+                .alias("prefix"))
+    )
+    return (
+        pref.groupBy("prefix")
+        .agg(F.count("*").alias("n_docs"),
+             F.countDistinct("source").alias("n_sources"),
+             F.min("doc_id").alias("canonical_doc"))
+        .where(F.col("n_docs") > 1)
+    )

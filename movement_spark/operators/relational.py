@@ -720,3 +720,188 @@ def small_quantity_part_revenue(lineitem: DataFrame,
              F.expr("cast(round(sum(price), 2) as double)")
              .alias("small_qty_revenue"))
     )
+
+
+# ---------------------------------------------------------------------
+# Round-4 continuation: the remaining distinctive TPC-H join/predicate
+# shapes (Q18/Q19/Q14/Q12/Q5 analogs over this corpus's columns). All
+# money arithmetic is float-free: line revenue is carried as
+# cents × (100 − discount_pct) — an exact BIGINT because prices are
+# 2-decimal and discounts whole hundredths (verified at every test SF).
+# At a 100-TB SF the x10000 sums approach 2^63 only past ~10^9 lines
+# per group; the oracle already sums in HUGEINT, and the Spark side
+# would move to DECIMAL(38,0) sums at that width.
+# ---------------------------------------------------------------------
+
+def _rev_x10000() -> F.Column:
+    """Exact line revenue with discount, in 10^-4-cent fixed point."""
+    return (
+        F.expr("cast(round(l_extendedprice * 100, 0) as bigint)")
+        * (F.lit(100) - F.expr("cast(round(l_discount * 100, 0) as bigint)"))
+    )
+
+
+def large_volume_customers(lineitem: DataFrame, orders: DataFrame,
+                           customer: DataFrame,
+                           min_qty: int = 280) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose total
+    line quantity exceeds ``min_qty``, with their customer.
+
+    Scale shape: the HAVING subquery is ONE per-order aggregate (the
+    only full-fact shuffle); the survivors are a ~top-percentile sliver,
+    so they BROADCAST into the orders scan, and the enriched sliver
+    broadcasts again into the customer probe — the fact table is never
+    shuffled a second time and customer is never shuffled at all.
+    """
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"))
+        .where(F.col("sum_qty") > min_qty)
+    )
+    hits = (
+        orders.join(F.broadcast(big),
+                    orders.o_orderkey == big.l_orderkey)
+        .drop("l_orderkey")
+    )
+    return (
+        customer.join(F.broadcast(hits),
+                      F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_custkey", "c_name", "o_orderkey",
+            F.unix_timestamp("o_orderdate").cast("bigint")
+            .alias("order_epoch"),
+            F.expr("cast(round(cast(o_totalprice as decimal(18,4)), 2)"
+                   " as double)").alias("total_price"),
+            "sum_qty")
+    )
+
+
+BRACKETS = (
+    ("Brand#12", 1, 15, 1, 20),
+    ("Brand#23", 10, 30, 10, 30),
+    ("Brand#34", 20, 50, 20, 50),
+)
+
+
+def disjunctive_bracket_revenue(lineitem: DataFrame,
+                                part: DataFrame) -> DataFrame:
+    """TPC-H Q19 shape (disjunctive bracket predicate): discounted
+    revenue from lines matching any (brand, size-range, qty-range)
+    bracket, per brand.
+
+    Scale shape: ONE broadcast hash join part→lineitem with the whole
+    OR-of-ANDs evaluated as a single post-join filter — Catalyst folds
+    the common ``p_partkey`` equi-key out of the disjunction, so this
+    stays a hash join (never a nested-loop), and the brand IN-list
+    prunes the broadcast side before it ships.
+    """
+    qty = F.col("l_quantity").cast("bigint")
+    cond = None
+    for brand, s_lo, s_hi, q_lo, q_hi in BRACKETS:
+        leg = ((F.col("p_brand") == brand)
+               & F.col("p_size").between(s_lo, s_hi)
+               & qty.between(q_lo, q_hi))
+        cond = leg if cond is None else (cond | leg)
+    dim = part.where(
+        F.col("p_brand").isin([b for b, *_ in BRACKETS]))
+    return (
+        lineitem.join(F.broadcast(dim),
+                      F.col("l_partkey") == F.col("p_partkey"))
+        .where(cond)
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_lines"),
+             F.sum(_rev_x10000()).cast("bigint").alias("disc_rev_x10000"))
+    )
+
+
+def promo_revenue_share(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q14 shape (promotion revenue share): per ship month, the
+    share of discounted revenue carried by PROMO-type parts, in exact
+    integer basis points.
+
+    Scale shape: broadcast the part type map into the fact scan, one
+    month-keyed aggregate; the share is (promo·10000) div total on the
+    exact fixed-point sums — no float ratio anywhere.
+    """
+    month = (F.year("l_shipdate") * 100 + F.month("l_shipdate")) \
+        .cast("int").alias("ship_month")
+    promo = F.when(F.col("p_type") == "PROMO", F.lit(1)).otherwise(F.lit(0))
+    j = (
+        lineitem.join(F.broadcast(part.select("p_partkey", "p_type")),
+                      F.col("l_partkey") == F.col("p_partkey"))
+        .select(month, _rev_x10000().alias("rev"),
+                promo.alias("is_promo"))
+    )
+    return (
+        j.groupBy("ship_month")
+        .agg(F.sum(F.when(F.col("is_promo") == 1, F.col("rev"))
+                   .otherwise(F.lit(0))).cast("bigint")
+             .alias("promo_rev_x10000"),
+             F.sum("rev").cast("bigint").alias("total_rev_x10000"))
+        .withColumn("promo_bps",
+                    F.expr("(promo_rev_x10000 * 10000) div total_rev_x10000"))
+    )
+
+
+def priority_ship_delay_matrix(lineitem: DataFrame,
+                               orders: DataFrame) -> DataFrame:
+    """TPC-H Q12 shape (shipping-delay × priority matrix): lines
+    bucketed by order-to-ship delay, with high- vs low-priority counts
+    as conditional aggregates. This corpus carries no commit/receipt
+    dates, so the delay bands stand in for Q12's lateness test; the
+    join-then-conditional-count algebra is the query's point.
+
+    Scale shape: one orderkey-keyed shuffle join (both sides carry the
+    key from their scans), then a 4-row hash aggregate — the priority
+    split is a CASE inside the agg, never a second pass.
+    """
+    dd = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (F.when(dd < 0, "early")
+              .when(dd < 90, "fast")
+              .when(dd < 365, "slow")
+              .otherwise("late"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.select("l_orderkey", "l_shipdate")
+        .join(orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(bucket.alias("delay_bucket"), high.alias("is_high"))
+        .groupBy("delay_bucket")
+        .agg(F.sum(F.col("is_high").cast("int")).cast("bigint")
+             .alias("n_high"),
+             F.sum((~F.col("is_high")).cast("int")).cast("bigint")
+             .alias("n_low"))
+    )
+
+
+def local_supplier_volume(lineitem: DataFrame, orders: DataFrame,
+                          customer: DataFrame, supplier: DataFrame,
+                          nation: DataFrame) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): discounted revenue per
+    nation × order year from lines where the customer and supplier
+    share a nation.
+
+    Scale shape: the two fact-sized joins shuffle on their natural keys
+    (lineitem⋈orders on orderkey, then ⋈customer on custkey — at 100 TB
+    customer does NOT broadcast and AQE plans both exchanges); supplier
+    and nation broadcast, and the same-nation test rides inside the
+    supplier broadcast join, pruning before the aggregate.
+    """
+    j = (
+        lineitem.select("l_orderkey", "l_suppkey", _rev_x10000().alias("rev"))
+        .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+              (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        j.groupBy("n_name",
+                  F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(F.count("*").alias("n_lines"),
+             F.sum("rev").cast("bigint").alias("rev_x10000"))
+    )

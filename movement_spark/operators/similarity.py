@@ -895,3 +895,35 @@ def sq8_rerank_topk(embeddings: DataFrame, n_queries: int = 10,
     cands = sq8_topk(embeddings, n_queries=n_queries, k=pool,
                      dim=dim).select("query_id", "vec_id")
     return _exact_rerank(embeddings, cands, n_queries, k)
+
+
+def hard_negative_topk(embeddings: DataFrame, n_queries: int = 10,
+                       k: int = 5) -> DataFrame:
+    """Hard-negative mining for contrastive training pairs: for each
+    query vector, the top-k most-similar vectors with a DIFFERENT
+    label — the negatives a contrastive loss learns most from.
+
+    Same scan shape as brute_force_topk (queries broadcast, corpus
+    streams, no corpus shuffle); the label inequality rides the
+    broadcast join as a filter, so mismatched-label pairs never reach
+    the ranking window. The deployed scale path swaps the exact scan
+    for the IVF/SQ8 candidate stage and re-ranks exactly, identical to
+    the ann_*_rerank composition.
+    """
+    q = quantized(embeddings)
+    queries = q.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("q").alias("qv"))
+    scored = (
+        q.crossJoin(F.broadcast(queries))
+        .where(F.col("label") != F.col("query_label"))
+        .select("query_id", "query_label", "vec_id",
+                F.col("label").alias("neg_label"),
+                _dot("q", "qv").alias("dot"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+    )

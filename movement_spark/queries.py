@@ -5492,6 +5492,180 @@ def q_epoch_schedule(spark, sf_dir):
         load_table(spark, sf_dir, "documents"))
 
 
+
+
+@register("large_volume_customers", """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+  FROM lineitem GROUP BY 1
+  HAVING SUM(CAST(l_quantity AS BIGINT)) > 280)
+SELECT c_custkey, c_name, o_orderkey,
+       CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch,
+       CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)), 2) AS DOUBLE)
+         AS total_price,
+       sum_qty
+FROM big JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+""")
+def q_large_volume_customers(spark, sf_dir):
+    """TPC-H Q18 shape: HAVING subquery as one per-order aggregate
+    whose sliver of survivors broadcasts twice (orders probe, then
+    customer probe) — the fact shuffles once, customer never."""
+    return relational.large_volume_customers(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"))
+
+
+_REV_X10000_SQL = ("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)"
+                   " * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))")
+
+_BRACKET_SQL = " OR ".join(
+    f"(p_brand = '{b}' AND p_size BETWEEN {slo} AND {shi}"
+    f" AND CAST(l_quantity AS BIGINT) BETWEEN {qlo} AND {qhi})"
+    for b, slo, shi, qlo, qhi in relational.BRACKETS)
+
+
+@register("disjunctive_bracket_revenue", f"""
+SELECT p_brand, COUNT(*) AS n_lines,
+       CAST(SUM({_REV_X10000_SQL}) AS BIGINT) AS disc_rev_x10000
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE {_BRACKET_SQL}
+GROUP BY 1
+""")
+def q_disjunctive_bracket_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: OR-of-ANDs bracket predicate over one broadcast
+    hash join (the equi-key is folded out of the disjunction — never a
+    nested loop); revenue in exact cents×(100−disc) fixed point."""
+    return relational.disjunctive_bracket_revenue(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"))
+
+
+@register("promo_revenue_share", f"""
+WITH m AS (
+  SELECT CAST(date_part('year', l_shipdate) * 100
+              + date_part('month', l_shipdate) AS INT) AS ship_month,
+         {_REV_X10000_SQL} AS rev,
+         CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END AS is_promo
+  FROM lineitem JOIN part ON l_partkey = p_partkey)
+SELECT ship_month,
+       CAST(SUM(CASE WHEN is_promo = 1 THEN rev ELSE 0 END) AS BIGINT)
+         AS promo_rev_x10000,
+       CAST(SUM(rev) AS BIGINT) AS total_rev_x10000,
+       CAST(SUM(CASE WHEN is_promo = 1 THEN rev ELSE 0 END) * 10000
+            // SUM(rev) AS BIGINT) AS promo_bps
+FROM m GROUP BY 1
+""")
+def q_promo_revenue_share(spark, sf_dir):
+    """TPC-H Q14 shape: promotion revenue share per ship month, the
+    ratio as (promo·10000) div total on exact fixed-point sums."""
+    return relational.promo_revenue_share(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"))
+
+
+@register("priority_ship_delay_matrix", """
+WITH d AS (
+  SELECT CASE WHEN dd < 0 THEN 'early'
+              WHEN dd < 90 THEN 'fast'
+              WHEN dd < 365 THEN 'slow'
+              ELSE 'late' END AS delay_bucket,
+         o_orderpriority
+  FROM (SELECT date_diff('day', o_orderdate, l_shipdate) AS dd,
+               o_orderpriority
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey))
+SELECT delay_bucket,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS n_low
+FROM d GROUP BY 1
+""")
+def q_priority_ship_delay_matrix(spark, sf_dir):
+    """TPC-H Q12 shape: one orderkey shuffle join, then a 4-row hash
+    aggregate with the priority split as conditional sums (the corpus
+    has no commit/receipt dates; delay bands stand in)."""
+    return relational.priority_ship_delay_matrix(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"))
+
+
+@register("local_supplier_volume", f"""
+SELECT n_name,
+       CAST(date_part('year', o_orderdate) AS INT) AS order_year,
+       COUNT(*) AS n_lines,
+       CAST(SUM({_REV_X10000_SQL}) AS BIGINT) AS rev_x10000
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1, 2
+""")
+def q_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: two natural-key fact shuffles (orderkey then
+    custkey), supplier+nation broadcast with the same-nation test
+    riding the supplier join."""
+    return relational.local_supplier_volume(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"))
+
+
+@register("hard_negative_mining", f"""
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x ->
+           CAST(round(CAST(x AS DOUBLE) * {similarity.QUANT}, 0) AS BIGINT))
+           AS qv
+  FROM embeddings),
+queries AS (SELECT vec_id AS query_id, label AS query_label, qv AS qv2
+            FROM q WHERE vec_id < 10),
+scored AS (
+  SELECT query_id, query_label, q.vec_id, q.label AS neg_label,
+         CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+              i -> q.qv[i] * qv2[i])) AS BIGINT) AS dot
+  FROM q CROSS JOIN queries WHERE q.label <> queries.query_label),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY dot DESC, vec_id ASC) AS rank
+  FROM scored)
+SELECT query_id, query_label, vec_id, neg_label, dot,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+""")
+def q_hard_negative_mining(spark, sf_dir):
+    """Contrastive hard negatives: top-k most-similar DIFFERENT-label
+    vectors per query — brute_force_topk's scan shape with the label
+    inequality riding the broadcast join."""
+    return similarity.hard_negative_topk(
+        load_table(spark, sf_dir, "embeddings"))
+
+
+@register("prefix_boilerplate_clusters", f"""
+WITH pref AS (
+  SELECT doc_id, source,
+         array_to_string(string_split(text, ' ')[1:{dedup.PREFIX_W}], ' ')
+           AS prefix
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= {dedup.PREFIX_W})
+SELECT prefix, COUNT(*) AS n_docs,
+       COUNT(DISTINCT source) AS n_sources,
+       MIN(doc_id) AS canonical_doc
+FROM pref GROUP BY 1 HAVING COUNT(*) > 1
+""")
+def q_prefix_boilerplate_clusters(spark, sf_dir):
+    """Template/boilerplate pre-pass: clusters of docs sharing their
+    first-{PREFIX_W}-word head; one projection + one groupBy, no
+    explode."""
+    return dedup.prefix_boilerplate_clusters(
+        load_table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------
 # Driver-gate ordering. The correctness sweep evaluates the registry in
 # insertion order and time-boxes at ~50 rows (r01 truncated at 49; r02
@@ -5540,6 +5714,14 @@ _FRONT = [
     "ann_sq8_rerank_topk",
     "small_quantity_part_revenue",
     "epoch_schedule_manifest",
+    # --- Round-4 third-session additions (never driver-verified).
+    "large_volume_customers",
+    "disjunctive_bracket_revenue",
+    "promo_revenue_share",
+    "priority_ship_delay_matrix",
+    "local_supplier_volume",
+    "hard_negative_mining",
+    "prefix_boilerplate_clusters",
     # --- Re-verification: load-bearing rows whose only green driver
     # row is r01 (two rounds stale). The driver re-runs whatever is in
     # the window; green re-runs prove no silent regression since r01.

@@ -1111,3 +1111,48 @@ def test_epoch_schedule_conserves_budget_and_caps(spark, sf_dir):
         assert r["epochs_x1000"] <= EPOCH_CAP_X1000
     assert any(r["capped"] for r in rows), "no source hit the cap"
     assert any(not r["capped"] for r in rows), "every source capped"
+
+
+def test_hard_negatives_bounded_by_unfiltered_brute_force(spark, sf_dir):
+    """Hard-negative invariants: no returned neighbor carries the
+    query's label, ranks are dense per query, and each query's best
+    hard-negative dot is ≤ its best unfiltered-neighbor dot (the label
+    filter only removes candidates — if this breaks, the filter moved
+    somewhere that changes scores, not membership)."""
+    from movement_spark.operators.similarity import (
+        brute_force_topk, hard_negative_topk)
+    from movement_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    hard = hard_negative_topk(emb).collect()
+    assert hard, "no hard negatives at test SF"
+    assert all(r["neg_label"] != r["query_label"] for r in hard)
+    by_q = {}
+    for r in hard:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        assert sorted(r["rank"] for r in rows) == list(
+            range(1, len(rows) + 1))
+    best_any = {r["query_id"]: r["dot"]
+                for r in brute_force_topk(emb).collect() if r["rank"] == 1}
+    for q, rows in by_q.items():
+        assert max(r["dot"] for r in rows) <= best_any[q]
+
+
+def test_large_volume_plan_broadcasts_sliver_and_shuffles_fact_once(
+        spark, sf_dir):
+    """Q18's scale contract: the per-order aggregate is the ONLY
+    hash-partition exchange in the plan (the fact shuffles once); the
+    filtered sliver reaches both probes as broadcast hash joins and no
+    sort-merge join appears."""
+    from movement_spark.operators.relational import large_volume_customers
+    from movement_spark.sources.tables import load_table
+
+    df = large_volume_customers(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
