@@ -927,3 +927,52 @@ def hard_negative_topk(embeddings: DataFrame, n_queries: int = 10,
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= k)
     )
+
+
+TRUNC_DIM = 16  # Matryoshka prefix width: first 16 of the 64 dims
+
+
+def truncated_topk(embeddings: DataFrame, n_queries: int = 10,
+                   k: int = 5, d: int = TRUNC_DIM) -> DataFrame:
+    """Truncated-dimension ANN (Matryoshka-style): score on the first
+    ``d`` dimensions only — the THIRD compression axis next to PQ
+    (fewer codewords) and SQ8 (fewer bits): fewer dims. A 4× prefix cut
+    means a 4× cheaper scan and 4× smaller resident vectors; recall
+    depends on how much mass the embedding packs into its prefix, so
+    the deployed form is the rerank composition below.
+
+    Scan shape identical to brute_force_topk — queries broadcast,
+    corpus streams, slice() is codegen — so the speedup is pure
+    bytes-per-row, not a different plan.
+    """
+    q = quantized(embeddings)
+    t = q.select("vec_id", F.expr(f"slice(q, 1, {d})").alias("tq"))
+    queries = t.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("tq").alias("qtv"))
+    scored = (
+        t.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", _dot("tq", "qtv").alias("tdot"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("tdot"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "tdot",
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def truncated_rerank_topk(embeddings: DataFrame, n_queries: int = 10,
+                          k: int = 5, pool: int = 20,
+                          d: int = TRUNC_DIM) -> DataFrame:
+    """Truncated-dim ANN as deployed: the prefix scan proposes a
+    ``pool``-sized candidate set, the exact full-width integer dot
+    re-ranks to top-k (_exact_rerank — one narrow vec_id-keyed corpus
+    probe, O(pool × dim)/query). Same composition contract as
+    sq8_rerank_topk/pq_rerank_topk, so the recall-floor property test
+    class applies here too."""
+    cands = truncated_topk(embeddings, n_queries=n_queries, k=pool,
+                           d=d).select("query_id", "vec_id")
+    return _exact_rerank(embeddings, cands, n_queries, k)

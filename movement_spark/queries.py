@@ -5666,6 +5666,67 @@ def q_prefix_boilerplate_clusters(spark, sf_dir):
         load_table(spark, sf_dir, "documents"))
 
 
+
+
+_TRUNC_CTE = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x ->
+           CAST(round(CAST(x AS DOUBLE) * {similarity.QUANT}, 0) AS BIGINT))
+           AS qv
+  FROM embeddings),
+t AS (SELECT vec_id, qv[1:{similarity.TRUNC_DIM}] AS tq FROM q),
+tqueries AS (SELECT vec_id AS query_id, tq AS qtv
+             FROM t WHERE vec_id < 10),
+tscored AS (
+  SELECT query_id, t.vec_id,
+         CAST(list_sum(list_transform(range(1, {similarity.TRUNC_DIM} + 1),
+              i -> t.tq[i] * qtv[i])) AS BIGINT) AS tdot
+  FROM t CROSS JOIN tqueries WHERE t.vec_id <> tqueries.query_id),
+tranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY tdot DESC, vec_id ASC) AS rank
+  FROM tscored)
+"""
+
+
+@register("ann_trunc_topk", _TRUNC_CTE + """
+SELECT query_id, vec_id, tdot, CAST(rank AS INT) AS rank
+FROM tranked WHERE rank <= 5
+""")
+def q_ann_trunc(spark, sf_dir):
+    """Matryoshka-style truncated-dim ANN: score on the first 16 of 64
+    dims — the fewer-DIMS compression axis next to PQ (fewer codewords)
+    and SQ8 (fewer bits); same broadcast-scan plan as brute force, 4×
+    fewer bytes per row."""
+    return similarity.truncated_topk(
+        load_table(spark, sf_dir, "embeddings"))
+
+
+@register("ann_trunc_rerank_topk", _TRUNC_CTE + f"""
+, tcand AS (SELECT query_id, vec_id FROM tranked WHERE rank <= 20),
+tqq AS (SELECT vec_id AS query_id, qv AS qv2 FROM q WHERE vec_id < 10),
+texact AS (
+  SELECT c.query_id, c.vec_id,
+         CAST(list_sum(list_transform(range(1, {similarity.EMB_DIM} + 1),
+              i -> q.qv[i] * tqq.qv2[i])) AS BIGINT) AS dot
+  FROM tcand c JOIN q ON q.vec_id = c.vec_id
+  JOIN tqq ON tqq.query_id = c.query_id),
+tr2 AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY dot DESC, vec_id ASC) AS rank
+  FROM texact)
+SELECT query_id, vec_id, dot, CAST(rank AS INT) AS rank
+FROM tr2 WHERE rank <= 5
+""")
+def q_ann_trunc_rerank(spark, sf_dir):
+    """Truncated-dim ANN as deployed: 16-dim prefix scan proposes a
+    20-deep pool, exact full-width integer dot re-ranks to top-5
+    (_exact_rerank, the composition shared with PQ/IVF-PQ/SQ8)."""
+    return similarity.truncated_rerank_topk(
+        load_table(spark, sf_dir, "embeddings"))
+
+
 # ---------------------------------------------------------------------
 # Driver-gate ordering. The correctness sweep evaluates the registry in
 # insertion order and time-boxes at ~50 rows (r01 truncated at 49; r02
@@ -5722,6 +5783,8 @@ _FRONT = [
     "local_supplier_volume",
     "hard_negative_mining",
     "prefix_boilerplate_clusters",
+    "ann_trunc_topk",
+    "ann_trunc_rerank_topk",
     # --- Re-verification: load-bearing rows whose only green driver
     # row is r01 (two rounds stale). The driver re-runs whatever is in
     # the window; green re-runs prove no silent regression since r01.

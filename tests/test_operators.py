@@ -1156,3 +1156,28 @@ def test_large_volume_plan_broadcasts_sliver_and_shuffles_fact_once(
     assert plan.count("BroadcastHashJoin") == 2
     assert "SortMergeJoin" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_truncated_rerank_recall_beats_prefix_scan(spark, sf_dir):
+    """Same recall-floor contract as SQ8 (the class of oracle-invisible
+    semantic bug both engines can agree on): exact re-rank on the
+    prefix-scan pool must not lower recall vs the prefix scan alone,
+    and deepening the pool must not lower re-rank recall. No near-exact
+    floor here — this corpus's tight clusters pack little mass into the
+    16-dim prefix (measured 0.14 prefix-only / 0.32 reranked at
+    sf0.001), which is exactly why the deployed form is the rerank."""
+    from movement_spark.operators.similarity import (
+        brute_force_topk, truncated_rerank_topk, truncated_topk)
+    from movement_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    truth = {(r["query_id"], r["vec_id"])
+             for r in brute_force_topk(emb).collect()}
+    raw = {(r["query_id"], r["vec_id"])
+           for r in truncated_topk(emb).collect()}
+    rr20 = {(r["query_id"], r["vec_id"])
+            for r in truncated_rerank_topk(emb).collect()}
+    rr40 = {(r["query_id"], r["vec_id"])
+            for r in truncated_rerank_topk(emb, pool=40).collect()}
+    assert len(rr20 & truth) >= len(raw & truth)
+    assert len(rr40 & truth) >= len(rr20 & truth)
