@@ -991,3 +991,41 @@ def prefix_boilerplate_clusters(documents: DataFrame,
              F.min("doc_id").alias("canonical_doc"))
         .where(F.col("n_docs") > 1)
     )
+
+
+def doc_novelty_scores(documents: DataFrame) -> DataFrame:
+    """Corpus-novelty score per doc: the fraction (bps) of a doc's
+    distinct word bigrams whose corpus-FIRST occurrence (min doc_id =
+    ingestion order) is this doc — the signal novelty-based curation
+    ranks by: late near-copies score ~0, fresh material ~10000.
+
+    Scale shape: the first-occurrence attribution is a MIN WINDOW over
+    the gram key on the distinct frame, not an aggregate-and-join-back
+    — the join form re-explodes the corpus for its aggregate leg and,
+    past broadcast size, needs a fourth exchange to re-key the
+    (doc, gram) side for a gram-keyed merge join (plan-verified). This
+    form reads the corpus ONCE and runs exactly three exchanges:
+    distinct, gram window, per-doc rollup. At 100 TB the gram key
+    becomes a 64-bit packed id or digest (same note as
+    segment_dedup_stats); the deterministic min-doc_id rule makes
+    incremental recompute safe — a new batch can only lose novelty to
+    the existing corpus, never steal it.
+    """
+    words = (documents.select("doc_id", F.split("text", " ").alias("w"))
+             .where(F.size("w") >= 2))
+    grams = words.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(1, size(w) - 1), "
+            "i -> concat(w[i-1], ' ', w[i]))")).alias("gram")
+    ).distinct()
+    from pyspark.sql.window import Window
+    first_doc = F.min("doc_id").over(Window.partitionBy("gram"))
+    return (
+        grams.withColumn("first_doc", first_doc)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_grams"),
+             F.sum((F.col("first_doc") == F.col("doc_id")).cast("int"))
+             .cast("bigint").alias("n_novel"))
+        .withColumn("novelty_bps", F.expr("(n_novel * 10000) div n_grams"))
+    )

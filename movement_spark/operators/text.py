@@ -641,3 +641,36 @@ def bm25_topk(documents: DataFrame, terms: tuple = BM25_TERMS,
     rnk = F.row_number().over(
         Window.orderBy(F.desc("score"), F.asc("doc_id")))
     return top.withColumn("rank", rnk.cast("int"))
+
+
+def source_percentile_cut(documents: DataFrame) -> DataFrame:
+    """Per-source percentile quality gate: keep docs whose mean-word-
+    length score clears their OWN source's exact median — the
+    distribution-relative cut that survives sources with different
+    baseline quality (an absolute threshold over- or under-prunes any
+    source whose distribution is shifted).
+
+    Scale shape: per-source exact percentile (one agg), the ≤n_sources
+    threshold table broadcast back, one rollup. Exact percentile sorts
+    each group's values; at 100 TB swap in approx_percentile or a
+    fixed-width histogram quantile — the join-back contract is
+    unchanged. Median comparison is exact: scores are integers ≤~10^4,
+    interpolated medians are .0/.5 doubles, identical in both engines.
+    """
+    n_words = F.size(F.split("text", " "))
+    feats = documents.select(
+        "doc_id", "source",
+        F.floor((F.length("text") - n_words + 1) * 1000 / n_words)
+        .alias("mwl"))
+    med = feats.groupBy("source").agg(
+        F.percentile("mwl", 0.5).alias("med_mwl"))
+    return (
+        feats.join(F.broadcast(med), "source")
+        .groupBy("source", "med_mwl")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum((F.col("mwl") >= F.col("med_mwl")).cast("int"))
+             .cast("bigint").alias("n_kept"))
+        .withColumn("kept_bps", F.expr("(n_kept * 10000) div n_docs"))
+        .select("source", "n_docs", "n_kept", "kept_bps",
+                F.col("med_mwl").cast("double").alias("med_mwl"))
+    )

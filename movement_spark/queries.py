@@ -5727,6 +5727,59 @@ def q_ann_trunc_rerank(spark, sf_dir):
         load_table(spark, sf_dir, "embeddings"))
 
 
+
+
+@register("doc_novelty_scores", """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w
+  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+grams AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(w)),
+                  i -> w[i] || ' ' || w[i + 1])) AS gram
+    FROM words)),
+first AS (SELECT gram, MIN(doc_id) AS first_doc FROM grams GROUP BY 1)
+SELECT g.doc_id, COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN first_doc = g.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       (CAST(SUM(CASE WHEN first_doc = g.doc_id THEN 1 ELSE 0 END)
+             AS BIGINT) * 10000) // COUNT(*) AS novelty_bps
+FROM grams g JOIN first USING (gram)
+GROUP BY 1
+""")
+def q_doc_novelty(spark, sf_dir):
+    """Novelty-based curation signal: bps of each doc's distinct
+    bigrams first seen (min doc_id = ingestion order) in that doc —
+    one gram-keyed shuffle shared by the distinct and the min-agg,
+    attribution join back on the same key."""
+    return dedup.doc_novelty_scores(load_table(spark, sf_dir, "documents"))
+
+
+@register("source_quality_percentile_cut", """
+WITH feats AS (
+  SELECT doc_id, source,
+         CAST(floor((length(text) - len(string_split(text, ' ')) + 1)
+              * 1000.0 / len(string_split(text, ' '))) AS BIGINT) AS mwl
+  FROM documents),
+med AS (SELECT source, quantile_cont(mwl, 0.5) AS med_mwl
+        FROM feats GROUP BY 1)
+SELECT f.source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN mwl >= med_mwl THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       (CAST(SUM(CASE WHEN mwl >= med_mwl THEN 1 ELSE 0 END) AS BIGINT)
+        * 10000) // COUNT(*) AS kept_bps,
+       CAST(med_mwl AS DOUBLE) AS med_mwl
+FROM feats f JOIN med USING (source)
+GROUP BY f.source, med_mwl
+""")
+def q_source_percentile_cut(spark, sf_dir):
+    """Distribution-relative quality gate: keep docs clearing their own
+    source's exact median score; threshold table broadcast back (exact
+    percentile == quantile_cont, the established convention)."""
+    return text.source_percentile_cut(load_table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------
 # Driver-gate ordering. The correctness sweep evaluates the registry in
 # insertion order and time-boxes at ~50 rows (r01 truncated at 49; r02
@@ -5785,6 +5838,8 @@ _FRONT = [
     "prefix_boilerplate_clusters",
     "ann_trunc_topk",
     "ann_trunc_rerank_topk",
+    "doc_novelty_scores",
+    "source_quality_percentile_cut",
     # --- Re-verification: load-bearing rows whose only green driver
     # row is r01 (two rounds stale). The driver re-runs whatever is in
     # the window; green re-runs prove no silent regression since r01.
