@@ -90,6 +90,12 @@ def main() -> None:
         # round-4 third-session families
         "local_supplier_volume", "large_volume_customers",
         "hard_negative_mining", "prefix_boilerplate_clusters",
+        "ann_trunc_rerank_topk", "doc_novelty_scores",
+        "source_quality_percentile_cut",
+        # TPC-H completion (the two heaviest new join shapes stand in
+        # for the family; the rest are cheaper compositions of the
+        # same exchanges)
+        "volume_shipping", "nation_market_share",
     )
     extended: dict[str, float] = {}
     for name in EXTENDED:

@@ -999,33 +999,40 @@ def doc_novelty_scores(documents: DataFrame) -> DataFrame:
     ingestion order) is this doc — the signal novelty-based curation
     ranks by: late near-copies score ~0, fresh material ~10000.
 
-    Scale shape: the first-occurrence attribution is a MIN WINDOW over
-    the gram key on the distinct frame, not an aggregate-and-join-back
-    — the join form re-explodes the corpus for its aggregate leg and,
-    past broadcast size, needs a fourth exchange to re-key the
-    (doc, gram) side for a gram-keyed merge join (plan-verified). This
-    form reads the corpus ONCE and runs exactly three exchanges:
-    distinct, gram window, per-doc rollup. At 100 TB the gram key
+    Scale shape: ONE heavy exchange. Within-doc gram dedup is
+    array_distinct — doc-LOCAL, so the global (doc, gram) DISTINCT
+    exchange disappears; first-occurrence attribution is a gram-keyed
+    hash MIN (the only corpus-sized shuffle — a hash aggregate, never
+    the sort a min-window pays, measured 2.3× slower at 1M docs), and
+    n_novel per doc is a RE-AGGREGATE of that gram-level result (one
+    row per gram survives, grouped by its first_doc) — never a
+    join-back of the gram frame. The totals branch re-reads the corpus
+    (one row per doc, no aggregation — only the final doc-keyed join
+    of two doc-sized frames shuffles it). At 100 TB the gram key
     becomes a 64-bit packed id or digest (same note as
     segment_dedup_stats); the deterministic min-doc_id rule makes
     incremental recompute safe — a new batch can only lose novelty to
-    the existing corpus, never steal it.
+    the existing corpus, never steal it. BENCH/novelty_scale.json
+    measures this form against both drafts it replaced.
     """
-    words = (documents.select("doc_id", F.split("text", " ").alias("w"))
-             .where(F.size("w") >= 2))
-    grams = words.select(
-        "doc_id",
-        F.explode(F.expr(
-            "transform(sequence(1, size(w) - 1), "
-            "i -> concat(w[i-1], ' ', w[i]))")).alias("gram")
-    ).distinct()
-    from pyspark.sql.window import Window
-    first_doc = F.min("doc_id").over(Window.partitionBy("gram"))
+    garr = (documents.select("doc_id", F.split("text", " ").alias("w"))
+            .where(F.size("w") >= 2)
+            .select("doc_id", F.array_distinct(F.expr(
+                "transform(sequence(1, size(w) - 1), "
+                "i -> concat(w[i-1], ' ', w[i]))")).alias("garr")))
+    totals = garr.select(
+        "doc_id", F.size("garr").cast("bigint").alias("n_grams"))
+    novel = (
+        garr.select("doc_id", F.explode("garr").alias("gram"))
+        .groupBy("gram")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy("first_doc")
+        .agg(F.count("*").cast("bigint").alias("n_novel"))
+    )
     return (
-        grams.withColumn("first_doc", first_doc)
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_grams"),
-             F.sum((F.col("first_doc") == F.col("doc_id")).cast("int"))
-             .cast("bigint").alias("n_novel"))
+        totals.join(novel, totals.doc_id == novel.first_doc, "left")
+        .select("doc_id", "n_grams",
+                F.coalesce("n_novel", F.lit(0)).cast("bigint")
+                .alias("n_novel"))
         .withColumn("novelty_bps", F.expr("(n_novel * 10000) div n_grams"))
     )

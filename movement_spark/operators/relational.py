@@ -905,3 +905,333 @@ def local_supplier_volume(lineitem: DataFrame, orders: DataFrame,
         .agg(F.count("*").alias("n_lines"),
              F.sum("rev").cast("bigint").alias("rev_x10000"))
     )
+
+def shipping_priority_topk(customer: DataFrame, orders: DataFrame,
+                           lineitem: DataFrame,
+                           segment: str = "BUILDING",
+                           cutoff: str = "1998-06-01",
+                           k: int = 10) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): the ``k`` highest-revenue
+    orders placed before ``cutoff`` by customers in ``segment`` with
+    lines still shipping after it.
+
+    Scale shape: the segment filter prunes customer at its scan but
+    still leaves ~1/5 of a 100-TB customer table — so customer⋈orders
+    shuffles on custkey and the result ⋈lineitem shuffles on orderkey
+    (AQE may still broadcast at small SF; the plan must not REQUIRE
+    it). The top-k is a TakeOrderedAndProject over the per-order
+    aggregate — each partition ships only its local k rows, never the
+    full aggregate. Ties are impossible: orderkey is in the sort key.
+    """
+    cust = (customer.where(F.col("c_mktsegment") == segment)
+            .select("c_custkey"))
+    o = (orders.where(F.col("o_orderdate") < cutoff)
+         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+         .select("o_orderkey", "o_orderdate"))
+    li = (lineitem.where(F.col("l_shipdate") > cutoff)
+          .select("l_orderkey", _rev_x10000().alias("rev")))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey",
+                 F.unix_timestamp("o_orderdate").cast("bigint")
+                 .alias("order_epoch"))
+        .agg(F.count("*").alias("n_lines"),
+             F.sum("rev").cast("bigint").alias("rev_x10000"))
+        .orderBy(F.col("rev_x10000").desc(), F.col("o_orderkey"))
+        .limit(k)
+    )
+
+
+def forecast_revenue_change(lineitem: DataFrame,
+                            year: int = 1997,
+                            disc_lo: int = 5, disc_hi: int = 7,
+                            max_qty: int = 24) -> DataFrame:
+    """TPC-H Q6 shape (forecast revenue change): revenue that would
+    have been kept had discounts in [disc_lo, disc_hi] cents-percent
+    on small-quantity lines of ``year`` been dropped.
+
+    Scale shape: the whole query is scan + filter + one scalar
+    aggregate; the date/quantity predicates reach the parquet scan as
+    PushedFilters (plan-asserted) so row groups outside the year never
+    leave storage, and the discount band (a rounded expression, not
+    pushable) runs inside whole-stage codegen. No shuffle at all —
+    partial sums combine map-side into one row.
+    """
+    disc = F.expr("cast(round(l_discount * 100, 0) as bigint)")
+    kept = F.expr("cast(round(l_extendedprice * 100, 0) as bigint)") * disc
+    return (
+        lineitem
+        .where((F.col("l_shipdate") >= f"{year}-01-01")
+               & (F.col("l_shipdate") < f"{year + 1}-01-01")
+               & (F.col("l_quantity") < max_qty)
+               & disc.between(disc_lo, disc_hi))
+        .agg(F.count("*").alias("n_lines"),
+             F.sum(kept).cast("bigint").alias("forecast_rev_x10000"))
+    )
+
+
+def volume_shipping(lineitem: DataFrame, orders: DataFrame,
+                    customer: DataFrame, supplier: DataFrame,
+                    nation: DataFrame,
+                    pair: tuple[str, str] = ("NATION_3", "NATION_14"),
+                    y_lo: int = 1997, y_hi: int = 1998) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): discounted revenue shipped
+    between the two nations of ``pair`` (both directions), per
+    (supplier nation, customer nation, ship year).
+
+    Scale shape: the pair filter lands INSIDE both dimension scans —
+    supplier and customer each broadcast-join the 2-row nation sliver,
+    pruning to ~2/25 of their rows before any fact contact. The two
+    fact-sized joins shuffle on their natural keys (orderkey, then
+    custkey); the cross-pair disjunction collapses to one inequality
+    (supp_nation <> cust_nation) because both sides are already
+    pair-limited.
+    """
+    ns = nation.where(F.col("n_name").isin(list(pair)))
+    supp = (supplier.join(F.broadcast(ns),
+                          F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    cust = (customer.join(F.broadcast(ns),
+                          F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("c_custkey", F.col("n_name").alias("cust_nation")))
+    j = (
+        lineitem
+        .where((F.col("l_shipdate") >= f"{y_lo}-01-01")
+               & (F.col("l_shipdate") < f"{y_hi + 1}-01-01"))
+        .select("l_orderkey", "l_suppkey", "l_shipdate",
+                _rev_x10000().alias("rev"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        j.groupBy("supp_nation", "cust_nation",
+                  F.year("l_shipdate").cast("int").alias("ship_year"))
+        .agg(F.count("*").alias("n_lines"),
+             F.sum("rev").cast("bigint").alias("rev_x10000"))
+    )
+
+
+def nation_market_share(lineitem: DataFrame, orders: DataFrame,
+                        customer: DataFrame, supplier: DataFrame,
+                        nation: DataFrame, region: DataFrame,
+                        part: DataFrame,
+                        target: str = "NATION_3",
+                        rgn: str = "ASIA",
+                        ptype: str = "ECONOMY",
+                        y_lo: int = 1997, y_hi: int = 1998) -> DataFrame:
+    """TPC-H Q8 shape (national market share): of the revenue from
+    ``ptype`` parts sold to ``rgn`` customers in [y_lo, y_hi], the
+    share carried by suppliers of ``target``, per order year, in exact
+    integer basis points.
+
+    Scale shape: part (type-pruned), supplier (carrying an is_target
+    flag so the share needs no second pass), and the region→nation
+    sliver all broadcast; the fact shuffles only on its two natural
+    keys (orderkey, custkey). The share divides the two exact
+    fixed-point sums — CASE inside the aggregate, never a self-join.
+    """
+    pt = part.where(F.col("p_type") == ptype).select("p_partkey")
+    rn = (nation.join(F.broadcast(
+            region.where(F.col("r_name") == rgn)),
+            F.col("n_regionkey") == F.col("r_regionkey"))
+          .select("n_nationkey"))
+    supp = (supplier.join(F.broadcast(nation.select(
+                F.col("n_nationkey").alias("sn_key"),
+                F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("sn_key"))
+            .select("s_suppkey",
+                    (F.col("supp_nation") == target).alias("is_target")))
+    j = (
+        lineitem.join(F.broadcast(pt),
+                      F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_orderkey", "l_suppkey", _rev_x10000().alias("rev"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders
+              .where((F.col("o_orderdate") >= f"{y_lo}-01-01")
+                     & (F.col("o_orderdate") < f"{y_hi + 1}-01-01"))
+              .select("o_orderkey", "o_custkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(rn), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(F.sum(F.when(F.col("is_target"), F.col("rev"))
+                   .otherwise(F.lit(0))).cast("bigint")
+             .alias("target_rev_x10000"),
+             F.sum("rev").cast("bigint").alias("total_rev_x10000"))
+        .withColumn("share_bps",
+                    F.expr("(target_rev_x10000 * 10000)"
+                           " div total_rev_x10000"))
+    )
+
+
+def product_type_profit(lineitem: DataFrame, orders: DataFrame,
+                        part: DataFrame, supplier: DataFrame,
+                        nation: DataFrame,
+                        word: str = "widget") -> DataFrame:
+    """TPC-H Q9 shape (product type profit): per (supplier nation,
+    order year), profit from parts whose name ends in ``word`` —
+    discounted revenue minus quantity-scaled cost. This corpus has no
+    partsupp, so p_retailprice stands in for ps_supplycost; the
+    name-LIKE dimension prune + nation/year profit rollup is the
+    query's point.
+
+    Scale shape: the name-pruned part (carrying its cost cents) and
+    supplier→nation broadcast; orders joins on the fact's orderkey
+    key. Profit is exact fixed point: cents×(100−disc) minus
+    cost-cents×qty×100, summed as bigint (may be negative — retail
+    overstates cost).
+    """
+    pw = (part.where(F.col("p_name").like(f"% {word}"))
+          .select("p_partkey",
+                  F.expr("cast(round(p_retailprice * 100, 0) as bigint)")
+                  .alias("cost_cents")))
+    supp = (supplier.join(F.broadcast(nation.select(
+                "n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", "n_name"))
+    profit = (_rev_x10000()
+              - F.col("cost_cents")
+              * F.col("l_quantity").cast("bigint") * F.lit(100))
+    j = (
+        lineitem.join(F.broadcast(pw),
+                      F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    return (
+        j.groupBy(F.col("n_name").alias("supp_nation"),
+                  F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(F.count("*").alias("n_lines"),
+             F.sum(profit).cast("bigint").alias("profit_x10000"))
+    )
+
+
+def returned_item_reporting(lineitem: DataFrame, orders: DataFrame,
+                            customer: DataFrame, nation: DataFrame,
+                            q_start: str = "1997-07-01",
+                            q_end: str = "1997-10-01",
+                            k: int = 20) -> DataFrame:
+    """TPC-H Q10 shape (returned item reporting): the ``k`` customers
+    who lost the most revenue to returns in one quarter.
+
+    Scale shape: the returnflag and quarter predicates reach their
+    scans; lineitem⋈orders shuffles on orderkey, the per-customer
+    rollup keys the custkey shuffle that the customer probe then
+    reuses; nation broadcasts. Top-k is TakeOrderedAndProject with
+    custkey in the sort key (deterministic under revenue ties).
+    """
+    li = (lineitem.where(F.col("l_returnflag") == "R")
+          .select("l_orderkey", _rev_x10000().alias("rev")))
+    o = (orders.where((F.col("o_orderdate") >= q_start)
+                      & (F.col("o_orderdate") < q_end))
+         .select("o_orderkey", "o_custkey"))
+    per_cust = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_return_lines"),
+             F.sum("rev").cast("bigint").alias("lost_rev_x10000"))
+    )
+    return (
+        per_cust.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_name",
+                F.expr("cast(round(cast(c_acctbal as decimal(18,4)), 2)"
+                       " as double)").alias("acctbal"),
+                F.col("n_name").alias("cust_nation"),
+                "n_return_lines", "lost_rev_x10000")
+        .orderBy(F.col("lost_rev_x10000").desc(), F.col("c_custkey"))
+        .limit(k)
+    )
+
+
+SUPPLIER_CNT_SIZES = (9, 14, 19, 23, 36, 45, 49)
+
+
+def supplier_relation_counts(lineitem: DataFrame, part: DataFrame,
+                             supplier: DataFrame,
+                             brand_excl: str = "Brand#5",
+                             type_excl: str = "ECONOMY",
+                             sizes: tuple[int, ...] = SUPPLIER_CNT_SIZES,
+                             min_bal: float = 1000.0) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): distinct
+    suppliers able to ship each (brand, type, size) bucket, excluding
+    one brand, one type, sizes outside the list, and a complaint set
+    of suppliers (acctbal below ``min_bal`` stands in for the comment
+    match — this corpus has no comments).
+
+    Scale shape: this corpus has no partsupp, so the part↔supplier
+    relation is DISTINCT (l_partkey, l_suppkey) — the query's one
+    fact-sized shuffle, key-pruned first by the broadcast part sliver.
+    The complaint set broadcasts as a left-anti join; the final
+    count-distinct re-shuffles only the deduped relation.
+    """
+    pr = part.where((F.col("p_brand") != brand_excl)
+                    & (F.col("p_type") != type_excl)
+                    & F.col("p_size").isin(list(sizes)))
+    bad = supplier.where(F.col("s_acctbal") < min_bal).select("s_suppkey")
+    rel = (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(pr), F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+        .distinct()
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"),
+              "left_anti")
+    )
+    return (
+        # rel is already distinct at (brand, type, size, suppkey) grain,
+        # so a plain COUNT is the distinct-supplier count — no second
+        # dedup pass.
+        rel.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count("*").alias("supplier_cnt"))
+    )
+
+
+def dominant_part_suppliers(lineitem: DataFrame, part: DataFrame,
+                            supplier: DataFrame, nation: DataFrame,
+                            prefix: str = "cold",
+                            year: int = 1997) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): suppliers who, for
+    some part named ``prefix …``, shipped MORE than half that part's
+    total ``year`` volume — Q20's correlated availability threshold
+    (availqty > 0.5·sum) re-expressed over the shipped relation, with
+    the supplier's nation reported instead of filtered (a 10-supplier
+    fixture can leave any single nation empty).
+
+    Scale shape: one (part, supplier)-keyed aggregate over the
+    name-pruned fact is the only fact shuffle; the per-part total
+    re-aggregates THAT result (tiny), joins back on partkey, and the
+    half test is integer-exact (2·q > total). The surviving sliver
+    broadcasts into the supplier probe (never the reverse — supplier
+    is 10 rows here but ~1B at 100 TB); nation broadcasts.
+    """
+    pr = part.where(F.col("p_name").like(f"{prefix} %")).select("p_partkey")
+    ps = (
+        lineitem
+        .where((F.col("l_shipdate") >= f"{year}-01-01")
+               & (F.col("l_shipdate") < f"{year + 1}-01-01"))
+        .join(F.broadcast(pr), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("pair_qty"))
+    )
+    tot = (ps.groupBy(F.col("l_partkey").alias("t_partkey"))
+           .agg(F.sum("pair_qty").alias("total_qty")))
+    dom = (ps.join(tot, F.col("l_partkey") == F.col("t_partkey"))
+           .where(F.lit(2) * F.col("pair_qty") > F.col("total_qty"))
+           .groupBy("l_suppkey")
+           .agg(F.count("*").alias("n_dominant_parts")))
+    return (
+        supplier.join(F.broadcast(dom),
+                      F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name",
+                F.col("n_name").alias("supp_nation"), "n_dominant_parts")
+    )

@@ -5780,6 +5780,228 @@ def q_source_percentile_cut(spark, sf_dir):
     return text.source_percentile_cut(load_table(spark, sf_dir, "documents"))
 
 
+@register("shipping_priority_topk", f"""
+SELECT o_orderkey,
+       CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch,
+       COUNT(*) AS n_lines,
+       CAST(SUM({_REV_X10000_SQL}) AS BIGINT) AS rev_x10000
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < '1998-06-01'
+  AND l_shipdate > '1998-06-01'
+GROUP BY 1, 2
+ORDER BY rev_x10000 DESC, o_orderkey
+LIMIT 10
+""")
+def q_shipping_priority_topk(spark, sf_dir):
+    """TPC-H Q3 shape: segment prune → two natural-key shuffles →
+    per-order rollup → TakeOrderedAndProject top-k (orderkey in the
+    sort key, so ties are impossible)."""
+    return relational.shipping_priority_topk(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"))
+
+
+@register("forecast_revenue_change", """
+SELECT COUNT(*) AS n_lines,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                * CAST(ROUND(l_discount * 100, 0) AS BIGINT)) AS BIGINT)
+         AS forecast_rev_x10000
+FROM lineitem
+WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+  AND l_quantity < 24
+  AND CAST(ROUND(l_discount * 100, 0) AS BIGINT) BETWEEN 5 AND 7
+""")
+def q_forecast_revenue_change(spark, sf_dir):
+    """TPC-H Q6 shape: scan → pushed filters → one scalar aggregate,
+    zero shuffles (map-side partials combine to a single row); the
+    would-be-kept discount revenue in exact cents×disc fixed point."""
+    return relational.forecast_revenue_change(
+        load_table(spark, sf_dir, "lineitem"))
+
+
+@register("volume_shipping", f"""
+WITH ns AS (SELECT n_nationkey, n_name FROM nation
+            WHERE n_name IN ('NATION_3', 'NATION_14'))
+SELECT s.n_name AS supp_nation, c.n_name AS cust_nation,
+       CAST(date_part('year', l_shipdate) AS INT) AS ship_year,
+       COUNT(*) AS n_lines,
+       CAST(SUM({_REV_X10000_SQL}) AS BIGINT) AS rev_x10000
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN ns s ON s_nationkey = s.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN ns c ON c_nationkey = c.n_nationkey
+WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1999-01-01'
+  AND s.n_name <> c.n_name
+GROUP BY 1, 2, 3
+""")
+def q_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: the nation pair prunes BOTH dimension scans via
+    a broadcast 2-row sliver; the cross-pair disjunction collapses to
+    supp_nation <> cust_nation after the prune."""
+    return relational.volume_shipping(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"))
+
+
+@register("nation_market_share", f"""
+WITH rn AS (SELECT n_nationkey FROM nation
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA')
+SELECT CAST(date_part('year', o_orderdate) AS INT) AS order_year,
+       CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
+                THEN {_REV_X10000_SQL} ELSE 0 END) AS BIGINT)
+         AS target_rev_x10000,
+       CAST(SUM({_REV_X10000_SQL}) AS BIGINT) AS total_rev_x10000,
+       CAST((SUM(CASE WHEN sn.n_name = 'NATION_3'
+                 THEN {_REV_X10000_SQL} ELSE 0 END) * 10000)
+            // SUM({_REV_X10000_SQL}) AS BIGINT) AS share_bps
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN rn ON c_nationkey = rn.n_nationkey
+WHERE p_type = 'ECONOMY'
+  AND o_orderdate >= '1997-01-01' AND o_orderdate < '1999-01-01'
+GROUP BY 1
+""")
+def q_nation_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: market share of one nation's suppliers in one
+    region's ECONOMY-part revenue, per order year — the CASE rides
+    inside the aggregate (never a self-join) and the share is exact
+    integer basis points."""
+    return relational.nation_market_share(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+        load_table(spark, sf_dir, "part"))
+
+
+@register("product_type_profit", f"""
+SELECT sn.n_name AS supp_nation,
+       CAST(date_part('year', o_orderdate) AS INT) AS order_year,
+       COUNT(*) AS n_lines,
+       CAST(SUM({_REV_X10000_SQL}
+                - CAST(ROUND(p_retailprice * 100, 0) AS BIGINT)
+                  * CAST(l_quantity AS BIGINT) * 100) AS BIGINT)
+         AS profit_x10000
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '% widget'
+GROUP BY 1, 2
+""")
+def q_product_type_profit(spark, sf_dir):
+    """TPC-H Q9 shape: name-pruned part dim carries its cost cents
+    into the fact scan; profit = rev − cost·qty in exact fixed point
+    (p_retailprice stands in for the absent ps_supplycost)."""
+    return relational.product_type_profit(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"))
+
+
+@register("returned_item_reporting", f"""
+WITH per AS (
+  SELECT o_custkey, COUNT(*) AS n_return_lines,
+         CAST(SUM({_REV_X10000_SQL}) AS BIGINT) AS lost_rev_x10000
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= '1997-07-01' AND o_orderdate < '1997-10-01'
+  GROUP BY 1)
+SELECT c_custkey, c_name,
+       CAST(ROUND(CAST(c_acctbal AS DECIMAL(18,4)), 2) AS DOUBLE)
+         AS acctbal,
+       n_name AS cust_nation, n_return_lines, lost_rev_x10000
+FROM per JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+ORDER BY lost_rev_x10000 DESC, c_custkey
+LIMIT 20
+""")
+def q_returned_item_reporting(spark, sf_dir):
+    """TPC-H Q10 shape: quarter of returns rolled up per customer
+    (the custkey shuffle the customer probe then reuses), nation
+    broadcast, top-k with custkey in the sort key."""
+    return relational.returned_item_reporting(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"))
+
+
+_Q16_SIZES_SQL = ", ".join(str(s) for s in relational.SUPPLIER_CNT_SIZES)
+
+
+@register("supplier_relation_counts", f"""
+WITH rel AS (
+  SELECT DISTINCT p_brand, p_type, p_size, l_suppkey
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand <> 'Brand#5' AND p_type <> 'ECONOMY'
+    AND p_size IN ({_Q16_SIZES_SQL})
+    AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                          WHERE s_acctbal < 1000))
+SELECT p_brand, p_type, p_size, COUNT(*) AS supplier_cnt
+FROM rel GROUP BY 1, 2, 3
+""")
+def q_supplier_relation_counts(spark, sf_dir):
+    """TPC-H Q16 shape: distinct (brand,type,size,supplier) relation
+    from the part-pruned fact, NOT-IN complaint set as a broadcast
+    left-anti join, then a plain count per bucket (the relation is
+    already supplier-distinct)."""
+    return relational.supplier_relation_counts(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"))
+
+
+@register("dominant_part_suppliers", """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS pair_qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'cold %'
+    AND l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+  GROUP BY 1, 2),
+tot AS (SELECT l_partkey, CAST(SUM(pair_qty) AS BIGINT) AS total_qty
+        FROM ps GROUP BY 1),
+dom AS (
+  SELECT l_suppkey, COUNT(*) AS n_dominant_parts
+  FROM ps JOIN tot USING (l_partkey)
+  WHERE 2 * pair_qty > total_qty
+  GROUP BY 1)
+SELECT s_suppkey, s_name, n_name AS supp_nation, n_dominant_parts
+FROM dom JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+""")
+def q_dominant_part_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape: Q20's correlated half-of-total availability
+    test over the shipped relation — one (part,supplier) aggregate,
+    per-part totals re-aggregated from it, integer-exact 2·q > total,
+    sliver broadcast into supplier."""
+    return relational.dominant_part_suppliers(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"))
+
+
 # ---------------------------------------------------------------------
 # Driver-gate ordering. The correctness sweep evaluates the registry in
 # insertion order and time-boxes at ~50 rows (r01 truncated at 49; r02
@@ -5840,6 +6062,16 @@ _FRONT = [
     "ann_trunc_rerank_topk",
     "doc_novelty_scores",
     "source_quality_percentile_cut",
+    # --- Round-4 third-session TPC-H completion (never driver-verified):
+    # with these the registry covers all 22 TPC-H query shapes.
+    "shipping_priority_topk",
+    "forecast_revenue_change",
+    "volume_shipping",
+    "nation_market_share",
+    "product_type_profit",
+    "returned_item_reporting",
+    "supplier_relation_counts",
+    "dominant_part_suppliers",
     # --- Re-verification: load-bearing rows whose only green driver
     # row is r01 (two rounds stale). The driver re-runs whatever is in
     # the window; green re-runs prove no silent regression since r01.

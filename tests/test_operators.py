@@ -1181,3 +1181,65 @@ def test_truncated_rerank_recall_beats_prefix_scan(spark, sf_dir):
             for r in truncated_rerank_topk(emb, pool=40).collect()}
     assert len(rr20 & truth) >= len(raw & truth)
     assert len(rr40 & truth) >= len(rr20 & truth)
+
+
+def test_dominant_suppliers_match_correlated_subquery(spark, sf_dir):
+    """The Q20-shape rewrite (one (part,supplier) aggregate, per-part
+    totals re-aggregated from it, 2·q > total) must equal the literal
+    correlated-subquery formulation of Q20's availability threshold —
+    pinned so the integer half test stays equivalent to q > 0.5·sum."""
+    from movement_spark.operators.relational import dominant_part_suppliers
+    from movement_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    for df, name in ((li, "li_q20"), (part, "part_q20"),
+                     (supplier, "supp_q20"), (nation, "nat_q20")):
+        df.createOrReplaceTempView(name)
+    want = {(r["s_suppkey"], r["n"]) for r in spark.sql("""
+        WITH ps AS (
+          SELECT l_partkey, l_suppkey,
+                 SUM(CAST(l_quantity AS BIGINT)) AS q
+          FROM li_q20 JOIN part_q20 ON l_partkey = p_partkey
+          WHERE p_name LIKE 'cold %'
+            AND l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+          GROUP BY 1, 2)
+        SELECT s_suppkey, COUNT(*) AS n
+        FROM ps JOIN supp_q20 ON l_suppkey = s_suppkey
+        WHERE q > 0.5 * (SELECT SUM(q) FROM ps i
+                         WHERE i.l_partkey = ps.l_partkey)
+        GROUP BY 1""").collect()}
+    got = {(r["s_suppkey"], r["n_dominant_parts"])
+           for r in dominant_part_suppliers(li, part, supplier,
+                                            nation).collect()}
+    assert got == want and got
+
+
+def test_supplier_relation_counts_match_not_in_subquery(spark, sf_dir):
+    """The Q16-shape rewrite (broadcast left-anti complaint set, plain
+    COUNT on the already-distinct relation) must equal the literal
+    NOT IN + COUNT(DISTINCT) formulation."""
+    from movement_spark.operators.relational import supplier_relation_counts
+    from movement_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    for df, name in ((li, "li_q16"), (part, "part_q16"),
+                     (supplier, "supp_q16")):
+        df.createOrReplaceTempView(name)
+    want = {(r["p_brand"], r["p_type"], r["p_size"]): r["n"]
+            for r in spark.sql("""
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT l_suppkey) AS n
+        FROM li_q16 JOIN part_q16 ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#5' AND p_type <> 'ECONOMY'
+          AND p_size IN (9, 14, 19, 23, 36, 45, 49)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supp_q16
+                                WHERE s_acctbal < 1000)
+        GROUP BY 1, 2, 3""").collect()}
+    got = {(r["p_brand"], r["p_type"], r["p_size"]): r["supplier_cnt"]
+           for r in supplier_relation_counts(li, part, supplier).collect()}
+    assert got == want and got

@@ -282,3 +282,41 @@ def test_ivf_incremental_broadcasts_frozen_codebook(spark, sf_dir):
     assert "CartesianProduct" not in txt
     assert "BroadcastNestedLoopJoin" in txt or "BroadcastHashJoin" in txt
     assert plan_audit(full)["sort_merge_joins"] == 0
+
+
+def test_forecast_filters_reach_scan(spark, sf_dir):
+    """Q6's point is the zero-shuffle plan: date/qty predicates pushed
+    to parquet, one scalar aggregate, no join anywhere."""
+    df = relational.forecast_revenue_change(
+        load_table(spark, sf_dir, "lineitem"))
+    audit = plan_audit(df)
+    assert audit["pushed_filters"], "shipdate/quantity must reach the scan"
+    assert audit["python_stages"] == 0
+    assert audit["broadcast_joins"] == 0 and audit["sort_merge_joins"] == 0
+    (schema,) = audit["scan_schemas"]
+    assert "l_orderkey" not in schema, "unused columns must be pruned"
+
+
+def test_shipping_priority_topk_is_take_ordered(spark, sf_dir):
+    """Q3's top-k must plan as TakeOrderedAndProject (each partition
+    ships only its local k rows) — a global Sort before the limit
+    would materialize the whole per-order aggregate."""
+    df = relational.shipping_priority_topk(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"))
+    txt = explain_text(df)
+    assert "TakeOrderedAndProject" in txt
+    assert plan_audit(df)["python_stages"] == 0
+
+
+def test_novelty_plan_has_no_sort_window(spark, sf_dir):
+    """doc_novelty_scores must keep the hash-aggregate attribution
+    form: no Window node (the sort-window draft measured 2.3x slower
+    at 1M docs — BENCH/novelty_scale.json) and no join-back of the
+    gram-sized frame (the only join is of two doc-sized frames)."""
+    from movement_spark.operators.dedup import doc_novelty_scores
+    df = doc_novelty_scores(load_table(spark, sf_dir, "documents"))
+    txt = explain_text(df)
+    assert "Window" not in txt, "sort-window draft crept back in"
+    assert plan_audit(df)["python_stages"] == 0
