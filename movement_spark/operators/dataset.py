@@ -234,12 +234,18 @@ def corpus_verdicts(documents: DataFrame) -> DataFrame:
     docs = documents.join(keepers, "text").withColumn(
         "w", F.split("text", " "))
     nw = F.size("w")
-    n_distinct_bg = F.expr(
-        "size(array_distinct(transform(sequence(0, size(w) - 2), "
-        "i -> concat(w[i], ' ', w[i+1]))))")
+    # TOTAL expressions (zip_with over slices; greatest() in the
+    # denominator): the nw >= 2 branch guard below does NOT protect
+    # these — Spark's subexpression elimination may evaluate a CASE
+    # branch's common subexpression on every row, and the indexed
+    # transform form throws INVALID_ARRAY_INDEX on 1-word docs (same
+    # class as the doc_novelty_scores crash, tests/test_properties.py).
+    # Values are identical for every nw >= 2 row.
+    _bg = ("array_distinct(zip_with(slice(w, 1, size(w) - 1), "
+           "slice(w, 2, size(w) - 1), (a, b) -> concat(a, ' ', b)))")
+    n_distinct_bg = F.expr(f"size({_bg})")
     rep_permille = F.expr(
-        "(size(array_distinct(transform(sequence(0, size(w) - 2), "
-        "i -> concat(w[i], ' ', w[i+1])))) * 1000) div (size(w) - 1)")
+        f"(size({_bg}) * 1000) div greatest(size(w) - 1, 1)")
     verdict = (
         F.when(F.col("doc_id") != F.col("keeper_id"), "exact_dup")
         .when(F.col("lang") != "en", "bad_lang")

@@ -1015,11 +1015,18 @@ def doc_novelty_scores(documents: DataFrame) -> DataFrame:
     the existing corpus, never steal it. BENCH/novelty_scale.json
     measures this form against both drafts it replaced.
     """
+    # TOTAL gram expression (zip_with over two slices — empty, never
+    # out-of-bounds, on a 1-word doc): Spark does not guarantee a
+    # Filter evaluates before a later Project's expressions, and
+    # sequence(1, size-1) DESCENDS for 1-word docs, so the indexed
+    # transform form crashed on rows the size>=2 filter was meant to
+    # drop (caught by test_doc_novelty_matches_model, seed=2).
     garr = (documents.select("doc_id", F.split("text", " ").alias("w"))
             .where(F.size("w") >= 2)
             .select("doc_id", F.array_distinct(F.expr(
-                "transform(sequence(1, size(w) - 1), "
-                "i -> concat(w[i-1], ' ', w[i]))")).alias("garr")))
+                "zip_with(slice(w, 1, size(w) - 1), "
+                "slice(w, 2, size(w) - 1), "
+                "(a, b) -> concat(a, ' ', b))")).alias("garr")))
     totals = garr.select(
         "doc_id", F.size("garr").cast("bigint").alias("n_grams"))
     novel = (

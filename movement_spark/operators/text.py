@@ -452,15 +452,20 @@ def _bpe_rounds(vocab: DataFrame, n_merges: int) -> tuple[list, DataFrame]:
     v = vocab
     merges = []
     for r in range(1, n_merges + 1):
-        # Spark's sequence(1, n) DESCENDS for n < 1 (DuckDB's range is
-        # empty there) — single-symbol words must not reach the pair
-        # transform.
+        # TOTAL pair expression: zip_with over two slices is empty
+        # (never out-of-bounds) on single-symbol words. The size>=2
+        # filter is still the semantic guard, but Spark may evaluate a
+        # later Project's expressions on rows a Filter would drop
+        # (observed on the doc_novelty_scores gram transform), and
+        # sequence(1, n) DESCENDS for n < 1 — so the expression itself
+        # must not index past the array.
         pairs = v.where(
             F.size(F.split("syms", " ")) >= 2
         ).select("n_occ", F.explode(F.expr(
-            "transform(sequence(1, size(split(syms, ' ')) - 1), "
-            "i -> struct(element_at(split(syms, ' '), i) AS l, "
-            "element_at(split(syms, ' '), i + 1) AS r))")).alias("p"))
+            "zip_with(slice(split(syms, ' '), 1, "
+            "size(split(syms, ' ')) - 1), "
+            "slice(split(syms, ' '), 2, size(split(syms, ' ')) - 1), "
+            "(l, r) -> struct(l AS l, r AS r))")).alias("p"))
         top = (pairs.groupBy("p.l", "p.r")
                .agg(F.sum("n_occ").alias("n"))
                .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))

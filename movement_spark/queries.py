@@ -2909,7 +2909,8 @@ v AS (
          CASE WHEN doc_id <> keeper_id THEN 'exact_dup'
               WHEN lang <> 'en' THEN 'bad_lang'
               WHEN n_chars < 120 THEN 'too_short'
-              WHEN nw >= 2 AND (n_distinct_bg * 1000) // (nw - 1) < 600
+              WHEN nw >= 2
+                   AND (n_distinct_bg * 1000) // greatest(nw - 1, 1) < 600
                 THEN 'repetitive'
               ELSE 'keep' END AS verdict
   FROM f2)

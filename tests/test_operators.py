@@ -1243,3 +1243,43 @@ def test_supplier_relation_counts_match_not_in_subquery(spark, sf_dir):
     got = {(r["p_brand"], r["p_type"], r["p_size"]): r["supplier_cnt"]
            for r in supplier_relation_counts(li, part, supplier).collect()}
     assert got == want and got
+
+
+def test_degenerate_docs_never_throw(spark):
+    """Empty and 1-word documents must flow through the bigram-indexing
+    operators without INVALID_ARRAY_INDEX / DIVIDE_BY_ZERO: Spark may
+    evaluate a Project's (or CASE branch's) expressions on rows a
+    Filter or guard would drop, so every variable-length array
+    expression must be TOTAL. Pins the fix for the crash
+    test_doc_novelty_matches_model found (and its two siblings in
+    corpus_verdicts and the BPE pair transform)."""
+    from movement_spark.operators.dataset import corpus_verdicts
+    from movement_spark.operators.dedup import doc_novelty_scores
+    from movement_spark.operators.text import bpe_train
+
+    docs = spark.createDataFrame(
+        [(0, "s0", "en", 1, "w"),              # 1-word: no bigrams
+         (1, "s0", "en", 0, ""),               # empty text
+         (2, "s0", "en", 200, "x" * 200),      # long single word
+         (3, "s1", "en", 200, ("a b " * 50).strip()),  # repetitive
+         (4, "s1", "de", 9, "kurz text")],
+        "doc_id bigint, source string, lang string, n_chars int, "
+        "text string")
+
+    verdicts = {r["doc_id"]: r["verdict"]
+                for r in corpus_verdicts(docs).collect()}
+    # 1-word/empty docs fall through to the char-length gate; the
+    # repetition rule needs >= 2 words, so a long single word keeps.
+    assert verdicts == {0: "too_short", 1: "too_short", 2: "keep",
+                        3: "repetitive", 4: "bad_lang"}
+
+    novelty = {r["doc_id"]: r["novelty_bps"]
+               for r in doc_novelty_scores(docs).collect()}
+    assert 0 not in novelty and 1 not in novelty and 2 not in novelty
+    assert novelty[3] == 10000 and novelty[4] == 10000
+
+    merges = bpe_train(docs.where(F.col("doc_id").isin(0, 1, 2)),
+                       n_merges=2).collect()
+    # the corpus has single-char words only after whitespace split of
+    # 'w'/''/'xxx…' → 'x x …' symbolization still yields ('x','x')
+    assert all(m["n_occ"] >= 1 for m in merges)

@@ -326,3 +326,46 @@ def test_semantic_dedup_matches_model(spark, seed):
                           r["pruned_bps"])
            for r in semantic_dedup(emb, k=k, iters=iters).collect()}
     assert got == expected
+
+
+def _model_novelty(docs):
+    """Pure-Python doc_novelty_scores: per doc, distinct word bigrams;
+    a gram's first occurrence belongs to the min doc_id holding it;
+    novelty_bps = (novel * 10000) // n_grams. Docs under 2 words drop."""
+    per_doc = {}
+    for did, text in docs:
+        w = text.split(" ")
+        if len(w) < 2:
+            continue
+        per_doc[did] = {f"{w[i - 1]} {w[i]}" for i in range(1, len(w))}
+    first = {}
+    for did in sorted(per_doc):
+        for g in per_doc[did]:
+            first.setdefault(g, did)
+    return {did: (len(g), sum(1 for x in g if first[x] == did),
+                  (sum(1 for x in g if first[x] == did) * 10000) // len(g))
+            for did, g in per_doc.items()}
+
+
+@SET
+@given(seed=st.integers(0, 10_000))
+def test_doc_novelty_matches_model(spark, seed):
+    """The rewritten split-aggregate novelty operator must agree with
+    the executable model on random tiny corpora over a 4-word alphabet
+    (tiny vocab forces heavy cross-doc bigram collisions, exercising
+    first-occurrence ties, zero-novelty docs, and the <2-word drop)."""
+    import random
+
+    from movement_spark.operators.dedup import doc_novelty_scores
+
+    rng = random.Random(seed)
+    docs = [
+        (i, " ".join(f"w{rng.randrange(4)}"
+                     for _ in range(rng.randrange(7))))
+        for i in range(rng.randrange(1, 8))
+    ]
+    expected = _model_novelty(docs)
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {r["doc_id"]: (r["n_grams"], r["n_novel"], r["novelty_bps"])
+           for r in doc_novelty_scores(df).collect()}
+    assert got == expected
