@@ -369,3 +369,99 @@ def test_doc_novelty_matches_model(spark, seed):
     got = {r["doc_id"]: (r["n_grams"], r["n_novel"], r["novelty_bps"])
            for r in doc_novelty_scores(df).collect()}
     assert got == expected
+
+
+def _model_percentile_cut(docs):
+    """Pure-Python source_percentile_cut: mwl = floor((chars - words
+    + 1) * 1000 / words); per-source exact interpolated median
+    (quantile_cont); keep mwl >= median."""
+    import math
+    from collections import defaultdict
+    by_src = defaultdict(list)
+    for _did, src, text in docs:
+        w = text.split(" ")
+        by_src[src].append(
+            math.floor((len(text) - len(w) + 1) * 1000 / len(w)))
+    out = {}
+    for src, vals in by_src.items():
+        xs = sorted(vals)
+        pos = (len(xs) - 1) * 0.5
+        lo, hi = int(pos), min(int(pos) + 1, len(xs) - 1)
+        med = xs[lo] + (pos - lo) * (xs[hi] - xs[lo])
+        kept = sum(1 for v in vals if v >= med)
+        out[src] = (len(vals), kept, (kept * 10000) // len(vals),
+                    float(med))
+    return out
+
+
+@SET
+@given(seed=st.integers(0, 10_000))
+def test_source_percentile_cut_matches_model(spark, seed):
+    """The per-source exact-median gate must agree with the executable
+    model on random tiny corpora — exercises interpolated medians on
+    even counts, all-equal sources (everything keeps), and 1-doc
+    sources (the doc IS its median)."""
+    import random
+
+    from movement_spark.operators.text import source_percentile_cut
+
+    rng = random.Random(seed)
+    docs = [
+        (i, f"s{rng.randrange(3)}",
+         " ".join("w" * rng.randrange(1, 7)
+                  for _ in range(rng.randrange(1, 6))))
+        for i in range(rng.randrange(1, 10))
+    ]
+    expected = _model_percentile_cut(docs)
+    df = spark.createDataFrame(docs, "doc_id bigint, source string, "
+                                     "text string")
+    got = {r["source"]: (r["n_docs"], r["n_kept"], r["kept_bps"],
+                         r["med_mwl"])
+           for r in source_percentile_cut(df).collect()}
+    assert got == expected
+
+
+def _model_top_ngram(shards, tok_mod):
+    """Pure-Python top_ngram_fraction: per doc, the count of its most
+    frequent within-shard bigram ×2×1000 int-div total tokens, folded
+    per source. Docs whose every shard has < 2 tokens are out of
+    scope."""
+    from collections import Counter, defaultdict
+    grams = defaultdict(Counter)
+    totals = defaultdict(int)
+    for src, did, toks in shards:
+        totals[(src, did)] += len(toks)
+        for a, b in zip(toks, toks[1:]):
+            grams[(src, did)][(a % tok_mod) * tok_mod + b % tok_mod] += 1
+    per_src = defaultdict(list)
+    for key, ctr in grams.items():
+        frac = (max(ctr.values()) * 2 * 1000) // totals[key]
+        per_src[key[0]].append(frac)
+    return {s: (len(fr), sum(1 for f in fr if f >= 150), sum(fr), max(fr))
+            for s, fr in per_src.items()}
+
+
+@SET
+@given(seed=st.integers(0, 10_000))
+def test_top_ngram_fraction_matches_model(spark, seed):
+    """Gopher's top-n-gram repetition rule must agree with the model on
+    random shard sets over a 3-token alphabet (heavy bigram repeats,
+    self-overlap fractions > 1000, sub-2-token shards)."""
+    import random
+
+    from movement_spark.operators.text import top_ngram_fraction
+
+    rng = random.Random(seed)
+    shards = [
+        (f"s{rng.randrange(2)}", rng.randrange(3),
+         [rng.randrange(3) for _ in range(rng.randrange(6))])
+        for _ in range(rng.randrange(1, 8))
+    ]
+    expected = _model_top_ngram(shards, tok_mod=50261)
+    df = spark.createDataFrame(
+        [(s, d, t, len(t)) for s, d, t in shards],
+        "source string, doc_id int, tokens array<int>, n_tok int")
+    got = {r["source"]: (r["n_docs"], r["n_flagged"],
+                         r["sum_frac_x1000"], r["max_frac_x1000"])
+           for r in top_ngram_fraction(df).collect()}
+    assert got == expected
