@@ -465,3 +465,43 @@ def test_top_ngram_fraction_matches_model(spark, seed):
                          r["sum_frac_x1000"], r["max_frac_x1000"])
            for r in top_ngram_fraction(df).collect()}
     assert got == expected
+
+
+@SET
+@given(seed=st.integers(0, 10_000))
+def test_source_cap_matches_model(spark, seed):
+    """The salted two-phase cap must equal the direct global top-cap
+    model — the operator's whole correctness claim is that phase 1
+    (top-cap inside each salt bucket) never discards a final keeper.
+    Random sparse doc_ids vary the salt-bucket occupancy; char masses
+    check WHICH docs were kept, not just how many."""
+    import random
+
+    from movement_spark.operators.dataset import (
+        CAP_PRI_ADD, CAP_PRI_MOD, CAP_PRI_MULT, source_cap_manifest)
+
+    rng = random.Random(seed)
+    ids = rng.sample(range(10_000), rng.randrange(1, 20))
+    docs = [(did, f"s{rng.randrange(2)}", f"l{rng.randrange(2)}",
+             rng.randrange(1, 500)) for did in ids]
+
+    groups = {}
+    for did, src, lang, n_chars in docs:
+        pri = (did * CAP_PRI_MULT + CAP_PRI_ADD) % CAP_PRI_MOD
+        groups.setdefault((src, lang), []).append((pri, did, n_chars))
+    expected = {}
+    for k, rows in groups.items():
+        rows.sort()
+        kept = rows[:4]
+        expected[k] = (len(rows), len(kept), len(rows) - len(kept),
+                       sum(r[2] for r in kept), sum(r[2] for r in rows))
+
+    df = spark.createDataFrame(
+        [(d, s, lg, c, f"t{d}") for d, s, lg, c in docs],
+        "doc_id bigint, source string, lang string, n_chars bigint, "
+        "text string")
+    got = {(r["source"], r["lang"]): (r["n_docs"], r["n_kept"],
+                                      r["n_dropped"], r["sum_chars_kept"],
+                                      r["sum_chars"])
+           for r in source_cap_manifest(df).collect()}
+    assert got == expected
