@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from movement_spark.operators.text import packed_bigram_expr
+from movement_spark.operators.text import packed_bigram_expr, word_bigram_expr
 from pyspark.sql.window import Window
 
 # Split hashing — plain integer arithmetic, NOT an engine hash builtin,
@@ -234,18 +234,15 @@ def corpus_verdicts(documents: DataFrame) -> DataFrame:
     docs = documents.join(keepers, "text").withColumn(
         "w", F.split("text", " "))
     nw = F.size("w")
-    # TOTAL expressions (zip_with over slices; greatest() in the
-    # denominator): the nw >= 2 branch guard below does NOT protect
-    # these — Spark's subexpression elimination may evaluate a CASE
-    # branch's common subexpression on every row, and the indexed
-    # transform form throws INVALID_ARRAY_INDEX on 1-word docs (same
-    # class as the doc_novelty_scores crash, tests/test_properties.py).
-    # Values are identical for every nw >= 2 row.
-    _bg = ("array_distinct(zip_with(slice(w, 1, size(w) - 1), "
-           "slice(w, 2, size(w) - 1), (a, b) -> concat(a, ' ', b)))")
-    n_distinct_bg = F.expr(f"size({_bg})")
+    # word_bigram_expr is TOTAL and greatest() guards the denominator:
+    # the nw >= 2 branch guard below does NOT protect this — Spark's
+    # subexpression elimination may evaluate a CASE branch's common
+    # subexpression on every row, and the indexed transform form threw
+    # INVALID_ARRAY_INDEX on 1-word docs (same class as the
+    # doc_novelty_scores crash, tests/test_properties.py). Values are
+    # identical for every nw >= 2 row.
     rep_permille = F.expr(
-        f"(size({_bg}) * 1000) div greatest(size(w) - 1, 1)")
+        f"(size({word_bigram_expr()}) * 1000) div greatest(size(w) - 1, 1)")
     verdict = (
         F.when(F.col("doc_id") != F.col("keeper_id"), "exact_dup")
         .when(F.col("lang") != "en", "bad_lang")

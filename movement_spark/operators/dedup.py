@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from movement_spark.operators.text import word_bigram_expr
+
 # MinHash parameters — keep in sync with oracle SQL in queries.py.
 MINHASH_K = 16          # signature length
 MINHASH_BANDS = 4       # bands of 4 rows each
@@ -1015,18 +1017,15 @@ def doc_novelty_scores(documents: DataFrame) -> DataFrame:
     the existing corpus, never steal it. BENCH/novelty_scale.json
     measures this form against both drafts it replaced.
     """
-    # TOTAL gram expression (zip_with over two slices — empty, never
-    # out-of-bounds, on a 1-word doc): Spark does not guarantee a
-    # Filter evaluates before a later Project's expressions, and
-    # sequence(1, size-1) DESCENDS for 1-word docs, so the indexed
-    # transform form crashed on rows the size>=2 filter was meant to
-    # drop (caught by test_doc_novelty_matches_model, seed=2).
+    # word_bigram_expr is TOTAL (empty, never out-of-bounds, on a
+    # 1-word doc): the indexed transform form crashed here on rows the
+    # size>=2 filter was meant to drop (caught by
+    # test_doc_novelty_matches_model, seed=2 — see the helper's
+    # docstring and the CLAUDE.md totality invariant).
     garr = (documents.select("doc_id", F.split("text", " ").alias("w"))
             .where(F.size("w") >= 2)
-            .select("doc_id", F.array_distinct(F.expr(
-                "zip_with(slice(w, 1, size(w) - 1), "
-                "slice(w, 2, size(w) - 1), "
-                "(a, b) -> concat(a, ' ', b))")).alias("garr")))
+            .select("doc_id",
+                    F.expr(word_bigram_expr()).alias("garr")))
     totals = garr.select(
         "doc_id", F.size("garr").cast("bigint").alias("n_grams"))
     novel = (

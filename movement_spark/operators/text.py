@@ -124,6 +124,23 @@ def packed_bigram_expr(tok_mod: int) -> str:
     )
 
 
+def word_bigram_expr(col: str = "w") -> str:
+    """Distinct adjacent word-pair array over a split-words column —
+    the ONE word-bigram rule shared by corpus_verdicts' repetition
+    filter and doc_novelty_scores (same convention as
+    packed_bigram_expr: change it here and in each oracle SQL mirror,
+    nowhere else). TOTAL by construction: zip_with over two slices is
+    empty (never out-of-bounds) on sub-2-word docs, so it is safe even
+    when Spark evaluates it on rows a filter or CASE guard would drop
+    (the indexed transform form threw INVALID_ARRAY_INDEX there —
+    CLAUDE.md totality invariant)."""
+    return (
+        f"array_distinct(zip_with(slice({col}, 1, size({col}) - 1), "
+        f"slice({col}, 2, size({col}) - 1), "
+        f"(a, b) -> concat(a, ' ', b)))"
+    )
+
+
 def token_bigram_stats(tokens: DataFrame, tok_mod: int = 50261,
                        top_n: int = 20) -> DataFrame:
     """Top-N token bigrams with integer-scaled PMI — the co-occurrence

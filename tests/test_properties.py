@@ -425,14 +425,15 @@ def _model_top_ngram(shards, tok_mod):
     """Pure-Python top_ngram_fraction: per doc, the count of its most
     frequent within-shard bigram ×2×1000 int-div total tokens, folded
     per source. Docs whose every shard has < 2 tokens are out of
-    scope."""
+    scope. Packing mirrors packed_bigram_expr exactly: a*tok_mod + b
+    over RAW ids (injective for ids < tok_mod — no wrap)."""
     from collections import Counter, defaultdict
     grams = defaultdict(Counter)
     totals = defaultdict(int)
     for src, did, toks in shards:
         totals[(src, did)] += len(toks)
         for a, b in zip(toks, toks[1:]):
-            grams[(src, did)][(a % tok_mod) * tok_mod + b % tok_mod] += 1
+            grams[(src, did)][a * tok_mod + b] += 1
     per_src = defaultdict(list)
     for key, ctr in grams.items():
         frac = (max(ctr.values()) * 2 * 1000) // totals[key]
@@ -478,7 +479,8 @@ def test_source_cap_matches_model(spark, seed):
     import random
 
     from movement_spark.operators.dataset import (
-        CAP_PRI_ADD, CAP_PRI_MOD, CAP_PRI_MULT, source_cap_manifest)
+        CAP_PER_KEY, CAP_PRI_ADD, CAP_PRI_MOD, CAP_PRI_MULT,
+        source_cap_manifest)
 
     rng = random.Random(seed)
     ids = rng.sample(range(10_000), rng.randrange(1, 20))
@@ -492,7 +494,7 @@ def test_source_cap_matches_model(spark, seed):
     expected = {}
     for k, rows in groups.items():
         rows.sort()
-        kept = rows[:4]
+        kept = rows[:CAP_PER_KEY]
         expected[k] = (len(rows), len(kept), len(rows) - len(kept),
                        sum(r[2] for r in kept), sum(r[2] for r in rows))
 
