@@ -38,8 +38,15 @@ FEATURE_SCHEMA = StructType([
 
 
 def documents_as_media(documents: DataFrame) -> DataFrame:
-    """Wrap text docs as opaque binary payloads (the multimodal carrier)."""
-    return documents.select(
+    """Wrap text docs as opaque binary payloads (the multimodal carrier).
+
+    NULL text = a missing blob: excluded HERE, at the carrier, so the
+    Arrow decoders downstream never see a None payload
+    (np.frombuffer(None) throws inside the UDF — caught by the
+    NULL-row degenerate sweep, SCALE.md §8). Every consumer's oracle
+    mirrors the exclusion with `text IS NOT NULL`.
+    """
+    return documents.where(F.col("text").isNotNull()).select(
         "doc_id",
         F.lit("text/plain").alias("media_type"),
         F.encode("text", "UTF-8").alias("payload"),
@@ -198,7 +205,8 @@ def corpus_stage_key(documents: DataFrame,
     idempotence marker and serve another corpus's files. The crc term
     makes the key CONTENT-sensitive — count/id/length-preserving edits
     (the exact regeneration case the key exists for) change it."""
-    row = (documents.where(F.col("doc_id") % sample_mod == 0)
+    row = (documents.where((F.col("doc_id") % sample_mod == 0)
+                           & F.col("text").isNotNull())
            .agg(F.count("*").alias("n"),
                 F.sum("doc_id").alias("sid"),
                 F.sum(F.crc32(F.col("text").cast("binary"))).alias("sch"))
@@ -215,7 +223,11 @@ def stage_binary_files(documents: DataFrame, stage_dir: str,
     same commit contract as sinks/idempotent.py."""
     import os
     if not os.path.exists(os.path.join(stage_dir, "_SUCCESS")):
-        (documents.where(F.col("doc_id") % sample_mod == 0)
+        # NULL text = no blob to stage (the text writer throws on NULL
+        # values); corpus_stage_key applies the same exclusion so the
+        # content key always matches the staged file set.
+        (documents.where((F.col("doc_id") % sample_mod == 0)
+                         & F.col("text").isNotNull())
          .select("text", "doc_id")
          .write.mode("overwrite").partitionBy("doc_id").text(stage_dir))
     return stage_dir

@@ -1761,7 +1761,7 @@ def q_streaming_session(spark, sf_dir):
 @register("multimodal_frame_sample", f"""
 WITH sampled AS (
   SELECT doc_id, text, CAST(n_chars // {multimodal.N_FRAMES} AS INT) AS fs
-  FROM documents WHERE doc_id % 25 = 0),
+  FROM documents WHERE doc_id % 25 = 0 AND text IS NOT NULL),
 frames AS (
   SELECT doc_id, unnest(range(0, {multimodal.N_FRAMES})) AS frame_idx, fs, text
   FROM sampled WHERE fs > 0)
@@ -1807,7 +1807,7 @@ SELECT doc_id,
              range(0, (n_chars + {multimodal.RESIZE_STRIDE} - 1) // {multimodal.RESIZE_STRIDE}),
              i -> ascii(substring(text, CAST(i * {multimodal.RESIZE_STRIDE} AS INT) + 1, 1))))
          AS BIGINT) AS resized_checksum
-FROM documents WHERE doc_id % 25 = 0
+FROM documents WHERE doc_id % 25 = 0 AND text IS NOT NULL
 """)
 def q_resize(spark, sf_dir):
     return multimodal.media_resize(load_table(spark, sf_dir, "documents"))
@@ -1817,10 +1817,12 @@ def q_resize(spark, sf_dir):
 WITH feats AS (
   SELECT doc_id,
          octet_length(encode(text)) AS n_bytes,
-         ascii(substring(text, 1, 1)) AS first_byte,
-         CAST(list_sum(list_transform(range(1, length(text) + 1),
-              i -> ascii(substring(text, CAST(i AS INT), 1)))) AS BIGINT) AS byte_sum
-  FROM documents)
+         CASE WHEN length(text) = 0 THEN -1
+              ELSE ascii(substring(text, 1, 1)) END AS first_byte,
+         CAST(COALESCE(list_sum(list_transform(range(1, length(text) + 1),
+              i -> ascii(substring(text, CAST(i AS INT), 1)))), 0)
+           AS BIGINT) AS byte_sum
+  FROM documents WHERE text IS NOT NULL)
 SELECT first_byte, COUNT(*) AS n_docs,
        CAST(SUM(n_bytes) AS BIGINT) AS sum_bytes,
        CAST(SUM(byte_sum) AS BIGINT) AS sum_byte_sum
@@ -1834,7 +1836,8 @@ def q_multimodal(spark, sf_dir):
 SELECT doc_id,
        CAST(octet_length(encode(text || chr(10))) AS BIGINT) AS n_bytes,
        md5(text || chr(10)) AS content_md5
-FROM documents WHERE doc_id % {multimodal.BINARY_INGEST_MOD} = 0
+FROM documents
+WHERE doc_id % {multimodal.BINARY_INGEST_MOD} = 0 AND text IS NOT NULL
 """)
 def q_multimodal_ingest(spark, sf_dir):
     """Raw-file ingest through Spark's binaryFile source: a sampled doc

@@ -94,3 +94,57 @@ def test_batch_query_timing_budget(spark, batch_parity_results):
 def test_streaming_parity(spark, sf_dir, name):
     (r,) = run_parity(spark, sf_dir, only=[name])
     assert r.ok, f"{r.detail} {r.mismatches[:3]}"
+
+
+DEGEN_PARITY_QUERIES = [
+    # the operators whose NULL/empty contracts the degenerate corpus
+    # exercises: the media carrier + staged-ingest NULL-blob exclusion,
+    # the totality-fixed bigram operators, and the funnel/percentile
+    # composites over short docs
+    "multimodal_feature_stats", "multimodal_resize",
+    "multimodal_frame_sample", "multimodal_binary_ingest",
+    "doc_novelty_scores", "corpus_filter_manifest",
+    "training_set_manifest", "source_quality_percentile_cut",
+]
+
+
+def test_degenerate_corpus_parity(spark, sf_dir, tmp_path):
+    """Oracle parity must hold on a corpus carrying NULL / empty /
+    1-word / whitespace documents, not just the clean fixture: this is
+    what caught (a) documents_as_media feeding None payloads into the
+    Arrow decoders and (b) the feature oracle disagreeing with the
+    extractor's empty-payload sentinel (ascii('')=0 vs first_byte=-1,
+    list_sum([])=NULL vs 0). Sampled doc_ids (900025 ≡ 0 mod 5 and 25)
+    make the NULL doc reach the ingest/frames/resize sample windows."""
+    import shutil
+
+    degen = tmp_path / "degen_sf"
+    degen.mkdir()
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"]:
+        shutil.copy(f"{sf_dir}/{t}.parquet", degen / f"{t}.parquet")
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    extra = spark.createDataFrame(
+        [(900001, "", "en", "src0", 0),
+         (900002, "one", "en", "src0", 3),
+         (900003, " ", "en", "src1", 1),
+         (900004, "two words", "en", "src1", 9),
+         (900005, "   leading and  doubled  spaces ", "en", "src2", 32),
+         (900006, "x", "de", "src2", 1),
+         (900007, None, "en", "src0", 0),
+         (900008, "null lang doc with some words here", None, "src1", 34),
+         (900025, None, None, "src2", 0)],
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint")
+    # DuckDB's read_parquet wants a FILE, not Spark's output dir —
+    # write single-part and move the part file into place.
+    stage = tmp_path / "docs_stage"
+    (base.unionByName(extra).coalesce(1)
+     .write.mode("overwrite").parquet(str(stage)))
+    (part,) = stage.glob("part-*.parquet")
+    shutil.move(str(part), degen / "documents.parquet")
+    bad = [(r.name, r.detail, r.mismatches[:2])
+           for r in run_parity(spark, str(degen),
+                               only=DEGEN_PARITY_QUERIES)
+           if not r.ok]
+    assert not bad, f"degenerate-corpus parity failures: {bad}"
