@@ -16,11 +16,21 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 QUANT = 1000  # fixed-point scale for oracle-exact arithmetic
+EMB_DIM = 64  # embeddings table dimension (TESTDATA.md)
 
 
 def quantized(embeddings: DataFrame) -> DataFrame:
-    """array<float> → array<bigint> fixed-point. transform() is JVM-side."""
-    return embeddings.select(
+    """array<float> → array<bigint> fixed-point. transform() is JVM-side.
+
+    NULL embeddings (missing vectors — real rows at 100 TB) are
+    excluded here, at the shared entry: every downstream distance on a
+    NULL array is NULL and silently drops from top-k/thresholds, but
+    excluding the rows up front keeps the contract explicit and the
+    scan cheaper. Wrong-LENGTH vectors are a separate contract enforced
+    where per-dimension indexing lives (sq8_train/sq8_encode) — the
+    zip_with-based distances are total over them (NULL-padded → NULL
+    score → dropped), matching the oracle's NULL semantics."""
+    return embeddings.where(F.col("embedding").isNotNull()).select(
         "vec_id", "label",
         F.expr(f"transform(embedding, x -> cast(round(cast(x as double) * {QUANT}, 0) as bigint))")
         .alias("q"),
@@ -200,6 +210,11 @@ def _argmax_dot_assign(q: DataFrame, cents: DataFrame) -> DataFrame:
         "0L, (acc, v) -> acc + v) as ndot, ct.cent_id as cent_id)))")
     return (
         q.crossJoin(F.broadcast(cent_row))
+        # dim-agnostic malformed-vector exclusion: a wrong-length q
+        # zip_with-pads to a NULL dot and would be "assigned" by the
+        # NULL-ordered argmin — compare against the codebook's own dim
+        # (works at any corpus dim; benches run 32, the table 64)
+        .where(F.expr("size(q) = size(cents[0].cv)"))
         .withColumn("m", best)
         .select("vec_id", "q", F.col("m.cent_id").alias("cent_id"))
     )
@@ -583,7 +598,7 @@ def cosine_neardup_pairs(embeddings: DataFrame,
         & (dec("dot") * dec("dot") * 25 >= dec("norm_a") * dec("norm_b")))
 
 
-def label_centroids(embeddings: DataFrame) -> DataFrame:
+def label_centroids(embeddings: DataFrame, dim: int = EMB_DIM) -> DataFrame:
     """Per-label integer centroid of the quantized vectors — the
     aggregation half of k-means / IVF training, oracle-exact because
     sums run over fixed-point ints and the mean uses explicit floor()
@@ -595,7 +610,7 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
     vectors. This is exactly how the IVF coarse quantizer's centroids
     are (re)computed distributedly.
     """
-    q = quantized(embeddings)
+    q = quantized(embeddings).where(F.size("q") == dim)
     dims = q.select("label", F.posexplode("q").alias("dim", "v"))
     return (
         dims.groupBy("label", "dim")
@@ -639,6 +654,10 @@ def _lloyd_rounds(q: DataFrame, k: int, iters: int):
             F.collect_list(F.struct("cluster", "c")).alias("cents"))
         assigned = (
             q.crossJoin(F.broadcast(cent_row))
+            # same dim-agnostic exclusion as _argmax_dot_assign: a
+            # wrong-length q has a NULL L2 against every centroid and
+            # must not be assigned anywhere (it skewed the means)
+            .where(F.expr("size(q) = size(cents[0].c)"))
             .withColumn("m", argmin)
             .select("vec_id", F.col("m.cluster").alias("cluster"), "q"))
         est = (
@@ -794,18 +813,23 @@ def ivfpq_rerank_topk(embeddings: DataFrame, n_queries: int = 10,
 # first" step before PQ is justified.
 
 SQ_LEVELS = 255   # 8-bit code: levels 0..255
-EMB_DIM = 64      # embeddings table dimension (TESTDATA.md)
-
-
 def sq8_train(embeddings: DataFrame, dim: int = EMB_DIM) -> DataFrame:
     """Train the SQ8 quantizer: per-dimension [min, max] over the
     quantized corpus, as ONE map-side-combined aggregate row (2×dim
     aggregates, no explode, no shuffle of vector payloads). The result
     is the entire 'codebook' — 2×dim integers — broadcast everywhere."""
-    q = quantized(embeddings)
+    # Fixed-dim contract: wrong-length vectors (corrupt rows at 100 TB)
+    # are excluded by the size filter, and the per-dim access is get()
+    # — TOTAL, NULL on out-of-bounds, ignored by min/max — so the
+    # aggregate cannot throw even if Spark evaluates its input
+    # projection on rows the filter drops (CLAUDE.md totality
+    # invariant; the indexed q[i] form threw INVALID_ARRAY_INDEX).
+    q = quantized(embeddings).where(F.size("q") == dim)
     return q.agg(
-        F.array(*[F.min(F.expr(f"q[{i}]")) for i in range(dim)]).alias("mn"),
-        F.array(*[F.max(F.expr(f"q[{i}]")) for i in range(dim)]).alias("mx"))
+        F.array(*[F.min(F.expr(f"get(q, {i})")) for i in range(dim)])
+        .alias("mn"),
+        F.array(*[F.max(F.expr(f"get(q, {i})")) for i in range(dim)])
+        .alias("mx"))
 
 
 def sq8_encode(embeddings: DataFrame, trained: DataFrame,
@@ -816,14 +840,17 @@ def sq8_encode(embeddings: DataFrame, trained: DataFrame,
     the corpus streams through once, exactly the shape an encode pass
     over 100 TB needs."""
     return (
-        quantized(embeddings)
+        # same fixed-dim contract as sq8_train; get(q, i) keeps the
+        # projection total even if evaluated on filtered rows
+        quantized(embeddings).where(F.size("q") == dim)
         .crossJoin(F.broadcast(trained))
         .select(
             "vec_id",
             F.expr(
                 f"transform(sequence(0, {dim - 1}), i -> "
                 f"if(mx[i] > mn[i], "
-                f"((q[i] - mn[i]) * {SQ_LEVELS}) div (mx[i] - mn[i]), 0L))"
+                f"((get(q, i) - mn[i]) * {SQ_LEVELS}) div (mx[i] - mn[i]), "
+                f"0L))"
             ).alias("code"))
     )
 

@@ -148,3 +148,52 @@ def test_degenerate_corpus_parity(spark, sf_dir, tmp_path):
                                only=DEGEN_PARITY_QUERIES)
            if not r.ok]
     assert not bad, f"degenerate-corpus parity failures: {bad}"
+
+
+MALFORMED_VECTOR_QUERIES = [
+    # the vector family's malformed-row contract: NULL vectors are
+    # excluded at quantized(), wrong-length vectors at the per-dim /
+    # assignment seams (sq8 threw INVALID_ARRAY_INDEX; kmeans/semdedup/
+    # ivf-incremental silently assigned them and skewed centroids)
+    "ann_brute_force_topk", "ann_sq8_topk", "ann_sq8_rerank_topk",
+    "kmeans_training_loop", "semantic_dedup_stats",
+    "ann_ivf_incremental_lists", "embedding_label_centroids",
+]
+
+
+def test_malformed_vectors_are_inert(spark, sf_dir, tmp_path):
+    """Malformed embedding rows (NULL vector, wrong length, empty,
+    NULL label) must have ZERO effect: every vector-family query
+    returns byte-identical results with and without them. Weaker than
+    oracle parity on purpose — the two engines' NULL-array semantics
+    differ on garbage rows, so the portable contract is exclusion, and
+    exclusion is exactly what this asserts."""
+    import shutil
+
+    degen = tmp_path / "degen_emb"
+    degen.mkdir()
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents"]:
+        shutil.copy(f"{sf_dir}/{t}.parquet", degen / f"{t}.parquet")
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    extra = spark.createDataFrame(
+        [(990001, None, 3),
+         (990002, [0.1, 0.2], 1),
+         (990003, [], 2),
+         (990004, [0.5], None)],
+        "vec_id bigint, embedding array<float>, label int")
+    stage = tmp_path / "emb_stage"
+    (base.unionByName(extra).coalesce(1)
+     .write.mode("overwrite").parquet(str(stage)))
+    (part,) = stage.glob("part-*.parquet")
+    shutil.move(str(part), degen / "embeddings.parquet")
+
+    from movement_spark import queries as Q
+    qs = Q.queries()
+    key = lambda rows: sorted(tuple(r) for r in rows)  # noqa: E731
+    diverged = []
+    for name in MALFORMED_VECTOR_QUERIES:
+        if key(qs[name](spark, str(degen)).collect()) != key(
+                qs[name](spark, sf_dir).collect()):
+            diverged.append(name)
+    assert not diverged, f"malformed vectors changed results: {diverged}"
