@@ -28,7 +28,7 @@ from typing import Iterable
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
     ArrayType, IntegerType, LongType, StringType, StructField, StructType,
 )
@@ -121,7 +121,14 @@ def user_pattern_stats(events: DataFrame, pattern: str = "v+cp",
         yield from _accumulate(key, pdfs, state, pattern, close_after_ms)
 
     return (
-        events.select("user_id", "event_id", "event_type", "ts")
+        # CEP-valid events only (same exclusion as the batch matcher
+        # and the shared oracle): a NULL type made the symbol join
+        # throw inside the state function, and a NULL ts (NaT) poisons
+        # episode ordering and the event-time timeout.
+        events.where(F.col("user_id").isNotNull()
+                     & F.col("ts").isNotNull()
+                     & F.col("event_type").isNotNull())
+        .select("user_id", "event_id", "event_type", "ts")
         .withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(

@@ -531,7 +531,14 @@ def pattern_match_stats(events: DataFrame,
     """
     ch = F.expr("substring(event_type, 1, 1)")
     per_user = (
-        events.select("user_id", "ts", "event_id", ch.alias("ch"))
+        # CEP-valid events only: a NULL user/ts/type row cannot be
+        # placed in (or symbolized for) an episode — excluded in BOTH
+        # matcher forms and the oracle, so the stateful and columnar
+        # implementations keep cross-validating on dirty streams.
+        events.where(F.col("user_id").isNotNull()
+                     & F.col("ts").isNotNull()
+                     & F.col("event_type").isNotNull())
+        .select("user_id", "ts", "event_id", ch.alias("ch"))
         .groupBy("user_id")
         .agg(F.count("*").alias("n_events"),
              F.expr("array_join(transform(array_sort(collect_list("

@@ -4568,7 +4568,10 @@ WITH s AS (
   SELECT user_id, COUNT(*) AS n_events,
          string_agg(substr(event_type, 1, 1), ''
                     ORDER BY ts, event_id) AS seq
-  FROM events GROUP BY user_id),
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_type IS NOT NULL
+  GROUP BY user_id),
 m AS (SELECT user_id, n_events,
              regexp_extract_all(seq, 'v+cp') AS ms FROM s)
 SELECT user_id, n_events,

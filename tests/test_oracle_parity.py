@@ -105,6 +105,11 @@ DEGEN_PARITY_QUERIES = [
     "multimodal_frame_sample", "multimodal_binary_ingest",
     "doc_novelty_scores", "corpus_filter_manifest",
     "training_set_manifest", "source_quality_percentile_cut",
+    # CEP matcher: NULL user/ts/type events are excluded identically in
+    # the batch matcher, the stateful streaming matcher, and the oracle
+    # (a NULL type crashed the streaming symbol join; NaT poisons the
+    # event-time timeout)
+    "pattern_match_stats",
 ]
 
 
@@ -121,8 +126,29 @@ def test_degenerate_corpus_parity(spark, sf_dir, tmp_path):
     degen = tmp_path / "degen_sf"
     degen.mkdir()
     for t in ["region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem", "events", "embeddings"]:
+              "orders", "lineitem", "embeddings"]:
         shutil.copy(f"{sf_dir}/{t}.parquet", degen / f"{t}.parquet")
+
+    def write_single(df, name):
+        stage = tmp_path / f"{name}_stage"
+        df.coalesce(1).write.mode("overwrite").parquet(str(stage))
+        (part,) = stage.glob("part-*.parquet")
+        shutil.move(str(part), degen / f"{name}.parquet")
+
+    from pyspark.sql import functions as F
+
+    ev_base = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev_extra = spark.createDataFrame(
+        [(980001, None, 13, "view", 1.0, '{"k": 1}'),
+         (980002, "2024-01-02 00:00:00", None, "click", 2.0, "{}"),
+         (980003, "2024-01-02 00:01:00", 14, None, None, None),
+         (980005, None, None, None, None, None)],
+        "event_id bigint, ts string, user_id bigint, "
+        "event_type string, value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    write_single(ev_base.unionByName(ev_extra.select(*ev_base.columns)),
+                 "events")
+
     base = spark.read.parquet(f"{sf_dir}/documents.parquet")
     extra = spark.createDataFrame(
         [(900001, "", "en", "src0", 0),
