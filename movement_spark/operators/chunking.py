@@ -107,6 +107,79 @@ def allocate_output_ids(df: DataFrame, order_cols: list[str],
     )
 
 
+# Rendezvous (highest-random-weight) resharding. Constants follow the
+# registry's a*x+b mod p convention (no engine hash builtins in checked
+# values); RESHARD_A wraps the modulus from key=1 upward so small key
+# ranges still scramble (the KMV multiplier-wrap lesson, queries.py).
+RESHARD_P = 1_000_000_007
+RESHARD_A = 2_654_435_761        # Knuth 2^32/phi; A*1 > P, so it wraps
+RESHARD_B = 40_503               # couples key and shard id
+RESHARD_C = 1_299_709            # shard-only term
+RESHARD_D = 104_729
+RESHARD_MAX = 32                 # score = h*32 + s needs s < 32
+
+
+def rendezvous_shard_expr(key: str, n_shards: int, dialect: str) -> str:
+    """Rendezvous-hash shard assignment as ONE codegen expression, in
+    both engine dialects (the shard_signature_expr pattern, dedup.py).
+
+    score(key, s) = h(key, s) * 32 + s with h in [0, P): the *32+s
+    suffix makes every shard's score distinct for a given key, so a
+    plain max picks the winner — no argmax tie rule two engines could
+    resolve differently — and winner id = max_score % 32.
+
+    Overflow audit (bigint): A*(key%P) <= 2.66e18, B*(key%P)*s <=
+    1.26e15 at s<32, sum < 2^63; h*32+s <= 3.3e10.
+    """
+    if not 0 < n_shards <= RESHARD_MAX:
+        raise ValueError(f"n_shards must be in 1..{RESHARD_MAX}")
+    h = (f"(({RESHARD_A} * ({key} % {RESHARD_P}) "
+         f"+ {RESHARD_B} * ({key} % {RESHARD_P}) * s "
+         f"+ {RESHARD_C} * s + {RESHARD_D}) % {RESHARD_P}) * 32 + s")
+    if dialect == "spark":
+        return (f"array_max(transform(sequence(0, {n_shards - 1}), "
+                f"s -> {h})) % 32")
+    return (f"list_max(list_transform(range(0, {n_shards}), "
+            f"s -> {h})) % 32")
+
+
+def reshard_movement_manifest(df: DataFrame, key: str = "doc_id",
+                              n_old: int = 8,
+                              n_new: int = 10) -> DataFrame:
+    """Minimal-movement reshard audit: assign every key to its shard
+    under the OLD and NEW shard counts by rendezvous hashing, report
+    the (old_shard, new_shard) movement matrix.
+
+    Why rendezvous and not `key % n`: modulo resharding from 8 to 10
+    relocates ~90% of keys (only keys with equal residues stay); the
+    rendezvous winner for a key changes ONLY when one of the added
+    shards outscores every old shard, so at most ~(n_new-n_old)/n_new
+    of the corpus moves — and every moved key lands on a NEW shard
+    (old shards' scores are unchanged by the extension; pinned by
+    tests/test_operators.py::test_reshard_moves_only_to_new_shards).
+
+    Scale shape: both assignments are pure whole-stage-codegen
+    expressions over an n_shards-long in-plan sequence — zero joins,
+    zero extra scans; the only shuffle is the <= n_old*n_new-row
+    matrix rollup. At 100 TB this is the planning pass that says
+    "growing 8 shards to 10 re-writes 2/10 of the corpus, and exactly
+    these cells", before any data moves.
+    """
+    if not 0 < n_old < n_new <= RESHARD_MAX:
+        raise ValueError("need 0 < n_old < n_new <= 32")
+    assigned = df.select(
+        F.expr(rendezvous_shard_expr(key, n_old, "spark"))
+        .cast("int").alias("old_shard"),
+        F.expr(rendezvous_shard_expr(key, n_new, "spark"))
+        .cast("int").alias("new_shard"))
+    return (
+        assigned.groupBy("old_shard", "new_shard")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .withColumn("moved",
+                    (F.col("old_shard") != F.col("new_shard")).cast("int"))
+    )
+
+
 def chunk_stats(df: DataFrame, key: str, buckets: int = 16) -> DataFrame:
     """Observability for the work-queue layout: per-bucket row/doc counts —
     the WORK_CHUNKS counter analog (WorkChunkDriver.java:37)."""

@@ -1242,3 +1242,63 @@ def dominant_part_suppliers(lineitem: DataFrame, part: DataFrame,
         .select("s_suppkey", "s_name",
                 F.col("n_name").alias("supp_nation"), "n_dominant_parts")
     )
+
+
+# Mergeable per-source aggregate STATE: every field re-aggregates with
+# itself (sum/sum, min/min, max/max, bit_or/bit_or), which is what
+# makes incremental view maintenance possible at all. The lang bitmap
+# is a 61-bucket hashed-domain distinct set — exact while the observed
+# lang domain is collision-free in 61 buckets (the 5 fixture langs
+# are), a lower bound otherwise, and engine-identical either way.
+LANG_BUCKETS = 61
+_LANG_BUCKET = ("(ascii(substring(lang, 1, 1)) * 7 "
+                f"+ ascii(substring(lang, 2, 1))) % {LANG_BUCKETS}")
+
+
+def _doc_agg_state(docs: DataFrame) -> DataFrame:
+    return docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+        F.bit_or(F.expr(f"shiftleft(cast(1 as bigint), {_LANG_BUCKET})"))
+        .alias("lang_bitmap"))
+
+
+def incremental_state_merge(documents: DataFrame,
+                            delta_mod: int = 10,
+                            delta_from: int = 8) -> DataFrame:
+    """Materialized-view maintenance contract: per-source aggregate
+    state computed on the BASE corpus and on a DELTA batch separately,
+    then merged state-with-state — the oracle recomputes the view from
+    the full corpus in one pass, so hash parity IS the proof that
+    merge(state(base), state(delta)) == state(base ∪ delta).
+
+    The split is deterministic (doc_id % delta_mod >= delta_from plays
+    the newly-ingested batch), so both engines and every re-run see the
+    same base/delta.
+
+    Scale shape: this is the refresh that never re-scans the base — at
+    100 TB the base state is a materialized <=n_sources-row table; a
+    daily delta costs one delta-sized scan plus a state-sized merge.
+    Every state field is chosen mergeable: additive counts/sums,
+    idempotent min/max, and the distinct-lang set carried as a bit_or
+    bitmap (a fixed-width mergeable sketch) rather than a
+    COUNT(DISTINCT) that would need the raw rows back.
+    """
+    is_delta = F.pmod(F.col("doc_id"), F.lit(delta_mod)) >= delta_from
+    base_state = _doc_agg_state(documents.where(~is_delta))
+    delta_state = _doc_agg_state(documents.where(is_delta))
+    merged = (
+        base_state.unionByName(delta_state)
+        .groupBy("source")
+        .agg(F.sum("n_docs").cast("bigint").alias("n_docs"),
+             F.sum("sum_chars").cast("bigint").alias("sum_chars"),
+             F.min("min_chars").cast("bigint").alias("min_chars"),
+             F.max("max_chars").cast("bigint").alias("max_chars"),
+             F.bit_or("lang_bitmap").alias("lang_bitmap"))
+    )
+    return merged.select(
+        "source", "n_docs", "sum_chars", "min_chars", "max_chars",
+        "lang_bitmap",
+        F.bit_count("lang_bitmap").cast("int").alias("n_langs"))

@@ -21,8 +21,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from movement_spark.operators import (
-    dataset, dedup, joins, multimodal, relational, similarity, sketches,
-    text, windows,
+    chunking, dataset, dedup, joins, multimodal, relational, similarity,
+    sketches, text, windows,
 )
 from movement_spark.operators.ordering import merged_doc_check
 from movement_spark.session import tune_session
@@ -6009,6 +6009,50 @@ def q_dominant_part_suppliers(spark, sf_dir):
         load_table(spark, sf_dir, "nation"))
 
 
+@register("reshard_movement_matrix", f"""
+WITH a AS (
+  SELECT CAST({chunking.rendezvous_shard_expr('doc_id', 8, 'duckdb')}
+              AS INT) AS old_shard,
+         CAST({chunking.rendezvous_shard_expr('doc_id', 10, 'duckdb')}
+              AS INT) AS new_shard
+  FROM documents)
+SELECT old_shard, new_shard, COUNT(*) AS n_docs,
+       CAST(old_shard <> new_shard AS INT) AS moved
+FROM a GROUP BY 1, 2
+""")
+def q_reshard_movement(spark, sf_dir):
+    """Rendezvous-hash reshard audit (8 -> 10 shards): the movement
+    matrix a minimal-movement reshard of a 100-TB corpus is planned
+    from. Pure codegen assignment expressions, one tiny matrix rollup;
+    the moved-keys-land-only-on-new-shards property is pinned by
+    tests/test_operators.py::test_reshard_moves_only_to_new_shards."""
+    return chunking.reshard_movement_manifest(
+        load_table(spark, sf_dir, "documents"), "doc_id", 8, 10)
+
+
+@register("incremental_state_merge", f"""
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+       CAST(BIT_OR(CAST(1 AS BIGINT) << ({relational._LANG_BUCKET}))
+            AS BIGINT) AS lang_bitmap,
+       CAST(BIT_COUNT(BIT_OR(CAST(1 AS BIGINT) << ({relational._LANG_BUCKET})))
+            AS INT) AS n_langs
+FROM documents GROUP BY source
+""")
+def q_incremental_state_merge(spark, sf_dir):
+    """Incremental materialized-view maintenance: Spark merges the
+    base state with a delta batch's state; the oracle recomputes the
+    view from the full corpus in ONE pass — parity proves
+    merge(state(base), state(delta)) == state(base ∪ delta), the
+    contract that lets a 100-TB view refresh from a delta-sized scan.
+    Every state field is mergeable (sums, min/max, bit_or lang
+    bitmap)."""
+    return relational.incremental_state_merge(
+        load_table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------
 # Driver-gate ordering. The correctness sweep evaluates the registry in
 # insertion order and time-boxes at ~50 rows (r01 truncated at 49; r02
@@ -6079,6 +6123,9 @@ _FRONT = [
     "returned_item_reporting",
     "supplier_relation_counts",
     "dominant_part_suppliers",
+    # --- Round-4 fourth-session additions (never driver-verified).
+    "reshard_movement_matrix",
+    "incremental_state_merge",
     # --- Re-verification: load-bearing rows whose only green driver
     # row is r01 (two rounds stale). The driver re-runs whatever is in
     # the window; green re-runs prove no silent regression since r01.

@@ -1283,3 +1283,39 @@ def test_degenerate_docs_never_throw(spark):
     # the corpus has single-char words only after whitespace split of
     # 'w'/''/'xxx…' → 'x x …' symbolization still yields ('x','x')
     assert all(m["n_occ"] >= 1 for m in merges)
+
+
+def test_reshard_moves_only_to_new_shards(spark):
+    """Rendezvous property: extending 8 shards to 10 leaves every old
+    shard's score for a key unchanged, so a key relocates ONLY when a
+    NEW shard outscores all old ones — zero old-to-old churn, moved
+    share ~ (n_new-n_old)/n_new. This is the guarantee that makes the
+    reshard manifest a minimal-movement plan (key % n would churn ~90%)."""
+    from movement_spark.operators.chunking import reshard_movement_manifest
+
+    docs = spark.range(20000).withColumnRenamed("id", "doc_id")
+    rows = reshard_movement_manifest(docs, "doc_id", 8, 10).collect()
+    moved = [r for r in rows if r["moved"] == 1]
+    assert moved, "adding shards must relocate some keys"
+    assert all(r["new_shard"] >= 8 for r in moved), \
+        f"moved keys must land on NEW shards only: {sorted(moved)}"
+    total = sum(r["n_docs"] for r in rows)
+    frac = sum(r["n_docs"] for r in moved) / total
+    assert 0.10 < frac < 0.30, f"moved fraction {frac} far from 2/10"
+    # every shard id participates — the hash spreads, nothing starves
+    assert {r["old_shard"] for r in rows} == set(range(8))
+    assert {r["new_shard"] for r in rows} == set(range(10))
+
+
+def test_lang_buckets_distinct_for_fixture_langs():
+    """The mergeable-state lang bitmap is exact only while the observed
+    lang domain is collision-free in its 61 buckets — pin that the five
+    fixture langs occupy five distinct buckets (n_langs is exact, not a
+    lower bound, on this corpus)."""
+    from movement_spark.operators.relational import LANG_BUCKETS
+
+    def bucket(lang: str) -> int:
+        return (ord(lang[0]) * 7 + ord(lang[1])) % LANG_BUCKETS
+
+    langs = ["de", "en", "es", "fr", "zh"]
+    assert len({bucket(lg) for lg in langs}) == len(langs)
