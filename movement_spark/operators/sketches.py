@@ -272,3 +272,52 @@ def kmv_set_algebra(events: DataFrame, type_a: str = "click",
     return events.sparkSession.createDataFrame(
         rows, schema="est_a bigint, est_b bigint, est_union bigint, "
                      "k_merged bigint, k_both bigint, est_intersect bigint")
+
+
+# Histogram quantile sketch: the missing member of the sketch family
+# (count-min = frequency, Bloom = membership, KMV/LogLog = distinct,
+# this = quantiles). The state is a fixed equi-width counter grid —
+# ADDITIVE, so it merges across partitions, shards, or stream windows
+# by summing counts, and the quantile read carries a deterministic
+# error bound of one bucket width.
+QSK_WIDTH = 16            # bucket width (value units)
+QSK_BUCKETS = 64          # grid size; values >= width*buckets clamp
+
+
+def histogram_quantile_profile(df: DataFrame, key: str = "source",
+                               value: str = "n_chars",
+                               ps: tuple[int, ...] = (50, 90, 99)
+                               ) -> DataFrame:
+    """Per-key quantile estimates from a fixed 64-bucket equi-width
+    histogram: p-th quantile ~ the lower edge of the first bucket whose
+    cumulative count reaches ceil(p*n/100). The true quantile lies in
+    [edge, edge + QSK_WIDTH) whenever values stay under the clamp — a
+    DETERMINISTIC error bound, unlike a sampled sketch.
+
+    Scale shape: ONE (key, bucket) aggregate shuffle builds the grid —
+    map-side combinable, <= n_keys*64 rows no matter how many rows
+    stream through (the whole point at 10^12 rows, where exact
+    percentile's per-group sort is unaffordable). The cumulative walk
+    and the quantile picks run on that tiny grid. At 100 TB the grid is
+    also the MERGEABLE state: per-shard histograms sum into the global
+    one, and a streaming form carries it per window (the same additive
+    contract as cms_heavy_hitters' grid).
+    """
+    from pyspark.sql.window import Window
+
+    bucket = F.least(F.expr(f"{value} div {QSK_WIDTH}"),
+                     F.lit(QSK_BUCKETS - 1))
+    hist = (df.groupBy(F.col(key), bucket.alias("bucket"))
+              .agg(F.count("*").alias("cnt")))
+    w_cum = (Window.partitionBy(key).orderBy("bucket")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (hist
+           .withColumn("cum", F.sum("cnt").over(w_cum))
+           .withColumn("n_docs", F.sum("cnt").over(Window.partitionBy(key))))
+    picks = [
+        F.min(F.when(
+            F.col("cum") >= F.expr(f"({p} * n_docs + 99) div 100"),
+            F.col("bucket") * QSK_WIDTH)).cast("bigint").alias(f"p{p}_lo")
+        for p in ps]
+    return (cum.groupBy(key)
+            .agg(F.max("n_docs").cast("bigint").alias("n_docs"), *picks))

@@ -142,3 +142,34 @@ def test_kmv_set_algebra_exact_on_small_sets(spark):
     r = kmv_set_algebra(ev).collect()[0]
     assert (r.est_a, r.est_b, r.est_union, r.k_merged, r.k_both,
             r.est_intersect) == (10, 8, 12, 12, 6, 6)
+
+
+def test_quantile_sketch_brackets_exact_percentile(spark):
+    """The sketch's deterministic error contract: for every source and
+    every p, the exact percentile lies in [p_lo, p_lo + QSK_WIDTH) —
+    the bucket that crossed ceil(p*n/100) really contains the p-th
+    value (values stay under the clamp on this corpus)."""
+    from pyspark.sql import functions as F
+
+    from movement_spark.operators.sketches import (
+        QSK_WIDTH, histogram_quantile_profile)
+
+    import math
+    from collections import defaultdict
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    got = {r["source"]: r
+           for r in histogram_quantile_profile(docs).collect()}
+    vals = defaultdict(list)
+    for r in docs.select("source", "n_chars").collect():
+        vals[r["source"]].append(r["n_chars"])
+    assert set(got) == set(vals) and got
+    for src, row in got.items():
+        ordered = sorted(vals[src])
+        for p in (50, 90, 99):
+            lo = row[f"p{p}_lo"]
+            # the sketch targets the ceil(p*n/100)-th ORDER STATISTIC
+            # (the discrete quantile a counter grid can bracket), not
+            # SQL's interpolated percentile
+            kth = ordered[math.ceil(p * len(ordered) / 100) - 1]
+            assert lo <= kth < lo + QSK_WIDTH, (src, p, lo, kth)
