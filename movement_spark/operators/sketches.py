@@ -303,21 +303,35 @@ def histogram_quantile_profile(df: DataFrame, key: str = "source",
     one, and a streaming form carries it per window (the same additive
     contract as cms_heavy_hitters' grid).
     """
-    from pyspark.sql.window import Window
-
     bucket = F.least(F.expr(f"{value} div {QSK_WIDTH}"),
                      F.lit(QSK_BUCKETS - 1))
     hist = (df.groupBy(F.col(key), bucket.alias("bucket"))
               .agg(F.count("*").alias("cnt")))
-    w_cum = (Window.partitionBy(key).orderBy("bucket")
+    return histogram_quantile_fold(hist, [key], width=QSK_WIDTH,
+                                   n_alias="n_docs", ps=ps)
+
+
+def histogram_quantile_fold(hist: DataFrame, keys: list[str],
+                            width: int = QSK_WIDTH,
+                            n_alias: str = "n_rows",
+                            ps: tuple[int, ...] = (50, 90, 99)
+                            ) -> DataFrame:
+    """Quantile read over a PREBUILT additive histogram — the fold the
+    batch profile and the streaming per-window monitor share: the grid
+    arrives as (keys..., bucket, cnt) rows (summed from any number of
+    shards or stream epochs), the cumulative walk and the
+    ceil(p*n/100) picks run entirely on that histogram-sized frame."""
+    from pyspark.sql.window import Window
+
+    w_cum = (Window.partitionBy(*keys).orderBy("bucket")
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     cum = (hist
            .withColumn("cum", F.sum("cnt").over(w_cum))
-           .withColumn("n_docs", F.sum("cnt").over(Window.partitionBy(key))))
+           .withColumn("_n", F.sum("cnt").over(Window.partitionBy(*keys))))
     picks = [
         F.min(F.when(
-            F.col("cum") >= F.expr(f"({p} * n_docs + 99) div 100"),
-            F.col("bucket") * QSK_WIDTH)).cast("bigint").alias(f"p{p}_lo")
+            F.col("cum") >= F.expr(f"({p} * _n + 99) div 100"),
+            F.col("bucket") * width)).cast("bigint").alias(f"p{p}_lo")
         for p in ps]
-    return (cum.groupBy(key)
-            .agg(F.max("n_docs").cast("bigint").alias("n_docs"), *picks))
+    return (cum.groupBy(*keys)
+            .agg(F.max("_n").cast("bigint").alias(n_alias), *picks))

@@ -1513,6 +1513,35 @@ def q_streaming_drift(spark, sf_dir):
     return run_streaming_drift_monitor(spark, sf_dir)
 
 
+@register("streaming_quantile_monitor", with_token_cte("""
+, hist AS (
+  SELECT CAST(epoch(time_bucket(INTERVAL 5 MINUTES, ts)) AS BIGINT) AS ws,
+         source, LEAST(n_tok // 2, 63) AS bucket, COUNT(*) AS cnt
+  FROM token_sequences GROUP BY 1, 2, 3),
+cum AS (
+  SELECT ws, source, bucket, cnt,
+         SUM(cnt) OVER (PARTITION BY ws, source ORDER BY bucket) AS cum,
+         SUM(cnt) OVER (PARTITION BY ws, source) AS n
+  FROM hist)
+SELECT ws, source, CAST(MAX(n) AS BIGINT) AS n_seq,
+       CAST(MIN(CASE WHEN cum >= (50 * n + 99) // 100
+                     THEN bucket * 2 END) AS BIGINT) AS p50_lo,
+       CAST(MIN(CASE WHEN cum >= (90 * n + 99) // 100
+                     THEN bucket * 2 END) AS BIGINT) AS p90_lo,
+       CAST(MIN(CASE WHEN cum >= (99 * n + 99) // 100
+                     THEN bucket * 2 END) AS BIGINT) AS p99_lo
+FROM cum GROUP BY 1, 2
+"""))
+def q_streaming_quantile(spark, sf_dir):
+    """Streaming per-window p50/p90/p99 sequence-length monitor: the
+    histogram quantile sketch's streaming form — additive counter grid
+    as stream state (windows × sources × 64 rows), quantile fold at
+    sink read."""
+    from movement_spark.streaming.pipeline import (
+        run_streaming_quantile_monitor)
+    return run_streaming_quantile_monitor(spark, sf_dir)
+
+
 @register("streaming_tumbling_pipeline", with_token_cte("""
 SELECT CAST(epoch(time_bucket(INTERVAL 5 MINUTES, ts)) AS BIGINT) AS ws,
        source,
@@ -6156,6 +6185,7 @@ _FRONT = [
     "reshard_movement_matrix",
     "incremental_state_merge",
     "quantile_sketch_profile",
+    "streaming_quantile_monitor",
     # --- Re-verification: load-bearing rows whose only green driver
     # row is r01 (two rounds stale). The driver re-runs whatever is in
     # the window; green re-runs prove no silent regression since r01.

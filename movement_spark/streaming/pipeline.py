@@ -403,6 +403,54 @@ def run_streaming_drift_monitor(spark: SparkSession, sf_dir: str,
     return window_drift_tvd(sink.read(spark), width_sec=width_sec)
 
 
+def run_streaming_quantile_monitor(spark: SparkSession, sf_dir: str,
+                                   width: str = "5 minutes",
+                                   watermark: str = "10 minutes",
+                                   bucket_width: int = 2,
+                                   buckets: int = 64,
+                                   stage_dir: str | None = None,
+                                   sink_dir: str | None = None,
+                                   checkpoint_dir: str | None = None,
+                                   listener=None,
+                                   files_per_trigger: int | None = None
+                                   ) -> DataFrame:
+    """Streaming latency/size-distribution monitor: per-(window,
+    source) sequence-length HISTOGRAMS through the exactly-once sink,
+    folded at read into p50/p90/p99 lower edges
+    (operators/sketches.py:histogram_quantile_fold) — the windowed
+    percentile dashboard every ingest pipeline runs, without ever
+    sorting raw rows in stream state.
+
+    This is the histogram-quantile sketch's streaming form: streaming
+    state holds only the additive counter grid (windows × sources ×
+    ``buckets`` rows — row-volume-independent, the same state-pinning
+    trick as the drift monitor), and the exact percentile an absolute
+    answer would need is replaced by a one-bucket-width deterministic
+    bracket, which is what a tail-latency alert actually consumes. No
+    explode: each sequence contributes ONE bucket via arithmetic on
+    n_tok, so the plan is aggregate-only above the watermark and the
+    sentinel is cut by the window predicate per the CLAUDE.md rule."""
+    stage = _resolve_stage(spark, sf_dir, stage_dir)
+    src = read_token_stream(spark, stage, files_per_trigger)
+    flush_cut = F.timestamp_seconds(F.lit(EPOCH_2026 + TS_MOD + 3600))
+    hist = (
+        src.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "source",
+                 F.least(F.expr(f"n_tok div {bucket_width}"),
+                         F.lit(buckets - 1)).alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("w.start") < flush_cut)
+        .select(F.unix_timestamp("w.start").alias("ws"), "source",
+                "bucket", "cnt")
+    )
+    sink = IdempotentKeyedSink(sink_dir or _tmp("msq_sink_"),
+                               ["ws", "source", "bucket"])
+    _run_to_sink(hist, sink, checkpoint_dir or _tmp("msq_ck_"), listener)
+    from movement_spark.operators.sketches import histogram_quantile_fold
+    return histogram_quantile_fold(sink.read(spark), ["ws", "source"],
+                                   width=bucket_width, n_alias="n_seq")
+
+
 def run_streaming_dedup(spark: SparkSession, sf_dir: str,
                         width: str = "5 minutes",
                         watermark: str = "10 minutes",

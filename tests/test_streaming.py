@@ -1126,3 +1126,40 @@ def test_neardup_monitor_resumes_from_checkpoint(spark, sf_dir):
                 .cast("bigint").alias("n_dup_seq")))
     assert result.count() == expected.count() > 0
     assert result.exceptAll(expected).count() == 0
+
+
+def test_quantile_monitor_resumes_from_checkpoint(spark, sf_dir):
+    """Kill/resume for the streaming quantile monitor: the per-(window,
+    source, bucket) counter grid spans the kill point — counts for a
+    bucket fed before AND after the restart must sum, so the resumed
+    run's quantile fold must equal a clean batch histogram fold over
+    the full table."""
+    from movement_spark.operators.sketches import histogram_quantile_fold
+    from movement_spark.streaming.pipeline import (
+        run_streaming_quantile_monitor)
+
+    full_stage = _mkdir()
+    stage_token_stream(spark, sf_dir, full_stage)
+    files = sorted(os.listdir(full_stage))
+    part_stage, ck, sink_dir = _mkdir(), _mkdir(), _mkdir()
+    cut = len(files) // 2
+    for f in files[:cut]:
+        shutil.copy2(os.path.join(full_stage, f), os.path.join(part_stage, f))
+    run_streaming_quantile_monitor(spark, sf_dir, stage_dir=part_stage,
+                                   sink_dir=sink_dir, checkpoint_dir=ck)
+    for f in files[cut:]:
+        shutil.copy2(os.path.join(full_stage, f), os.path.join(part_stage, f))
+    result = run_streaming_quantile_monitor(spark, sf_dir,
+                                            stage_dir=part_stage,
+                                            sink_dir=sink_dir,
+                                            checkpoint_dir=ck)
+    t = token_sequences(spark, sf_dir)
+    hist = (
+        t.groupBy((F.floor(F.unix_timestamp("ts") / 300) * 300).alias("ws"),
+                  "source",
+                  F.least(F.expr("n_tok div 2"), F.lit(63)).alias("bucket"))
+        .agg(F.count("*").alias("cnt")))
+    expected = histogram_quantile_fold(hist, ["ws", "source"],
+                                       width=2, n_alias="n_seq")
+    assert result.count() == expected.count() > 0
+    assert result.exceptAll(expected).count() == 0
