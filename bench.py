@@ -20,7 +20,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from movement_spark import queries as Q                     # noqa: E402
 from movement_spark.benchmarks import (                     # noqa: E402
     HEADLINE, cep_assembler_throughput, drift_monitor_throughput,
-    neardup_monitor_throughput, streaming_throughput, time_query_stats,
+    neardup_monitor_throughput, quantile_monitor_throughput,
+    streaming_throughput, time_query_stats,
 )
 from movement_spark.session import get_spark                # noqa: E402
 from movement_spark.sources.synth import stage_synth_stream  # noqa: E402
@@ -96,6 +97,9 @@ def main() -> None:
         # for the family; the rest are cheaper compositions of the
         # same exchanges)
         "volume_shipping", "nation_market_share",
+        # round-4 fourth-session families
+        "reshard_movement_matrix", "incremental_state_merge",
+        "quantile_sketch_profile",
     )
     extended: dict[str, float] = {}
     for name in EXTENDED:
@@ -202,6 +206,24 @@ def main() -> None:
 
     neardup = _neardup_run(max(int(8_000_000 * sf), 100_000))
 
+    # Quantile-monitor sub-metric: the lightest-state stateful pipeline
+    # (one counter increment per row, state pinned at windows × sources
+    # × 64) at the same 2M-row input — bounds the floor of stateful-agg
+    # overhead next to the drift monitor's token-explode ceiling.
+    def _quantile_run(n_docs: int) -> dict:
+        work = tempfile.mkdtemp(prefix="ms_qmbench_")
+        stage = os.path.join(work, "stage")
+        n_rows = stage_synth_stream(spark, n_docs, stage, n_files=64)
+        out = quantile_monitor_throughput(
+            spark, stage, n_rows,
+            sink_dir=os.path.join(work, "sink"),
+            checkpoint_dir=os.path.join(work, "ck"),
+            files_per_trigger=8)
+        shutil.rmtree(work, ignore_errors=True)
+        return out
+
+    quantile = _quantile_run(max(int(8_000_000 * sf), 100_000))
+
     result = {
         "metric": "headline_suite_sec",
         "value": round(sum(timings.values()), 3),
@@ -217,6 +239,7 @@ def main() -> None:
         "cep": cep,
         "drift_monitor": drift,
         "neardup_monitor": neardup,
+        "quantile_monitor": quantile,
     }
     spark.stop()
     print(json.dumps(result))

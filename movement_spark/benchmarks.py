@@ -293,3 +293,44 @@ def neardup_monitor_throughput(spark: SparkSession, stage_dir: str,
         "monitor_windows_out": n_out,
         "dup_seq_flagged": int(dup_seq),
     }
+
+
+def quantile_monitor_throughput(spark: SparkSession, stage_dir: str,
+                                n_rows: int, sink_dir: str,
+                                checkpoint_dir: str,
+                                files_per_trigger: int = 8) -> dict:
+    """Throughput of the streaming quantile monitor — the lightest-state
+    stateful pipeline: each sequence contributes ONE (window, source,
+    bucket) counter increment via arithmetic on n_tok (no explode, no
+    per-signature groups), so state is pinned at windows × sources × 64
+    rows regardless of input volume. This bounds the floor of stateful-
+    agg overhead: its gap vs the headline windowed agg is the cost of a
+    64-wide grouping key, nothing else. Same sink/checkpoint/steady-state
+    methodology as streaming_throughput."""
+    from movement_spark.streaming.pipeline import (
+        run_streaming_quantile_monitor)
+
+    listener = RuntimeMetricsListener()
+    t0 = time.perf_counter()
+    out = run_streaming_quantile_monitor(
+        spark, sf_dir="", stage_dir=stage_dir, sink_dir=sink_dir,
+        checkpoint_dir=checkpoint_dir, listener=listener,
+        files_per_trigger=files_per_trigger)
+    n_out = out.count()
+    max_p99 = out.agg(F.max("p99_lo")).collect()[0][0] or 0
+    elapsed = time.perf_counter() - t0
+    recs = sorted(listener.records, key=lambda r: r.batch_id)
+    mid = recs[1:-1] if len(recs) >= 3 else recs
+    mid_rows = sum(r.num_input_rows for r in mid)
+    mid_sec = sum(r.duration_ms for r in mid) / 1000.0
+    return {
+        "elapsed_sec": round(elapsed, 3),
+        "rows_in": n_rows,
+        "seq_per_sec": round(n_rows / elapsed, 1),
+        "seq_per_sec_steady": round(mid_rows / mid_sec, 1)
+        if mid_sec > 0 else 0.0,
+        "steady_batches": len(mid),
+        "batches": len(recs),
+        "monitor_rows_out": n_out,
+        "max_p99_lo": int(max_p99),
+    }
