@@ -180,6 +180,57 @@ def reshard_movement_manifest(df: DataFrame, key: str = "doc_id",
     )
 
 
+def range_layout_plan(df: DataFrame, value: str = "n_chars",
+                      n_shards: int = 8, width: int = 16,
+                      buckets: int = 64) -> DataFrame:
+    """Balanced range-partition planning from the additive histogram:
+    derive ``n_shards`` contiguous value ranges whose row counts are as
+    equal as whole histogram buckets allow, and report each planned
+    shard's edges, row count, and skew vs the ideal share (bps).
+
+    Why not ``repartitionByRange``: Spark's range partitioner SAMPLES
+    the input (reservoir per partition), so boundaries vary run-to-run
+    and resume-to-resume — unacceptable for an exactly-once layout that
+    must replay identically. This plan derives boundaries from the same
+    one-pass mergeable histogram the quantile sketch maintains
+    (sketches.py:histogram_quantile_profile): bucket b goes to the
+    shard where its FIRST row falls in cumulative order, so shards are
+    contiguous in value, deterministic, and off-ideal by at most one
+    bucket's count (the same one-bucket bound the quantile read has).
+
+    Scale shape: ONE map-side-combinable aggregate builds the <=
+    ``buckets``-row grid; the cumulative walk and the shard assignment
+    run on that grid (single-partition window over <= 64 rows — the
+    same tiny-grid exemption as the quantile fold). At 10^12 rows the
+    plan costs one scan, and per-shard hists sum across corpus shards,
+    so the layout can be re-planned incrementally after appends without
+    re-scanning the base.
+    """
+    from pyspark.sql.window import Window
+
+    bucket = F.least(F.expr(f"{value} div {width}"), F.lit(buckets - 1))
+    hist = (df.groupBy(bucket.alias("bucket"))
+              .agg(F.count("*").alias("cnt")))
+    w_cum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    cum = (hist
+           .withColumn("cum_before", F.sum("cnt").over(w_cum) - F.col("cnt"))
+           .withColumn("_n", F.sum("cnt").over(
+               Window.rowsBetween(Window.unboundedPreceding,
+                                  Window.unboundedFollowing))))
+    shard = F.expr(f"(cum_before * {n_shards}) div greatest(_n, 1)")
+    return (
+        cum.groupBy(shard.cast("bigint").alias("shard_id"))
+        .agg(F.count("*").cast("bigint").alias("n_buckets"),
+             (F.min("bucket") * width).cast("bigint").alias("lo_edge"),
+             ((F.max("bucket") + 1) * width).cast("bigint").alias("hi_edge"),
+             F.sum("cnt").cast("bigint").alias("n_rows"),
+             F.expr(f"(sum(cnt) * {n_shards} * 10000)"
+                    " div greatest(max(_n), 1)")
+             .cast("bigint").alias("skew_bps"))
+    )
+
+
 def chunk_stats(df: DataFrame, key: str, buckets: int = 16) -> DataFrame:
     """Observability for the work-queue layout: per-bucket row/doc counts —
     the WORK_CHUNKS counter analog (WorkChunkDriver.java:37)."""

@@ -6111,6 +6111,35 @@ def q_quantile_sketch(spark, sf_dir):
         load_table(spark, sf_dir, "documents"))
 
 
+@register("range_layout_plan", """
+WITH hist AS (
+  SELECT LEAST(n_chars // 16, 63) AS bucket, COUNT(*) AS cnt
+  FROM documents GROUP BY 1),
+cum AS (
+  SELECT bucket, cnt,
+         SUM(cnt) OVER (ORDER BY bucket) - cnt AS cum_before,
+         SUM(cnt) OVER () AS n
+  FROM hist)
+SELECT CAST((cum_before * 8) // GREATEST(n, 1) AS BIGINT) AS shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(MIN(bucket) * 16 AS BIGINT) AS lo_edge,
+       CAST((MAX(bucket) + 1) * 16 AS BIGINT) AS hi_edge,
+       CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       CAST((SUM(cnt) * 8 * 10000) // GREATEST(MAX(n), 1) AS BIGINT)
+           AS skew_bps
+FROM cum GROUP BY 1
+""")
+def q_range_layout_plan(spark, sf_dir):
+    """Balanced range-partition planning from the additive histogram:
+    8 contiguous n_chars ranges with near-equal row counts, derived
+    deterministically from the one-pass mergeable grid (never Spark's
+    sampled range partitioner, which re-draws boundaries on every
+    replay). Off-ideal by at most one bucket's count — pinned by
+    tests/test_operators.py::test_range_layout_plan_balance."""
+    return chunking.range_layout_plan(
+        load_table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------
 # Driver-gate ordering. The correctness sweep evaluates the registry in
 # insertion order and time-boxes at ~50 rows (r01 truncated at 49; r02
@@ -6185,6 +6214,7 @@ _FRONT = [
     "reshard_movement_matrix",
     "incremental_state_merge",
     "quantile_sketch_profile",
+    "range_layout_plan",
     "streaming_quantile_monitor",
     # --- Re-verification: load-bearing rows whose only green driver
     # row is r01 (two rounds stale). The driver re-runs whatever is in

@@ -1307,6 +1307,35 @@ def test_reshard_moves_only_to_new_shards(spark):
     assert {r["new_shard"] for r in rows} == set(range(10))
 
 
+def test_range_layout_plan_balance(spark):
+    """The range plan's one-bucket balance bound: every planned shard's
+    row count stays within [ideal - max_bucket, ideal + max_bucket]
+    where max_bucket is the largest single histogram bucket (whole
+    buckets are indivisible), shards tile the value axis contiguously,
+    and counts conserve the corpus."""
+    from movement_spark.operators.chunking import range_layout_plan
+
+    docs = spark.range(30000).select(
+        F.col("id").alias("doc_id"),
+        # skewed lengths: quadratic ramp clamped into the 64x16 grid
+        ((F.col("id") % 97) * (F.col("id") % 89) % 1000)
+        .alias("n_chars"))
+    rows = sorted(range_layout_plan(docs, n_shards=8).collect(),
+                  key=lambda r: r["shard_id"])
+    total = sum(r["n_rows"] for r in rows)
+    assert total == 30000
+    hist = (docs.groupBy(F.least(F.expr("n_chars div 16"), F.lit(63)))
+            .count().agg(F.max("count")).collect()[0][0])
+    ideal = total / 8
+    for r in rows:
+        assert abs(r["n_rows"] - ideal) <= hist, \
+            f"shard {r['shard_id']} off-ideal by more than one bucket"
+    # contiguous, non-overlapping value coverage
+    for a, b in zip(rows, rows[1:]):
+        assert a["hi_edge"] == b["lo_edge"], (a, b)
+    assert rows[0]["shard_id"] == 0 and len(rows) == 8
+
+
 def test_lang_buckets_distinct_for_fixture_langs():
     """The mergeable-state lang bitmap is exact only while the observed
     lang domain is collision-free in its 61 buckets — pin that the five
