@@ -19,9 +19,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from movement_spark import queries as Q                     # noqa: E402
 from movement_spark.benchmarks import (                     # noqa: E402
-    HEADLINE, cep_assembler_throughput, drift_monitor_throughput,
-    neardup_monitor_throughput, quantile_monitor_throughput,
-    streaming_throughput, time_query_stats,
+    HEADLINE, cep_assembler_throughput, cms_monitor_throughput,
+    drift_monitor_throughput, neardup_monitor_throughput,
+    quantile_monitor_throughput, streaming_throughput, time_query_stats,
 )
 from movement_spark.session import get_spark                # noqa: E402
 from movement_spark.sources.synth import stage_synth_stream  # noqa: E402
@@ -224,6 +224,26 @@ def main() -> None:
 
     quantile = _quantile_run(max(int(8_000_000 * sf), 100_000))
 
+    # CMS-monitor sub-metric: the new per-row-cost ceiling — every
+    # token explodes into CMS_D=4 probe rows before the windowed grid
+    # aggregate (~4× the drift monitor's state-update volume), additive
+    # cells collapsing map-side. Quarter of the headline input so the
+    # state-update volume matches the drift monitor's 2M-row run;
+    # seq/s comparisons against the other monitors must scale by that.
+    def _cms_run(n_docs: int) -> dict:
+        work = tempfile.mkdtemp(prefix="ms_cmsbench_")
+        stage = os.path.join(work, "stage")
+        n_rows = stage_synth_stream(spark, n_docs, stage, n_files=64)
+        out = cms_monitor_throughput(
+            spark, stage, n_rows,
+            sink_dir=os.path.join(work, "sink"),
+            checkpoint_dir=os.path.join(work, "ck"),
+            files_per_trigger=8)
+        shutil.rmtree(work, ignore_errors=True)
+        return out
+
+    cms = _cms_run(max(int(2_000_000 * sf), 20_000))
+
     result = {
         "metric": "headline_suite_sec",
         "value": round(sum(timings.values()), 3),
@@ -240,6 +260,7 @@ def main() -> None:
         "drift_monitor": drift,
         "neardup_monitor": neardup,
         "quantile_monitor": quantile,
+        "cms_monitor": cms,
     }
     spark.stop()
     print(json.dumps(result))

@@ -295,6 +295,46 @@ def neardup_monitor_throughput(spark: SparkSession, stage_dir: str,
     }
 
 
+def cms_monitor_throughput(spark: SparkSession, stage_dir: str,
+                           n_rows: int, sink_dir: str,
+                           checkpoint_dir: str,
+                           files_per_trigger: int = 8) -> dict:
+    """Throughput of the streaming CMS frequency monitor — the new
+    per-row-cost CEILING among the stateful monitors: every token
+    explodes into CMS_D=4 probe rows before the windowed grid
+    aggregate (~4× the drift monitor's state-update volume), with the
+    additive cells collapsing map-side. Same sink/checkpoint/
+    steady-state methodology as streaming_throughput; the read-side
+    watchlist fold is included in elapsed (it is part of the monitor's
+    contract)."""
+    from movement_spark.streaming.pipeline import run_streaming_cms_monitor
+
+    listener = RuntimeMetricsListener()
+    t0 = time.perf_counter()
+    out = run_streaming_cms_monitor(
+        spark, sf_dir="", stage_dir=stage_dir, sink_dir=sink_dir,
+        checkpoint_dir=checkpoint_dir, listener=listener,
+        files_per_trigger=files_per_trigger)
+    n_out = out.count()
+    est_sum = out.agg(F.sum("cms_est")).collect()[0][0] or 0
+    elapsed = time.perf_counter() - t0
+    recs = sorted(listener.records, key=lambda r: r.batch_id)
+    mid = recs[1:-1] if len(recs) >= 3 else recs
+    mid_rows = sum(r.num_input_rows for r in mid)
+    mid_sec = sum(r.duration_ms for r in mid) / 1000.0
+    return {
+        "elapsed_sec": round(elapsed, 3),
+        "rows_in": n_rows,
+        "seq_per_sec": round(n_rows / elapsed, 1),
+        "seq_per_sec_steady": round(mid_rows / mid_sec, 1)
+        if mid_sec > 0 else 0.0,
+        "steady_batches": len(mid),
+        "batches": len(recs),
+        "watch_rows_out": n_out,
+        "watch_est_sum": int(est_sum),
+    }
+
+
 def quantile_monitor_throughput(spark: SparkSession, stage_dir: str,
                                 n_rows: int, sink_dir: str,
                                 checkpoint_dir: str,

@@ -30,6 +30,12 @@ CMS_D = 4                 # hash rows
 CMS_AB = ((1_103_515_245, 12_345), (1_337_888_347, 54_321),
           (2_027_485_571, 98_765), (746_959_771, 42_424))
 
+# Fixed watchlist for the streaming CMS monitor's read-side fold —
+# arbitrary token ids spread across the TOK_MOD=50261 universe (some
+# hot, some absent at fixture SFs; both cases are part of the
+# contract: absent tokens must estimate as small-or-zero, never error).
+CMS_WATCH = (13, 6300, 12587, 18874, 25161, 31448, 37735, 44022)
+
 BLOOM_M = 4096            # bits
 BLOOM_K = 3               # hashes per key
 BLOOM_AB = ((1_103_515_245, 17), (2_027_485_571, 8_191),
@@ -37,8 +43,25 @@ BLOOM_AB = ((1_103_515_245, 17), (2_027_485_571, 8_191),
 
 
 def _cms_cell(key: Column, j: int) -> Column:
+    # key widened to bigint BEFORE the multiply: an int32 key times the
+    # ~2^30 multiplier overflows int32 under ANSI mode (observed live on
+    # the streaming monitor's int32 token column; o_custkey was already
+    # wide enough to mask it)
     a, b = CMS_AB[j]
-    return ((F.lit(a) * key + F.lit(b)) % CMS_P) % CMS_W
+    return ((F.lit(a) * key.cast("bigint") + F.lit(b)) % CMS_P) % CMS_W
+
+
+def cms_cell_sql(col: str) -> str:
+    """The CMS cell hash as an ANSI-SQL CASE over hash-row index ``j``
+    — generated from CMS_AB so the DuckDB oracles (batch heavy-hitters
+    and the streaming CMS monitor) can never drift from _cms_cell's
+    constants."""
+    whens = "\n  ".join(
+        f"WHEN {j} THEN (({a} * {col} + {b}) % {CMS_P}) % {CMS_W}"
+        for j, (a, b) in enumerate(CMS_AB[:-1]))
+    a, b = CMS_AB[-1]
+    return (f"CASE j\n  {whens}\n  ELSE (({a} * {col} + {b})"
+            f" % {CMS_P}) % {CMS_W} END")
 
 
 def cms_heavy_hitters(df: DataFrame, key: str, top_n: int = 10) -> DataFrame:
@@ -74,6 +97,43 @@ def cms_heavy_hitters(df: DataFrame, key: str, top_n: int = 10) -> DataFrame:
                 F.col("cms_est"),
                 (F.col("cms_est") - F.col("cnt")).cast("bigint")
                 .alias("overestimate"))
+    )
+
+
+def cms_watch_estimates(grid: DataFrame, keys: list[str],
+                        watch: tuple[int, ...]) -> DataFrame:
+    """Frequency estimates for a fixed WATCHLIST of keys from an
+    additive CMS grid — the read-side fold of the streaming CMS
+    monitor (streaming/pipeline.py:run_streaming_cms_monitor).
+
+    ``grid`` holds (keys..., j, cell, cnt) counter rows; the estimate
+    for a watched key is min_j(coalesce(cell_cnt, 0)) — a cell no row
+    ever hashed into has no grid row, and its absence means count 0
+    (the sketch never under-counts, so 0 is exact there). The grid is
+    windows × sources × d × w rows however many distinct tokens stream
+    through — the watchlist can be decided AFTER the stream ran, which
+    is the operational point: you keep the bounded grid, not the
+    corpus, and still answer per-window frequency questions later.
+    The probe frame is |windows| × |watch| × d rows (tiny) joined
+    against the grid on its natural key."""
+    groups = grid.select(*keys).distinct()
+    probe = groups.select(
+        *keys,
+        F.explode(F.array(*[F.lit(t) for t in watch])).alias("token"))
+    probe = (
+        probe.select(
+            *keys, "token",
+            F.explode(F.array(*[
+                F.struct(F.lit(j).alias("j"),
+                         _cms_cell(F.col("token"), j).alias("cell"))
+                for j in range(CMS_D)])).alias("h"))
+        .select(*keys, "token", "h.j", "h.cell"))
+    return (
+        probe.join(grid, [*keys, "j", "cell"], "left")
+        .groupBy(*keys, "token")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+             .cast("bigint").alias("cms_est"))
+        .withColumn("token", F.col("token").cast("bigint"))
     )
 
 

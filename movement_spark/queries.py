@@ -1542,6 +1542,45 @@ def q_streaming_quantile(spark, sf_dir):
     return run_streaming_quantile_monitor(spark, sf_dir)
 
 
+_CMS_WATCH_SQL = ", ".join(str(t) for t in sketches.CMS_WATCH)
+
+
+@register("streaming_cms_monitor", with_token_cte(f"""
+, tok AS (
+  SELECT source,
+         CAST(epoch(time_bucket(INTERVAL 5 MINUTES, ts)) AS BIGINT) AS ws,
+         CAST(unnest(tokens) AS BIGINT) AS k
+  FROM token_sequences),
+cnts AS (SELECT source, ws, k, COUNT(*) AS cnt FROM tok GROUP BY 1, 2, 3),
+js AS (SELECT unnest(range(0, {sketches.CMS_D})) AS j),
+grid AS (
+  SELECT source, ws, j, {sketches.cms_cell_sql("k")} AS cell,
+         CAST(SUM(cnt) AS BIGINT) AS cnt
+  FROM cnts CROSS JOIN js GROUP BY 1, 2, 3, 4),
+wins AS (SELECT DISTINCT source, ws FROM grid),
+watch AS (SELECT CAST(unnest([{_CMS_WATCH_SQL}]) AS BIGINT) AS k),
+probe AS (
+  SELECT w.source, w.ws, wt.k, js.j, {sketches.cms_cell_sql("wt.k")} AS cell
+  FROM wins w CROSS JOIN watch wt CROSS JOIN js)
+SELECT p.ws, p.source, CAST(p.k AS BIGINT) AS token,
+       CAST(MIN(COALESCE(g.cnt, 0)) AS BIGINT) AS cms_est
+FROM probe p LEFT JOIN grid g
+  ON g.source = p.source AND g.ws = p.ws AND g.j = p.j AND g.cell = p.cell
+GROUP BY 1, 2, 3
+"""))
+def q_streaming_cms(spark, sf_dir):
+    """Streaming CMS frequency monitor: per-(window, source) d×w
+    count-min grids as stream state (bounded in DISTINCT-token count,
+    the property a raw per-token count can't have at 10^12 sequences),
+    folded at sink read into watchlist-token frequency estimates —
+    min_j over the additive cells, absent cell = exact 0. The
+    watchlist is a read-time choice: the sink keeps the grid, so any
+    later token question replays against windows × d × w rows, not
+    the stream."""
+    from movement_spark.streaming.pipeline import run_streaming_cms_monitor
+    return run_streaming_cms_monitor(spark, sf_dir)
+
+
 @register("streaming_tumbling_pipeline", with_token_cte("""
 SELECT CAST(epoch(time_bucket(INTERVAL 5 MINUTES, ts)) AS BIGINT) AS ws,
        source,
@@ -2670,11 +2709,9 @@ def q_temperature_mix(spark, sf_dir):
     return temperature_mix_stats(load_table(spark, sf_dir, "documents"))
 
 
-_CMS_CASE_CELL = """CASE j
-  WHEN 0 THEN ((1103515245 * k + 12345) % 2147483647) % 512
-  WHEN 1 THEN ((1337888347 * k + 54321) % 2147483647) % 512
-  WHEN 2 THEN ((2027485571 * k + 98765) % 2147483647) % 512
-  ELSE ((746959771 * k + 42424) % 2147483647) % 512 END"""
+# Generated from sketches.CMS_AB (cms_cell_sql) so the oracle can
+# never drift from the Spark grid builder's constants.
+_CMS_CASE_CELL = sketches.cms_cell_sql("k")
 
 
 @register("cms_heavy_hitters", f"""
@@ -6216,6 +6253,8 @@ _FRONT = [
     "quantile_sketch_profile",
     "range_layout_plan",
     "streaming_quantile_monitor",
+    # --- Round-4 fifth-session additions (never driver-verified).
+    "streaming_cms_monitor",
     # --- Re-verification: load-bearing rows whose only green driver
     # row is r01 (two rounds stale). The driver re-runs whatever is in
     # the window; green re-runs prove no silent regression since r01.

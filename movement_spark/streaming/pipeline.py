@@ -451,6 +451,61 @@ def run_streaming_quantile_monitor(spark: SparkSession, sf_dir: str,
                                    width=bucket_width, n_alias="n_seq")
 
 
+def run_streaming_cms_monitor(spark: SparkSession, sf_dir: str,
+                              width: str = "5 minutes",
+                              watermark: str = "10 minutes",
+                              stage_dir: str | None = None,
+                              sink_dir: str | None = None,
+                              checkpoint_dir: str | None = None,
+                              listener=None,
+                              files_per_trigger: int | None = None,
+                              watch: tuple[int, ...] | None = None
+                              ) -> DataFrame:
+    """Streaming count-min frequency monitor: per-(window, source)
+    d×w CMS counter grids through the exactly-once sink; reading the
+    sink answers watchlist-token frequency estimates per window
+    (operators/sketches.py:cms_watch_estimates).
+
+    The third member of the bounded-state monitor family (drift =
+    bucketed histogram, quantile = length histogram, this = CMS grid):
+    streaming state is windows × sources × CMS_D × CMS_W rows no
+    matter how many DISTINCT tokens stream through — the property a
+    per-token count can't have at 10^12 sequences — and because the
+    grid is additive, the map-side partial aggregation collapses the
+    d-way probe fan-out before the shuffle. The watchlist is a
+    READ-time choice: the sink keeps the grid, so any token's
+    per-window frequency history is answerable after the fact without
+    replaying the stream. Sentinel corollary: the token explode must
+    be explode_outer (empty sentinel arrays), the probe explode is
+    over a constant-length array (safe), and the sentinel's NULL-cell
+    groups are cut by the window predicate per the CLAUDE.md rule."""
+    from movement_spark.operators.sketches import (
+        CMS_D, CMS_WATCH, _cms_cell, cms_watch_estimates)
+
+    stage = _resolve_stage(spark, sf_dir, stage_dir)
+    src = read_token_stream(spark, stage, files_per_trigger)
+    flush_cut = F.timestamp_seconds(F.lit(EPOCH_2026 + TS_MOD + 3600))
+    probes = F.array(*[
+        F.struct(F.lit(j).alias("j"), _cms_cell(F.col("t"), j).alias("cell"))
+        for j in range(CMS_D)])
+    grid = (
+        src.withWatermark("ts", watermark)
+        .select("ts", "source", F.explode_outer("tokens").alias("t"))
+        .select("ts", "source", F.explode(probes).alias("h"))
+        .groupBy(F.window("ts", width).alias("w"), "source",
+                 F.col("h.j").alias("j"), F.col("h.cell").alias("cell"))
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("w.start") < flush_cut)
+        .select(F.unix_timestamp("w.start").alias("ws"), "source",
+                "j", "cell", "cnt")
+    )
+    sink = IdempotentKeyedSink(sink_dir or _tmp("mscms_sink_"),
+                               ["ws", "source", "j", "cell"])
+    _run_to_sink(grid, sink, checkpoint_dir or _tmp("mscms_ck_"), listener)
+    return cms_watch_estimates(sink.read(spark), ["ws", "source"],
+                               watch or CMS_WATCH)
+
+
 def run_streaming_dedup(spark: SparkSession, sf_dir: str,
                         width: str = "5 minutes",
                         watermark: str = "10 minutes",

@@ -607,6 +607,33 @@ def test_pq_adc_equals_reconstruction_dot(spark, sf_dir):
     assert not bad, f"ADC != reconstruction dot: {bad[:3]}"
 
 
+def test_pq_encode_arrow_matches_jvm(spark, sf_dir):
+    """The Arrow/numpy index-build path must produce BYTE-IDENTICAL
+    codes to the oracle-gated expression form — same exact int64 L2,
+    same tie-to-lower-code argmin. This is the identity that lets the
+    deployed build use numpy matmuls (~2 orders of magnitude faster at
+    production codebook width) while the registry keeps the JVM form
+    under the no-Python plan guardrail. Both forms are restricted to
+    exactly-dim vectors here: the arrow path excludes malformed rows by
+    contract, the JVM path NULL-pads them into indeterminate codes."""
+    from movement_spark.operators.similarity import (
+        PQ_M, PQ_SUB, pq_codebook, pq_encode, pq_encode_arrow)
+    from movement_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_codebook(emb)
+    well_formed = emb.where(F.size("embedding") == PQ_M * PQ_SUB)
+    jvm = pq_encode(well_formed, cb).withColumnRenamed("codes", "jvm_codes")
+    arrow = pq_encode_arrow(emb, cb)  # excludes malformed rows itself
+    joined = jvm.join(arrow, "vec_id", "full").select(
+        "vec_id",
+        (F.col("jvm_codes") == F.col("codes")).alias("same"))
+    rows = joined.collect()
+    assert rows, "fixture must have well-formed vectors"
+    bad = [r for r in rows if r.same is not True]
+    assert not bad, f"arrow codes diverge from JVM codes: {bad[:3]}"
+
+
 def test_pq_recall_floor_vs_brute_force(spark, sf_dir):
     """PQ trades recall for a 16x smaller corpus representation; the
     trade must stay bounded, and TRAINING the codebook (one Lloyd round

@@ -1163,3 +1163,45 @@ def test_quantile_monitor_resumes_from_checkpoint(spark, sf_dir):
                                        width=2, n_alias="n_seq")
     assert result.count() == expected.count() > 0
     assert result.exceptAll(expected).count() == 0
+
+
+def test_cms_monitor_resumes_from_checkpoint(spark, sf_dir):
+    """Kill/resume for the streaming CMS monitor: the per-(window,
+    source, j, cell) counter grid spans the kill point — a cell fed
+    before AND after the restart must sum (additivity is the sketch's
+    whole contract), so the resumed run's watchlist fold must equal
+    the fold over a grid built in one batch pass from the full table."""
+    from movement_spark.operators.sketches import (
+        CMS_D, CMS_WATCH, _cms_cell, cms_watch_estimates)
+    from movement_spark.streaming.pipeline import run_streaming_cms_monitor
+
+    full_stage = _mkdir()
+    stage_token_stream(spark, sf_dir, full_stage)
+    files = sorted(os.listdir(full_stage))
+    part_stage, ck, sink_dir = _mkdir(), _mkdir(), _mkdir()
+    cut = len(files) // 2
+    for f in files[:cut]:
+        shutil.copy2(os.path.join(full_stage, f), os.path.join(part_stage, f))
+    run_streaming_cms_monitor(spark, sf_dir, stage_dir=part_stage,
+                              sink_dir=sink_dir, checkpoint_dir=ck)
+    for f in files[cut:]:
+        shutil.copy2(os.path.join(full_stage, f), os.path.join(part_stage, f))
+    result = run_streaming_cms_monitor(spark, sf_dir,
+                                       stage_dir=part_stage,
+                                       sink_dir=sink_dir,
+                                       checkpoint_dir=ck)
+    t = token_sequences(spark, sf_dir)
+    probes = F.array(*[
+        F.struct(F.lit(j).alias("j"), _cms_cell(F.col("t"), j).alias("cell"))
+        for j in range(CMS_D)])
+    grid = (
+        t.select(F.unix_timestamp("ts").alias("uts"), "source",
+                 F.explode("tokens").alias("t"))
+        .select((F.floor(F.col("uts") / 300) * 300).alias("ws"), "source",
+                F.explode(probes).alias("h"))
+        .groupBy("ws", "source", F.col("h.j").alias("j"),
+                 F.col("h.cell").alias("cell"))
+        .agg(F.count("*").alias("cnt")))
+    expected = cms_watch_estimates(grid, ["ws", "source"], CMS_WATCH)
+    assert result.count() == expected.count() > 0
+    assert result.exceptAll(expected).count() == 0
