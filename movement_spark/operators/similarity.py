@@ -378,8 +378,10 @@ def pq_encode(embeddings: DataFrame, codebook: DataFrame,
 def pq_encode_arrow(embeddings: DataFrame, codebook: DataFrame,
                     m: int = PQ_M, ksub: int = PQ_KSUB,
                     sub: int = PQ_SUB) -> DataFrame:
-    """Arrow/numpy scale form of pq_encode — same codes, ~2 orders of
-    magnitude faster per vector.
+    """Arrow/numpy scale form of pq_encode — same codes, measured
+    51.8× faster at 1M vectors (184k vecs/s, BENCH/pqencode_scale.json;
+    wall time FLAT from 100k to 1M, so the small level is
+    worker-startup-bound and the gap keeps widening with corpus size).
 
     The expression form (pq_encode) evaluates m × ksub × sub
     interpreted higher-order-function steps per vector (8,192 at the
@@ -412,27 +414,41 @@ def pq_encode_arrow(embeddings: DataFrame, codebook: DataFrame,
     c_sq = (cb * cb).sum(axis=2)                     # (m, ksub)
     dim = m * sub
 
-    schema = StructType([StructField("vec_id", LongType()),
-                         StructField("codes", ArrayType(IntegerType()))])
+    qcols = [f"q{i}" for i in range(dim)]
+    ccols = [f"c{mm}" for mm in range(m)]
+    schema = StructType([StructField("vec_id", LongType())]
+                        + [StructField(c, IntegerType()) for c in ccols])
 
     def encode(batches):
         for pdf in batches:
             n = len(pdf)
             if n == 0:
                 continue
-            x = np.vstack(pdf["q"].to_numpy()).astype(np.int64)  # (n, dim)
+            # flat int64 columns -> one contiguous (n, dim) matrix;
+            # zero per-row Python objects cross the Arrow boundary
+            x = pdf[qcols].to_numpy(dtype=np.int64)
             xs = x.reshape(n, m, sub)
-            codes = np.empty((n, m), dtype=np.int32)
+            out = {"vec_id": pdf["vec_id"].to_numpy()}
             for mm in range(m):
                 xm = xs[:, mm, :]
                 d = ((xm * xm).sum(axis=1)[:, None]
                      - 2 * (xm @ cb[mm].T) + c_sq[mm][None, :])
-                codes[:, mm] = np.argmin(d, axis=1)  # first min = low code
-            yield pd.DataFrame({"vec_id": pdf["vec_id"].to_numpy(),
-                                "codes": list(codes)})
+                # first min = low code
+                out[ccols[mm]] = np.argmin(d, axis=1).astype(np.int32)
+            yield pd.DataFrame(out)
 
-    q = quantized(embeddings).where(F.size("q") == dim).select("vec_id", "q")
-    return q.mapInPandas(encode, schema=schema)
+    # The vector ships in and the codes ship out as FLAT columns, not
+    # array columns: Arrow moves flat columns as contiguous buffers,
+    # while a per-row list column materializes one ndarray object per
+    # row on the pandas side — measured 10x slower than the matmuls it
+    # feeds (the first bench run recorded only 1.4x over the JVM form;
+    # flat columns on both sides fix that). The array<int> shape the
+    # rest of the PQ family expects is re-assembled JVM-side.
+    q = (quantized(embeddings).where(F.size("q") == dim)
+         .select("vec_id", *[F.element_at("q", i + 1).alias(c)
+                             for i, c in enumerate(qcols)]))
+    flat = q.mapInPandas(encode, schema=schema)
+    return flat.select("vec_id", F.array(*ccols).alias("codes"))
 
 
 def _pq_lut_expr(vec_col: str, m: int = PQ_M, ksub: int = PQ_KSUB,
@@ -542,8 +558,9 @@ def _exact_rerank(embeddings: DataFrame, cands: DataFrame,
 
 
 def ivfpq_build(embeddings: DataFrame, n_centroids: int = N_CENTROIDS,
-                m: int = PQ_M, ksub: int = PQ_KSUB,
-                sub: int = PQ_SUB) -> tuple[DataFrame, DataFrame, DataFrame]:
+                m: int = PQ_M, ksub: int = PQ_KSUB, sub: int = PQ_SUB,
+                arrow: bool = False) -> tuple[DataFrame, DataFrame,
+                                              DataFrame]:
     """Build the IVF-PQ index once: returns (index, cb, cents) where
     index = (vec_id, cent_id, codes) — ivf_assign's list key joined to
     pq_encode's codes — cb the PQ codebook and cents the coarse
@@ -552,11 +569,18 @@ def ivfpq_build(embeddings: DataFrame, n_centroids: int = N_CENTROIDS,
     every query batch at every (nprobe, rerank-pool) operating point;
     splitting build from search is what makes the bench's
     recall-vs-cost curve (bench/ann_scale.py) measure SEARCH cost, not
-    9 redundant index builds."""
+    9 redundant index builds.
+
+    ``arrow=True`` swaps the encode stage for pq_encode_arrow — the
+    deployed index-build path (identical codes, pinned by
+    test_pq_encode_arrow_matches_jvm). Default stays the JVM expression
+    form because oracle-registered queries must carry no Python stage
+    (registry plan guardrail)."""
+    encode = pq_encode_arrow if arrow else pq_encode
     cb = pq_codebook(embeddings, m, ksub, sub)
     assigned = ivf_assign(embeddings, n_centroids)
     index = (assigned.select("vec_id", "cent_id")
-             .join(pq_encode(embeddings, cb, m, ksub, sub), "vec_id"))
+             .join(encode(embeddings, cb, m, ksub, sub), "vec_id"))
     cents = assigned.where(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("cent_id"), F.col("q").alias("cv"))
     return index, cb, cents

@@ -248,6 +248,30 @@ def loglog_register_profile(df: DataFrame, key: str) -> DataFrame:
     )
 
 
+def loglog_window_fold(grid: DataFrame, keys: list[str]) -> DataFrame:
+    """Fold per-key LogLog register grids into sketch summaries — the
+    read-side fold of the streaming LogLog monitor
+    (streaming/pipeline.py:run_streaming_loglog_monitor).
+
+    ``grid`` holds (keys..., reg, max_bl) register rows (max bit length
+    seen per register); the summary per key group mirrors
+    loglog_register_profile's batch output minus exact_distinct — the
+    streaming monitor deliberately has no exact side-channel, because
+    per-window distinct state is exactly what the sketch exists to
+    avoid at 10^12 keys. Registers merge across shards, retries, and
+    checkpoint resumes by MAX, so the fold is replay-stable."""
+    return (
+        grid.groupBy(*keys)
+        .agg(F.count("*").alias("registers_used"),
+             F.sum("max_bl").cast("bigint").alias("sum_max_bitlen"),
+             F.max("max_bl").cast("bigint").alias("max_bitlen"))
+        .withColumn(
+            "sketch_estimate",
+            F.expr(f"shiftleft(cast({LL_M} as bigint), "
+                   f"cast(sum_max_bitlen div {LL_M} as int))"))
+    )
+
+
 # Shared by kmv_distinct_sketch (queries.py) and kmv_set_algebra —
 # the single source of truth for the parity-critical a*x+b mod p
 # constants. The multiplier must be large enough that a*x WRAPS p many

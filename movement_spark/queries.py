@@ -1581,6 +1581,38 @@ def q_streaming_cms(spark, sf_dir):
     return run_streaming_cms_monitor(spark, sf_dir)
 
 
+@register("streaming_loglog_monitor", with_token_cte(f"""
+, tok AS (
+  SELECT source,
+         CAST(epoch(time_bucket(INTERVAL 5 MINUTES, ts)) AS BIGINT) AS ws,
+         CAST(unnest(tokens) AS BIGINT) AS k
+  FROM token_sequences),
+h AS (SELECT source, ws,
+             ((1103515245 * k + 12345) % 2147483647) AS hv FROM tok),
+r AS (SELECT source, ws, hv % {sketches.LL_M} AS reg,
+             length(bin(hv // {sketches.LL_M})) AS bl FROM h),
+g AS (SELECT source, ws, reg, MAX(bl) AS max_bl FROM r GROUP BY 1, 2, 3)
+SELECT ws, source,
+       COUNT(*) AS registers_used,
+       CAST(SUM(max_bl) AS BIGINT) AS sum_max_bitlen,
+       CAST(MAX(max_bl) AS BIGINT) AS max_bitlen,
+       CAST(CAST({sketches.LL_M} AS BIGINT)
+            << CAST(SUM(max_bl) // {sketches.LL_M} AS INT) AS BIGINT)
+         AS sketch_estimate
+FROM g GROUP BY 1, 2
+"""))
+def q_streaming_loglog(spark, sf_dir):
+    """Streaming per-window distinct-token monitor: LogLog register
+    grids as stream state (windows × sources × 64 rows — a windowed
+    COUNT(DISTINCT token) would key state by token, unbounded at 10^12
+    sequences), MAX-merged so duplicates, at-least-once replays, and
+    checkpoint resume are all absorbed by idempotence; integral sketch
+    estimate folded at sink read."""
+    from movement_spark.streaming.pipeline import (
+        run_streaming_loglog_monitor)
+    return run_streaming_loglog_monitor(spark, sf_dir)
+
+
 @register("streaming_tumbling_pipeline", with_token_cte("""
 SELECT CAST(epoch(time_bucket(INTERVAL 5 MINUTES, ts)) AS BIGINT) AS ws,
        source,
@@ -6255,6 +6287,7 @@ _FRONT = [
     "streaming_quantile_monitor",
     # --- Round-4 fifth-session additions (never driver-verified).
     "streaming_cms_monitor",
+    "streaming_loglog_monitor",
     # --- Re-verification: load-bearing rows whose only green driver
     # row is r01 (two rounds stale). The driver re-runs whatever is in
     # the window; green re-runs prove no silent regression since r01.

@@ -506,6 +506,56 @@ def run_streaming_cms_monitor(spark: SparkSession, sf_dir: str,
                                watch or CMS_WATCH)
 
 
+def run_streaming_loglog_monitor(spark: SparkSession, sf_dir: str,
+                                 width: str = "5 minutes",
+                                 watermark: str = "10 minutes",
+                                 stage_dir: str | None = None,
+                                 sink_dir: str | None = None,
+                                 checkpoint_dir: str | None = None,
+                                 listener=None,
+                                 files_per_trigger: int | None = None
+                                 ) -> DataFrame:
+    """Streaming distinct-token monitor: per-(window, source) LogLog
+    register grids through the exactly-once sink, folded at read into
+    the integral sketch estimate (operators/sketches.py:
+    loglog_window_fold) — windowed vocabulary-size surveillance with
+    state pinned at windows × sources × LL_M rows.
+
+    Completes the sketch family's streaming forms (drift = additive
+    histogram, quantile = additive length grid, CMS = additive counter
+    grid, this = MAX-merged register grid): a per-window COUNT(DISTINCT
+    token) would key stream state by token — unbounded at 10^12
+    sequences — while the register MAX is idempotent under duplicate
+    tokens, at-least-once replays, and checkpoint resume, so the grid
+    is both bounded AND exactly-once-safe for free. Sentinel corollary:
+    explode_outer keeps the empty-array flush rows; their NULL-register
+    groups are cut by the window predicate per the CLAUDE.md rule."""
+    from movement_spark.operators.sketches import (
+        CMS_AB, CMS_P, LL_M, loglog_window_fold)
+
+    stage = _resolve_stage(spark, sf_dir, stage_dir)
+    src = read_token_stream(spark, stage, files_per_trigger)
+    flush_cut = F.timestamp_seconds(F.lit(EPOCH_2026 + TS_MOD + 3600))
+    a, b = CMS_AB[0]
+    hv = f"(({a}L * cast(t as bigint) + {b}) % {CMS_P})"
+    grid = (
+        src.withWatermark("ts", watermark)
+        .select("ts", "source", F.explode_outer("tokens").alias("t"))
+        .select("ts", "source",
+                F.expr(f"{hv} % {LL_M}").alias("reg"),
+                F.expr(f"length(bin({hv} div {LL_M}))").alias("bl"))
+        .groupBy(F.window("ts", width).alias("w"), "source", "reg")
+        .agg(F.max("bl").alias("max_bl"))
+        .where(F.col("w.start") < flush_cut)
+        .select(F.unix_timestamp("w.start").alias("ws"), "source",
+                "reg", "max_bl")
+    )
+    sink = IdempotentKeyedSink(sink_dir or _tmp("msll_sink_"),
+                               ["ws", "source", "reg"])
+    _run_to_sink(grid, sink, checkpoint_dir or _tmp("msll_ck_"), listener)
+    return loglog_window_fold(sink.read(spark), ["ws", "source"])
+
+
 def run_streaming_dedup(spark: SparkSession, sf_dir: str,
                         width: str = "5 minutes",
                         watermark: str = "10 minutes",

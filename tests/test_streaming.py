@@ -1205,3 +1205,45 @@ def test_cms_monitor_resumes_from_checkpoint(spark, sf_dir):
     expected = cms_watch_estimates(grid, ["ws", "source"], CMS_WATCH)
     assert result.count() == expected.count() > 0
     assert result.exceptAll(expected).count() == 0
+
+
+def test_loglog_monitor_resumes_from_checkpoint(spark, sf_dir):
+    """Kill/resume for the streaming LogLog monitor: registers are
+    merged by MAX, so a register fed before AND after the restart (and
+    any rows replayed by the checkpoint) must collapse idempotently —
+    the resumed run's fold must equal the fold over a grid built in
+    one batch pass from the full table."""
+    from movement_spark.operators.sketches import (
+        CMS_AB, CMS_P, LL_M, loglog_window_fold)
+    from movement_spark.streaming.pipeline import (
+        run_streaming_loglog_monitor)
+
+    full_stage = _mkdir()
+    stage_token_stream(spark, sf_dir, full_stage)
+    files = sorted(os.listdir(full_stage))
+    part_stage, ck, sink_dir = _mkdir(), _mkdir(), _mkdir()
+    cut = len(files) // 2
+    for f in files[:cut]:
+        shutil.copy2(os.path.join(full_stage, f), os.path.join(part_stage, f))
+    run_streaming_loglog_monitor(spark, sf_dir, stage_dir=part_stage,
+                                 sink_dir=sink_dir, checkpoint_dir=ck)
+    for f in files[cut:]:
+        shutil.copy2(os.path.join(full_stage, f), os.path.join(part_stage, f))
+    result = run_streaming_loglog_monitor(spark, sf_dir,
+                                          stage_dir=part_stage,
+                                          sink_dir=sink_dir,
+                                          checkpoint_dir=ck)
+    t = token_sequences(spark, sf_dir)
+    a, b = CMS_AB[0]
+    hv = f"(({a}L * cast(t as bigint) + {b}) % {CMS_P})"
+    grid = (
+        t.select(F.unix_timestamp("ts").alias("uts"), "source",
+                 F.explode("tokens").alias("t"))
+        .select((F.floor(F.col("uts") / 300) * 300).alias("ws"), "source",
+                F.expr(f"{hv} % {LL_M}").alias("reg"),
+                F.expr(f"length(bin({hv} div {LL_M}))").alias("bl"))
+        .groupBy("ws", "source", "reg")
+        .agg(F.max("bl").alias("max_bl")))
+    expected = loglog_window_fold(grid, ["ws", "source"])
+    assert result.count() == expected.count() > 0
+    assert result.exceptAll(expected).count() == 0
