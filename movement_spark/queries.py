@@ -1626,6 +1626,28 @@ def q_streaming_tumbling(spark, sf_dir):
     return run_streaming_tumbling(spark, sf_dir)
 
 
+@register("streaming_backfill_handoff", with_token_cte("""
+SELECT CAST(epoch(time_bucket(INTERVAL 5 MINUTES, ts)) AS BIGINT) AS ws,
+       source,
+       COUNT(*) AS n_seq,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tok
+FROM token_sequences
+GROUP BY 1, 2
+"""))
+def q_streaming_backfill(spark, sf_dir):
+    """Kappa-style batch→stream handoff: history windows backfilled by
+    ONE batch aggregate into epoch -1 of the exactly-once sink, the
+    stream serving only windows at/after the cut (window-column
+    predicate, above the watermark), deliberately overlapping by one
+    window — the sink's highest-epoch-wins merge resolves the seam, so
+    the read is one continuous table equal to the full batch oracle.
+    The bootstrap a deployed pipeline runs instead of replaying a year
+    of history through stream state."""
+    from movement_spark.streaming.pipeline import (
+        run_streaming_backfill_handoff)
+    return run_streaming_backfill_handoff(spark, sf_dir)
+
+
 @register("streaming_ordered_merge", with_token_cte("""
 , merged AS (
   SELECT doc_id,
@@ -6288,6 +6310,7 @@ _FRONT = [
     # --- Round-4 fifth-session additions (never driver-verified).
     "streaming_cms_monitor",
     "streaming_loglog_monitor",
+    "streaming_backfill_handoff",
     # --- Re-verification: load-bearing rows whose only green driver
     # row is r01 (two rounds stale). The driver re-runs whatever is in
     # the window; green re-runs prove no silent regression since r01.

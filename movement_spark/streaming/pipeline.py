@@ -506,6 +506,71 @@ def run_streaming_cms_monitor(spark: SparkSession, sf_dir: str,
                                watch or CMS_WATCH)
 
 
+def run_streaming_backfill_handoff(spark: SparkSession, sf_dir: str,
+                                   width: str = "5 minutes",
+                                   watermark: str = "10 minutes",
+                                   cut_sec: int = 1800,
+                                   stage_dir: str | None = None,
+                                   sink_dir: str | None = None,
+                                   checkpoint_dir: str | None = None,
+                                   listener=None,
+                                   files_per_trigger: int | None = None
+                                   ) -> DataFrame:
+    """Kappa-style batch→stream HANDOFF into one exactly-once sink:
+    history windows are backfilled by a batch aggregate over the table
+    (epoch -1 — "before the stream's log"), the stream serves only the
+    live tail (windows at/after the cut), and the two generations meet
+    in the SAME keyed sink. The backfill deliberately overlaps the
+    stream by one window past the cut: the sink's UPSERT merge (highest
+    epoch per key wins) resolves it to the stream's row, which equals
+    the batch row bit-for-bit — so re-running the backfill, replaying
+    the stream, or widening the overlap all collapse idempotently.
+
+    This is the bootstrap a deployed 100-TB pipeline actually performs:
+    the historical corpus is aggregated once through the batch engine
+    (no stream replay of a year of data), the streaming job starts at
+    the cut with ordinary watermark semantics, and the sink read serves
+    ONE continuous table across the seam. The stream's tail filter is a
+    predicate on the WINDOW column (composed with the flush cut), so it
+    stays above the EventTimeWatermark per the CLAUDE.md sentinel rule.
+    """
+    width_sec = _interval_seconds(width)
+    cut_ts = EPOCH_2026 + cut_sec
+    sink = IdempotentKeyedSink(sink_dir or _tmp("msbf_sink_"),
+                               ["ws", "source"])
+
+    # -- batch backfill: history + ONE overlap window past the cut ----
+    t = token_sequences(spark, sf_dir)
+    backfill = (
+        t.groupBy(F.window("ts", width).alias("w"), "source")
+        .agg(F.count("*").alias("n_seq"),
+             F.sum("n_tok").cast("bigint").alias("sum_tok"))
+        .where(F.col("w.start")
+               < F.timestamp_seconds(F.lit(cut_ts + width_sec)))
+        .select(F.unix_timestamp("w.start").alias("ws"), "source",
+                "n_seq", "sum_tok")
+    )
+    sink.foreach_batch(backfill, epoch_id=-1)
+
+    # -- streaming tail: windows at/after the cut ----------------------
+    stage = _resolve_stage(spark, sf_dir, stage_dir)
+    src = read_token_stream(spark, stage, files_per_trigger)
+    flush_cut = F.timestamp_seconds(F.lit(EPOCH_2026 + TS_MOD + 3600))
+    agg = (
+        observed(src)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "source")
+        .agg(F.count("*").alias("n_seq"),
+             F.sum("n_tok").cast("bigint").alias("sum_tok"))
+        .where((F.col("w.start") < flush_cut)
+               & (F.col("w.start") >= F.timestamp_seconds(F.lit(cut_ts))))
+        .select(F.unix_timestamp("w.start").alias("ws"), "source",
+                "n_seq", "sum_tok")
+    )
+    _run_to_sink(agg, sink, checkpoint_dir or _tmp("msbf_ck_"), listener)
+    return sink.read(spark)
+
+
 def run_streaming_loglog_monitor(spark: SparkSession, sf_dir: str,
                                  width: str = "5 minutes",
                                  watermark: str = "10 minutes",

@@ -1207,6 +1207,44 @@ def test_cms_monitor_resumes_from_checkpoint(spark, sf_dir):
     assert result.exceptAll(expected).count() == 0
 
 
+def test_backfill_handoff_seam_is_load_bearing(spark, sf_dir):
+    """The kappa handoff must be REAL on both sides of the cut: history
+    windows exist only in the batch backfill epoch (-1), the live tail
+    has rows from streaming epochs (>= 0), and the one deliberate
+    overlap window was written by BOTH generations (the sink's
+    highest-epoch-wins merge resolves it — oracle equality is the
+    parity sweep's job; this pins that the equality isn't trivially
+    one generation doing all the work)."""
+    from movement_spark.streaming.pipeline import (
+        run_streaming_backfill_handoff)
+
+    sink_dir, ck = _mkdir(), _mkdir()
+    result = run_streaming_backfill_handoff(
+        spark, sf_dir, sink_dir=sink_dir, checkpoint_dir=ck)
+    assert result.count() > 0
+    sink = IdempotentKeyedSink(sink_dir, ["ws", "source"])
+    eps = sink.epochs()
+    assert -1 in eps and any(e >= 0 for e in eps), eps
+    raw = spark.read.option("basePath", sink_dir).parquet(
+        *[os.path.join(sink_dir, f"epoch={e}") for e in eps])
+    cut = EPOCH_2026 + 1800
+    # history strictly below the cut: batch generation only
+    assert raw.where((F.col("ws") < cut)
+                     & (F.col("epoch") >= 0)).count() == 0
+    assert raw.where((F.col("ws") < cut)
+                     & (F.col("epoch") == -1)).count() > 0
+    # live tail past the overlap window: stream generation only
+    assert raw.where((F.col("ws") > cut)
+                     & (F.col("epoch") == -1)).count() == 0
+    assert raw.where((F.col("ws") > cut)
+                     & (F.col("epoch") >= 0)).count() > 0
+    # the overlap window at the cut was written by both generations
+    overlap_epochs = {r.epoch for r in raw.where(F.col("ws") == cut)
+                      .select("epoch").distinct().collect()}
+    assert -1 in overlap_epochs and any(e >= 0 for e in overlap_epochs), \
+        overlap_epochs
+
+
 def test_loglog_monitor_resumes_from_checkpoint(spark, sf_dir):
     """Kill/resume for the streaming LogLog monitor: registers are
     merged by MAX, so a register fed before AND after the restart (and
