@@ -1648,6 +1648,27 @@ def q_streaming_backfill(spark, sf_dir):
     return run_streaming_backfill_handoff(spark, sf_dir)
 
 
+@register("streaming_late_repair", with_token_cte("""
+SELECT CAST(epoch(time_bucket(INTERVAL 5 MINUTES, ts)) AS BIGINT) AS ws,
+       source,
+       COUNT(*) AS n_seq,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tok
+FROM token_sequences
+GROUP BY 1, 2
+"""))
+def q_streaming_late_repair(spark, sf_dir):
+    """Lambda-style late-data repair: the stream correctly DROPS rows
+    arriving after the watermark passed their window (a straggler file
+    delivered after the whole timeline), then a batch repair job
+    recomputes only the damaged windows from the table and upserts
+    them as a later epoch — the sink read equals the full oracle, with
+    the pre-repair shortfall pinned by its own test. The operational
+    complement of the backfill handoff: epoch -1 bootstraps history,
+    the repair epoch patches lateness, one keyed MERGE contract."""
+    from movement_spark.streaming.pipeline import run_streaming_late_repair
+    return run_streaming_late_repair(spark, sf_dir)
+
+
 @register("streaming_ordered_merge", with_token_cte("""
 , merged AS (
   SELECT doc_id,
@@ -6311,6 +6332,7 @@ _FRONT = [
     "streaming_cms_monitor",
     "streaming_loglog_monitor",
     "streaming_backfill_handoff",
+    "streaming_late_repair",
     # --- Re-verification: load-bearing rows whose only green driver
     # row is r01 (two rounds stale). The driver re-runs whatever is in
     # the window; green re-runs prove no silent regression since r01.

@@ -154,6 +154,50 @@ def stage_token_stream(spark: SparkSession, sf_dir: str, stage_dir: str,
     return n_rows
 
 
+def stage_token_stream_with_stragglers(spark: SparkSession, sf_dir: str,
+                                       stage_dir: str, n_chunks: int = 6,
+                                       straggler_mod: int = 7
+                                       ) -> tuple[int, int]:
+    """Stage the token table with a deterministic subset of
+    FIRST-WINDOW rows held back into a straggler file delivered after
+    the whole timeline — the late-arrival fixture: by the time the
+    straggler file becomes a micro-batch, the watermark has passed its
+    window by the full event-time span, so a correct watermark
+    implementation MUST drop those rows from the windowed aggregate.
+    Returns (n_main_rows, n_straggler_rows)."""
+    import shutil
+
+    df = (
+        token_sequences(spark, sf_dir, keep_did=True)
+        .withColumn("n_shards", (1 + F.col("did") % 4).cast("int"))
+    )
+    first_win = F.col("ts") < F.timestamp_seconds(F.lit(EPOCH_2026 + 300))
+    is_straggler = first_win & (F.col("did") % straggler_mod == 0)
+    main = df.where(~is_straggler).drop("did")
+    strag = df.where(is_straggler).drop("did")
+    n_rows, next_idx, base = _distribute_chunks(
+        main, stage_dir, n_chunks, ["ts", "doc_id", "seq"])
+    tmp = tempfile.mkdtemp(prefix="ms_strag_tmp_")
+    strag.coalesce(1).write.mode("overwrite").parquet(tmp)
+    (part,) = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+    n_strag = pq.ParquetFile(os.path.join(tmp, part)).metadata.num_rows
+    dest = os.path.join(stage_dir, f"chunk_{next_idx:04d}_0.parquet")
+    shutil.copy2(os.path.join(tmp, part), dest)
+    os.utime(dest, (base + next_idx, base + next_idx))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    def _rows(k: int):
+        flush_ts = pd.Timestamp(
+            (EPOCH_2026 + TS_MOD + 7200 + 60 * k) * 1_000_000_000)
+        return pd.DataFrame({
+            "doc_id": [SENTINEL], "seq": [0], "tokens": [[]],
+            "n_tok": [0], "source": [SENTINEL], "ts": [flush_ts],
+            "n_shards": [1],
+        }), _ARROW_SCHEMA
+    _emit_sentinel_files(stage_dir, next_idx + 1, base, _rows)
+    return n_rows, n_strag
+
+
 def _n_stage_files(stage_dir: str) -> int:
     try:
         return sum(1 for f in os.listdir(stage_dir) if f.endswith(".parquet"))
@@ -568,6 +612,79 @@ def run_streaming_backfill_handoff(spark: SparkSession, sf_dir: str,
                 "n_seq", "sum_tok")
     )
     _run_to_sink(agg, sink, checkpoint_dir or _tmp("msbf_ck_"), listener)
+    return sink.read(spark)
+
+
+def run_streaming_late_repair(spark: SparkSession, sf_dir: str,
+                              width: str = "5 minutes",
+                              watermark: str = "10 minutes",
+                              straggler_mod: int = 7,
+                              stage_dir: str | None = None,
+                              sink_dir: str | None = None,
+                              checkpoint_dir: str | None = None,
+                              listener=None) -> DataFrame:
+    """Lambda-style LATE-DATA REPAIR over the exactly-once sink: the
+    stream drops rows that arrive after the watermark passed their
+    window (the correct streaming behavior — unbounded lateness means
+    unbounded state), and a batch repair job then recomputes ONLY the
+    damaged windows from the table and upserts them as a later epoch.
+    The sink read after repair equals the full batch oracle; before
+    repair it is provably missing the stragglers (pinned by
+    test_late_repair_stream_alone_is_short).
+
+    This is the operational complement of the backfill handoff (epoch
+    -1 = history BEFORE the stream's log; the repair epoch = patches
+    AFTER it): between them the epoch log carries the full lambda
+    lifecycle — bootstrap, live stream, repair — through one keyed
+    MERGE contract, no special-cased reader. files_per_trigger is
+    pinned to 1 INSIDE this runner: the drop-then-repair semantics
+    depend on the straggler file becoming its own micro-batch after
+    the watermark advanced (CLAUDE.md batch-boundary rule).
+
+    Scale shape: the repair recompute is window-pruned BEFORE the
+    aggregate (the damaged-window predicate reaches the scan), so a
+    year-long timeline pays one partition-pruned scan per repair, not
+    a full-history replay; the upsert is one appended epoch."""
+    stage = stage_dir or _tmp("mslr_stage_")
+    if _n_stage_files(stage) == 0:
+        stage_token_stream_with_stragglers(spark, sf_dir, stage,
+                                           straggler_mod=straggler_mod)
+    src = read_token_stream(spark, stage, files_per_trigger=1)
+    flush_cut = F.timestamp_seconds(F.lit(EPOCH_2026 + TS_MOD + 3600))
+    agg = (
+        observed(src)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "source")
+        .agg(F.count("*").alias("n_seq"),
+             F.sum("n_tok").cast("bigint").alias("sum_tok"))
+        .where(F.col("w.start") < flush_cut)
+        .select(F.unix_timestamp("w.start").alias("ws"), "source",
+                "n_seq", "sum_tok")
+    )
+    sink = IdempotentKeyedSink(sink_dir or _tmp("mslr_sink_"),
+                               ["ws", "source"])
+    _run_to_sink(agg, sink, checkpoint_dir or _tmp("mslr_ck_"), listener)
+
+    # -- batch repair: recompute ONLY the straggler-damaged windows ----
+    # (window() is a grouping construct, not joinable — the prune key is
+    # the same tumbling arithmetic as an ordinary column)
+    width_sec = _interval_seconds(width)
+    t = token_sequences(spark, sf_dir, keep_did=True)
+    win_start = (F.floor(F.unix_timestamp("ts") / width_sec)
+                 * width_sec).cast("bigint")
+    first_win = F.col("ts") < F.timestamp_seconds(F.lit(EPOCH_2026 + 300))
+    damaged = (t.where(first_win & (F.col("did") % straggler_mod == 0))
+               .select(win_start.alias("ws0")).distinct())
+    repair = (
+        t.withColumn("ws", win_start)
+        .join(F.broadcast(damaged), F.col("ws") == F.col("ws0"))
+        .groupBy("ws", "source")
+        .agg(F.count("*").alias("n_seq"),
+             F.sum("n_tok").cast("bigint").alias("sum_tok"))
+        .select("ws", "source", "n_seq", "sum_tok")
+    )
+    epochs = sink.epochs()
+    sink.foreach_batch(repair, epoch_id=(max(epochs) + 1 if epochs else 0))
     return sink.read(spark)
 
 

@@ -1245,6 +1245,44 @@ def test_backfill_handoff_seam_is_load_bearing(spark, sf_dir):
         overlap_epochs
 
 
+def test_late_repair_stream_alone_is_short(spark, sf_dir):
+    """The late-repair flow is only meaningful if the watermark REALLY
+    dropped the stragglers: the pre-repair snapshot (epoch time travel
+    to just before the repair epoch) must be short by EXACTLY the
+    straggler row count, and the post-repair read must equal the full
+    batch aggregate. If the stream silently absorbed the late file,
+    the first assertion fails and the repair was a no-op."""
+    from movement_spark.streaming.pipeline import (
+        run_streaming_late_repair, stage_token_stream_with_stragglers)
+
+    stage, sink_dir, ck = _mkdir(), _mkdir(), _mkdir()
+    n_main, n_strag = stage_token_stream_with_stragglers(spark, sf_dir,
+                                                         stage)
+    assert n_strag > 0, "fixture must produce stragglers"
+    result = run_streaming_late_repair(spark, sf_dir, stage_dir=stage,
+                                       sink_dir=sink_dir,
+                                       checkpoint_dir=ck)
+    sink = IdempotentKeyedSink(sink_dir, ["ws", "source"])
+    repair_epoch = max(sink.epochs())
+    pre = sink.read(spark, as_of_epoch=repair_epoch - 1)
+
+    t = token_sequences(spark, sf_dir)
+    oracle = (
+        t.groupBy((F.floor(F.unix_timestamp("ts") / 300) * 300)
+                  .cast("bigint").alias("ws"), "source")
+        .agg(F.count("*").alias("n_seq"),
+             F.sum("n_tok").cast("bigint").alias("sum_tok")))
+    short = oracle.join(
+        pre.select("ws", "source", F.col("n_seq").alias("pre_seq")),
+        ["ws", "source"], "left")
+    missing = short.agg(F.sum(
+        F.col("n_seq") - F.coalesce("pre_seq", F.lit(0)))).collect()[0][0]
+    assert missing == n_strag, (missing, n_strag)
+    assert result.count() == oracle.count()
+    assert result.exceptAll(oracle).count() == 0
+    assert oracle.exceptAll(result).count() == 0
+
+
 def test_loglog_monitor_resumes_from_checkpoint(spark, sf_dir):
     """Kill/resume for the streaming LogLog monitor: registers are
     merged by MAX, so a register fed before AND after the restart (and
