@@ -138,6 +138,39 @@ def _job_compact(spark: SparkSession, conf: dict) -> dict:
             "watermark": sink.compaction_watermark()}
 
 
+def _job_repair(spark: SparkSession, conf: dict) -> dict:
+    """Repair: recompute NAMED tumbling windows from the source table
+    and upsert them into an existing keyed sink as a trailing epoch —
+    the scheduled-maintenance form of the late-data repair flow
+    (streaming/pipeline.py:run_streaming_late_repair). The recompute is
+    window-pruned BEFORE the aggregate, so repairing a handful of
+    windows against a year-long timeline pays one pruned scan, never a
+    history replay; the sink's highest-epoch-wins merge makes re-running
+    the job idempotent."""
+    from pyspark.sql import functions as F
+
+    from movement_spark.sinks.idempotent import IdempotentKeyedSink
+    from movement_spark.sources.tokens import token_sequences
+
+    sink = IdempotentKeyedSink(conf["sink.dir"], ["ws", "source"])
+    ws_list = [int(x) for x in str(conf["repair.windows"]).split(",")]
+    width_sec = int(conf.get("repair.width_sec", "300"))
+    t = token_sequences(spark, conf["sf.dir"])
+    win = (F.floor(F.unix_timestamp("ts") / width_sec)
+           * width_sec).cast("bigint")
+    repair = (
+        t.withColumn("ws", win).where(F.col("ws").isin(ws_list))
+        .groupBy("ws", "source")
+        .agg(F.count("*").alias("n_seq"),
+             F.sum("n_tok").cast("bigint").alias("sum_tok")))
+    eps = sink.epochs()
+    eid = (max(eps) + 1) if eps else 0
+    sink.foreach_batch(repair, eid)
+    return {"windows_repaired": len(ws_list), "epoch": eid,
+            "rows": sink.read(spark)
+            .where(F.col("ws").isin(ws_list)).count()}
+
+
 JOBS: dict[str, Callable[[SparkSession, dict], dict]] = {
     "Load": _job_load,
     "LoadCsv": _job_load_csv,
@@ -145,6 +178,7 @@ JOBS: dict[str, Callable[[SparkSession, dict], dict]] = {
     "Migrate": _job_migrate,
     "Bench": _job_bench,
     "Compact": _job_compact,
+    "Repair": _job_repair,
 }
 
 

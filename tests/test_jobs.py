@@ -155,6 +155,47 @@ def test_async_task_resolves_when_thread_crashes(monkeypatch):
     assert J.task_status(task_id)["status"].startswith("FAILED")
 
 
+def test_repair_job_patches_damaged_window(spark, sf_dir):
+    """Repair task: recomputes named tumbling windows from the source
+    table and upserts them as a trailing epoch — after deliberately
+    corrupting one window with a newer all-zeros epoch, the repair must
+    restore the sink read to exactly its pre-damage contents (and prove
+    the damage was visible in between, so the repair is load-bearing)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from movement_spark.jobs import run_job
+    from movement_spark.sinks.idempotent import IdempotentKeyedSink
+    from movement_spark.sources.tokens import EPOCH_2026
+
+    out = tempfile.mkdtemp(prefix="ms_repair_job_")
+    mig = run_job("Migrate", spark=spark, **{
+        "input.sf_dir": sf_dir, "output.dir": out})
+    assert mig.status == "SUCCEEDED"
+    sink = IdempotentKeyedSink(os.path.join(out, "sink"), ["ws", "source"])
+    truth = sink.read(spark).persist()
+    truth.count()  # materialize BEFORE damaging (truth is lazy)
+    ws0 = EPOCH_2026
+    bad = (truth.where(F.col("ws") == ws0)
+           .withColumn("n_seq", F.lit(0).cast("bigint"))
+           .withColumn("sum_tok", F.lit(0).cast("bigint")))
+    sink.foreach_batch(bad, max(sink.epochs()) + 1)
+    damaged = sink.read(spark).where(F.col("ws") == ws0) \
+        .agg(F.sum("n_seq")).collect()[0][0]
+    assert damaged == 0, "corruption must be visible pre-repair"
+    res = run_job("Repair", spark=spark, **{
+        "sink.dir": os.path.join(out, "sink"), "sf.dir": sf_dir,
+        "repair.windows": str(ws0)})
+    assert res.status == "SUCCEEDED", res.status
+    assert res.metrics["windows_repaired"] == 1
+    after = sink.read(spark)
+    assert after.exceptAll(truth).count() == 0
+    assert truth.exceptAll(after).count() == 0
+    truth.unpersist()
+
+
 def test_compact_job_preserves_visible_rows(spark, sf_dir):
     """Compact task: collapses the epoch log into the snapshot with
     identical read-visible results and reports the reclaimed epochs."""
