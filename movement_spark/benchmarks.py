@@ -218,6 +218,39 @@ def _streaming_throughput_inner(spark, stage_dir, n_rows, sink_dir,
     }
 
 
+def _monitor_throughput(spark: SparkSession, runner, stage_dir: str,
+                        n_rows: int, sink_dir: str, checkpoint_dir: str,
+                        files_per_trigger: int, summarize) -> dict:
+    """The ONE sink/checkpoint/steady-state methodology for every
+    streaming-monitor bench (listener wiring, mid-batch slice,
+    seq_per_sec math) — a drifting copy would make two monitors
+    measure differently. ``summarize(out)`` returns the monitor's own
+    read-side fields and runs INSIDE the timed region: each monitor's
+    read-side fold is part of its contract, so it belongs in elapsed."""
+    listener = RuntimeMetricsListener()
+    t0 = time.perf_counter()
+    out = runner(
+        spark, sf_dir="", stage_dir=stage_dir, sink_dir=sink_dir,
+        checkpoint_dir=checkpoint_dir, listener=listener,
+        files_per_trigger=files_per_trigger)
+    extra = summarize(out)
+    elapsed = time.perf_counter() - t0
+    recs = sorted(listener.records, key=lambda r: r.batch_id)
+    mid = recs[1:-1] if len(recs) >= 3 else recs
+    mid_rows = sum(r.num_input_rows for r in mid)
+    mid_sec = sum(r.duration_ms for r in mid) / 1000.0
+    return {
+        "elapsed_sec": round(elapsed, 3),
+        "rows_in": n_rows,
+        "seq_per_sec": round(n_rows / elapsed, 1),
+        "seq_per_sec_steady": round(mid_rows / mid_sec, 1)
+        if mid_sec > 0 else 0.0,
+        "steady_batches": len(mid),
+        "batches": len(recs),
+        **extra,
+    }
+
+
 def drift_monitor_throughput(spark: SparkSession, stage_dir: str,
                              n_rows: int, sink_dir: str,
                              checkpoint_dir: str,
@@ -225,114 +258,59 @@ def drift_monitor_throughput(spark: SparkSession, stage_dir: str,
     """Throughput of the streaming drift monitor — the heaviest
     per-row stateful pipeline (every token explodes into the bucketed
     histogram state, vs one row per sequence in the throughput agg) —
-    plus its read-side TVD fold. Same sink/checkpoint/steady-state
-    methodology as streaming_throughput; state partitions are pinned
-    by _run_to_sink itself."""
+    plus its read-side TVD fold. State partitions are pinned by
+    _run_to_sink itself."""
     from movement_spark.streaming.pipeline import (
         run_streaming_drift_monitor)
 
-    listener = RuntimeMetricsListener()
-    t0 = time.perf_counter()
-    out = run_streaming_drift_monitor(
-        spark, sf_dir="", stage_dir=stage_dir, sink_dir=sink_dir,
-        checkpoint_dir=checkpoint_dir, listener=listener,
-        files_per_trigger=files_per_trigger)
-    n_out = out.count()
-    elapsed = time.perf_counter() - t0
-    recs = sorted(listener.records, key=lambda r: r.batch_id)
-    mid = recs[1:-1] if len(recs) >= 3 else recs
-    mid_rows = sum(r.num_input_rows for r in mid)
-    mid_sec = sum(r.duration_ms for r in mid) / 1000.0
-    return {
-        "elapsed_sec": round(elapsed, 3),
-        "rows_in": n_rows,
-        "seq_per_sec": round(n_rows / elapsed, 1),
-        "seq_per_sec_steady": round(mid_rows / mid_sec, 1)
-        if mid_sec > 0 else 0.0,
-        "steady_batches": len(mid),
-        "batches": len(recs),
-        "drift_windows_out": n_out,
-    }
+    return _monitor_throughput(
+        spark, run_streaming_drift_monitor, stage_dir, n_rows, sink_dir,
+        checkpoint_dir, files_per_trigger,
+        lambda out: {"drift_windows_out": out.count()})
 
 
 def neardup_monitor_throughput(spark: SparkSession, stage_dir: str,
                                n_rows: int, sink_dir: str,
                                checkpoint_dir: str,
                                files_per_trigger: int = 8) -> dict:
-    """Throughput of the streaming near-dup monitor — the newest
-    stateful pipeline and the only chained-aggregate one (per-signature
-    groups feeding a per-(window, source) fold). Unlike the drift
-    monitor it never explodes the token array: the MinHash signature is
-    one in-row expression, so its per-row cost is pure codegen work and
-    its state is bounded by distinct signatures per open window. Same
-    sink/checkpoint/steady-state methodology as streaming_throughput."""
+    """Throughput of the streaming near-dup monitor — the only
+    chained-aggregate stateful pipeline (per-signature groups feeding a
+    per-(window, source) fold). Unlike the drift monitor it never
+    explodes the token array: the MinHash signature is one in-row
+    expression, so its per-row cost is pure codegen work and its state
+    is bounded by distinct signatures per open window."""
     from movement_spark.streaming.pipeline import (
         run_streaming_neardup_monitor)
 
-    listener = RuntimeMetricsListener()
-    t0 = time.perf_counter()
-    out = run_streaming_neardup_monitor(
-        spark, sf_dir="", stage_dir=stage_dir, sink_dir=sink_dir,
-        checkpoint_dir=checkpoint_dir, listener=listener,
-        files_per_trigger=files_per_trigger)
-    n_out = out.count()
-    dup_seq = out.agg(F.sum("n_dup_seq")).collect()[0][0] or 0
-    elapsed = time.perf_counter() - t0
-    recs = sorted(listener.records, key=lambda r: r.batch_id)
-    mid = recs[1:-1] if len(recs) >= 3 else recs
-    mid_rows = sum(r.num_input_rows for r in mid)
-    mid_sec = sum(r.duration_ms for r in mid) / 1000.0
-    return {
-        "elapsed_sec": round(elapsed, 3),
-        "rows_in": n_rows,
-        "seq_per_sec": round(n_rows / elapsed, 1),
-        "seq_per_sec_steady": round(mid_rows / mid_sec, 1)
-        if mid_sec > 0 else 0.0,
-        "steady_batches": len(mid),
-        "batches": len(recs),
-        "monitor_windows_out": n_out,
-        "dup_seq_flagged": int(dup_seq),
-    }
+    def summarize(out):
+        return {"monitor_windows_out": out.count(),
+                "dup_seq_flagged":
+                int(out.agg(F.sum("n_dup_seq")).collect()[0][0] or 0)}
+
+    return _monitor_throughput(
+        spark, run_streaming_neardup_monitor, stage_dir, n_rows,
+        sink_dir, checkpoint_dir, files_per_trigger, summarize)
 
 
 def cms_monitor_throughput(spark: SparkSession, stage_dir: str,
                            n_rows: int, sink_dir: str,
                            checkpoint_dir: str,
                            files_per_trigger: int = 8) -> dict:
-    """Throughput of the streaming CMS frequency monitor — the new
-    per-row-cost CEILING among the stateful monitors: every token
-    explodes into CMS_D=4 probe rows before the windowed grid
-    aggregate (~4× the drift monitor's state-update volume), with the
-    additive cells collapsing map-side. Same sink/checkpoint/
-    steady-state methodology as streaming_throughput; the read-side
-    watchlist fold is included in elapsed (it is part of the monitor's
-    contract)."""
+    """Throughput of the streaming CMS frequency monitor — the per-row
+    cost CEILING among the stateful monitors: every token explodes into
+    CMS_D=4 probe rows before the windowed grid aggregate (~4× the
+    drift monitor's state-update volume), with the additive cells
+    collapsing map-side."""
     from movement_spark.streaming.pipeline import run_streaming_cms_monitor
 
-    listener = RuntimeMetricsListener()
-    t0 = time.perf_counter()
-    out = run_streaming_cms_monitor(
-        spark, sf_dir="", stage_dir=stage_dir, sink_dir=sink_dir,
-        checkpoint_dir=checkpoint_dir, listener=listener,
-        files_per_trigger=files_per_trigger)
-    n_out = out.count()
-    est_sum = out.agg(F.sum("cms_est")).collect()[0][0] or 0
-    elapsed = time.perf_counter() - t0
-    recs = sorted(listener.records, key=lambda r: r.batch_id)
-    mid = recs[1:-1] if len(recs) >= 3 else recs
-    mid_rows = sum(r.num_input_rows for r in mid)
-    mid_sec = sum(r.duration_ms for r in mid) / 1000.0
-    return {
-        "elapsed_sec": round(elapsed, 3),
-        "rows_in": n_rows,
-        "seq_per_sec": round(n_rows / elapsed, 1),
-        "seq_per_sec_steady": round(mid_rows / mid_sec, 1)
-        if mid_sec > 0 else 0.0,
-        "steady_batches": len(mid),
-        "batches": len(recs),
-        "watch_rows_out": n_out,
-        "watch_est_sum": int(est_sum),
-    }
+    def summarize(out):
+        return {"watch_rows_out": out.count(),
+                "watch_est_sum":
+                int(out.agg(F.sum("cms_est")).collect()[0][0] or 0)}
+
+    return _monitor_throughput(
+        spark, run_streaming_cms_monitor, stage_dir, n_rows, sink_dir,
+        checkpoint_dir, files_per_trigger, summarize)
 
 
 def quantile_monitor_throughput(spark: SparkSession, stage_dir: str,
@@ -345,32 +323,15 @@ def quantile_monitor_throughput(spark: SparkSession, stage_dir: str,
     per-signature groups), so state is pinned at windows × sources × 64
     rows regardless of input volume. This bounds the floor of stateful-
     agg overhead: its gap vs the headline windowed agg is the cost of a
-    64-wide grouping key, nothing else. Same sink/checkpoint/steady-state
-    methodology as streaming_throughput."""
+    64-wide grouping key, nothing else."""
     from movement_spark.streaming.pipeline import (
         run_streaming_quantile_monitor)
 
-    listener = RuntimeMetricsListener()
-    t0 = time.perf_counter()
-    out = run_streaming_quantile_monitor(
-        spark, sf_dir="", stage_dir=stage_dir, sink_dir=sink_dir,
-        checkpoint_dir=checkpoint_dir, listener=listener,
-        files_per_trigger=files_per_trigger)
-    n_out = out.count()
-    max_p99 = out.agg(F.max("p99_lo")).collect()[0][0] or 0
-    elapsed = time.perf_counter() - t0
-    recs = sorted(listener.records, key=lambda r: r.batch_id)
-    mid = recs[1:-1] if len(recs) >= 3 else recs
-    mid_rows = sum(r.num_input_rows for r in mid)
-    mid_sec = sum(r.duration_ms for r in mid) / 1000.0
-    return {
-        "elapsed_sec": round(elapsed, 3),
-        "rows_in": n_rows,
-        "seq_per_sec": round(n_rows / elapsed, 1),
-        "seq_per_sec_steady": round(mid_rows / mid_sec, 1)
-        if mid_sec > 0 else 0.0,
-        "steady_batches": len(mid),
-        "batches": len(recs),
-        "monitor_rows_out": n_out,
-        "max_p99_lo": int(max_p99),
-    }
+    def summarize(out):
+        return {"monitor_rows_out": out.count(),
+                "max_p99_lo":
+                int(out.agg(F.max("p99_lo")).collect()[0][0] or 0)}
+
+    return _monitor_throughput(
+        spark, run_streaming_quantile_monitor, stage_dir, n_rows,
+        sink_dir, checkpoint_dir, files_per_trigger, summarize)

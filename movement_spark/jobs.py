@@ -163,8 +163,7 @@ def _job_repair(spark: SparkSession, conf: dict) -> dict:
         .groupBy("ws", "source")
         .agg(F.count("*").alias("n_seq"),
              F.sum("n_tok").cast("bigint").alias("sum_tok")))
-    eps = sink.epochs()
-    eid = (max(eps) + 1) if eps else 0
+    eid = sink.next_patch_epoch()
     sink.foreach_batch(repair, eid)
     return {"windows_repaired": len(ws_list), "epoch": eid,
             "rows": sink.read(spark)

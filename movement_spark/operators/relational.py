@@ -1286,7 +1286,13 @@ def incremental_state_merge(documents: DataFrame,
     bitmap (a fixed-width mergeable sketch) rather than a
     COUNT(DISTINCT) that would need the raw rows back.
     """
-    is_delta = F.pmod(F.col("doc_id"), F.lit(delta_mod)) >= delta_from
+    # coalesce: the split must be TOTAL — pmod(NULL) is NULL, which
+    # both where() branches drop, so a NULL-doc_id row would silently
+    # vanish from the merged view while the one-pass oracle counts it.
+    # NULL rides with the base (bucket 0).
+    bucket = F.coalesce(
+        F.pmod(F.col("doc_id"), F.lit(delta_mod)), F.lit(0))
+    is_delta = bucket >= delta_from
     base_state = _doc_agg_state(documents.where(~is_delta))
     delta_state = _doc_agg_state(documents.where(is_delta))
     merged = (

@@ -213,8 +213,11 @@ def _argmax_dot_assign(q: DataFrame, cents: DataFrame) -> DataFrame:
         # dim-agnostic malformed-vector exclusion: a wrong-length q
         # zip_with-pads to a NULL dot and would be "assigned" by the
         # NULL-ordered argmin — compare against the codebook's own dim
-        # (works at any corpus dim; benches run 32, the table 64)
-        .where(F.expr("size(q) = size(cents[0].cv)"))
+        # (works at any corpus dim; benches run 32, the table 64).
+        # get(), not cents[0]: [] on an EMPTY centroid list is an ANSI
+        # INVALID_ARRAY_INDEX crash; get() is NULL there, so the filter
+        # drops every row instead (totality rule, CLAUDE.md)
+        .where(F.expr("size(q) = size(get(cents, 0).cv)"))
         .withColumn("m", best)
         .select("vec_id", "q", F.col("m.cent_id").alias("cent_id"))
     )
@@ -444,7 +447,13 @@ def pq_encode_arrow(embeddings: DataFrame, codebook: DataFrame,
     # feeds (the first bench run recorded only 1.4x over the JVM form;
     # flat columns on both sides fix that). The array<int> shape the
     # rest of the PQ family expects is re-assembled JVM-side.
-    q = (quantized(embeddings).where(F.size("q") == dim)
+    # size alone is not enough: a correct-length vector with a NULL
+    # element would ship a NULL->NaN column into the int64 ndarray cast
+    # (an unchecked C cast, NaN -> INT64_MIN) and encode deterministic
+    # garbage — exclude it here like every other malformed shape
+    q = (quantized(embeddings)
+         .where((F.size("q") == dim)
+                & F.expr("forall(q, x -> x is not null)"))
          .select("vec_id", *[F.element_at("q", i + 1).alias(c)
                              for i, c in enumerate(qcols)]))
     flat = q.mapInPandas(encode, schema=schema)
@@ -740,8 +749,9 @@ def _lloyd_rounds(q: DataFrame, k: int, iters: int):
             q.crossJoin(F.broadcast(cent_row))
             # same dim-agnostic exclusion as _argmax_dot_assign: a
             # wrong-length q has a NULL L2 against every centroid and
-            # must not be assigned anywhere (it skewed the means)
-            .where(F.expr("size(q) = size(cents[0].c)"))
+            # must not be assigned anywhere (it skewed the means);
+            # get() for the empty-list totality case, as above
+            .where(F.expr("size(q) = size(get(cents, 0).c)"))
             .withColumn("m", argmin)
             .select("vec_id", F.col("m.cluster").alias("cluster"), "q"))
         est = (

@@ -151,6 +151,18 @@ class IdempotentKeyedSink:
         commit log (Iceberg snapshot-list analog)."""
         return self._live_epoch_ids(self.compaction_watermark())
 
+    def next_patch_epoch(self) -> int:
+        """Epoch id for a batch REPAIR patch: strictly above every live
+        epoch AND the compaction watermark. `max(epochs())+1` alone is
+        wrong on a compacted sink — epochs() is empty there, and a patch
+        written at 0 sits at/below the watermark, so read() never sees
+        it and the next compact() reclaims it unfolded. Patches run
+        after the stream is done (the stream's replayed epoch counter
+        would otherwise overwrite a patch dir — CLAUDE.md epoch-id
+        conventions)."""
+        wm = self.compaction_watermark()
+        return max(self.epochs() + [wm if wm is not None else -1]) + 1
+
     def read(self, spark: SparkSession,
              as_of_epoch: int | None = None) -> DataFrame:
         """Snapshot view of the sink. ``as_of_epoch`` gives time travel —

@@ -116,6 +116,29 @@ def _distribute_chunks(df: DataFrame, stage_dir: str, n_chunks: int,
     return n_rows, len(parts), base
 
 
+def _token_sentinel_rows(k: int):
+    """The ONE definition of the watermark-flush sentinel row for the
+    staged token stream (shape + flush-timestamp formula): every stager
+    must emit exactly this — a drifting copy would desynchronize one
+    fixture's flush from every other pipeline's sentinel contract."""
+    flush_ts = pd.Timestamp(
+        (EPOCH_2026 + TS_MOD + 7200 + 60 * k) * 1_000_000_000)
+    return pd.DataFrame({
+        "doc_id": [SENTINEL], "seq": [0], "tokens": [[]],
+        "n_tok": [0], "source": [SENTINEL], "ts": [flush_ts],
+        "n_shards": [1],
+    }), _ARROW_SCHEMA
+
+
+def _staged_token_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token table in the staged-stream shape (n_shards derived from
+    did, did retained for fixture predicates)."""
+    return (
+        token_sequences(spark, sf_dir, keep_did=True)
+        .withColumn("n_shards", (1 + F.col("did") % 4).cast("int"))
+    )
+
+
 def stage_token_stream(spark: SparkSession, sf_dir: str, stage_dir: str,
                        n_chunks: int = 6, sentinel: bool = True,
                        duplicate_factor: int = 1,
@@ -129,10 +152,7 @@ def stage_token_stream(spark: SparkSession, sf_dir: str, stage_dir: str,
     scale path are the same code — no driver-side collection).
     Returns the number of real (non-sentinel) rows staged.
     """
-    df = (
-        token_sequences(spark, sf_dir, keep_did=True)
-        .withColumn("n_shards", (1 + F.col("did") % 4).cast("int"))
-    )
+    df = _staged_token_frame(spark, sf_dir)
     if gap_docs:
         # Lossy-delivery fixture: every 5th doc loses its seq=1 shard,
         # so multi-shard docs among them can never complete — the input
@@ -142,15 +162,8 @@ def stage_token_stream(spark: SparkSession, sf_dir: str, stage_dir: str,
     n_rows, next_idx, base = _distribute_chunks(
         df, stage_dir, n_chunks, ["ts", "doc_id", "seq"], duplicate_factor)
     if sentinel:
-        def _rows(k: int):
-            flush_ts = pd.Timestamp(
-                (EPOCH_2026 + TS_MOD + 7200 + 60 * k) * 1_000_000_000)
-            return pd.DataFrame({
-                "doc_id": [SENTINEL], "seq": [0], "tokens": [[]],
-                "n_tok": [0], "source": [SENTINEL], "ts": [flush_ts],
-                "n_shards": [1],
-            }), _ARROW_SCHEMA
-        _emit_sentinel_files(stage_dir, next_idx, base, _rows)
+        _emit_sentinel_files(stage_dir, next_idx, base,
+                             _token_sentinel_rows)
     return n_rows
 
 
@@ -167,10 +180,7 @@ def stage_token_stream_with_stragglers(spark: SparkSession, sf_dir: str,
     Returns (n_main_rows, n_straggler_rows)."""
     import shutil
 
-    df = (
-        token_sequences(spark, sf_dir, keep_did=True)
-        .withColumn("n_shards", (1 + F.col("did") % 4).cast("int"))
-    )
+    df = _staged_token_frame(spark, sf_dir)
     first_win = F.col("ts") < F.timestamp_seconds(F.lit(EPOCH_2026 + 300))
     is_straggler = first_win & (F.col("did") % straggler_mod == 0)
     main = df.where(~is_straggler).drop("did")
@@ -185,16 +195,8 @@ def stage_token_stream_with_stragglers(spark: SparkSession, sf_dir: str,
     shutil.copy2(os.path.join(tmp, part), dest)
     os.utime(dest, (base + next_idx, base + next_idx))
     shutil.rmtree(tmp, ignore_errors=True)
-
-    def _rows(k: int):
-        flush_ts = pd.Timestamp(
-            (EPOCH_2026 + TS_MOD + 7200 + 60 * k) * 1_000_000_000)
-        return pd.DataFrame({
-            "doc_id": [SENTINEL], "seq": [0], "tokens": [[]],
-            "n_tok": [0], "source": [SENTINEL], "ts": [flush_ts],
-            "n_shards": [1],
-        }), _ARROW_SCHEMA
-    _emit_sentinel_files(stage_dir, next_idx + 1, base, _rows)
+    _emit_sentinel_files(stage_dir, next_idx + 1, base,
+                         _token_sentinel_rows)
     return n_rows, n_strag
 
 
@@ -683,8 +685,7 @@ def run_streaming_late_repair(spark: SparkSession, sf_dir: str,
              F.sum("n_tok").cast("bigint").alias("sum_tok"))
         .select("ws", "source", "n_seq", "sum_tok")
     )
-    epochs = sink.epochs()
-    sink.foreach_batch(repair, epoch_id=(max(epochs) + 1 if epochs else 0))
+    sink.foreach_batch(repair, epoch_id=sink.next_patch_epoch())
     return sink.read(spark)
 
 

@@ -196,6 +196,46 @@ def test_repair_job_patches_damaged_window(spark, sf_dir):
     truth.unpersist()
 
 
+def test_repair_job_visible_after_compact(spark, sf_dir):
+    """A repair against a COMPACTED sink must still be read-visible:
+    epochs() is empty after compaction (everything folded into the
+    snapshot), so a naive max(epochs())+1 fallback would write epoch 0
+    — at/below the watermark, invisible to read() and reclaimed
+    unfolded by the next compact(). next_patch_epoch() must clear the
+    watermark instead."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from movement_spark.jobs import run_job
+    from movement_spark.sinks.idempotent import IdempotentKeyedSink
+    from movement_spark.sources.tokens import EPOCH_2026
+
+    out = tempfile.mkdtemp(prefix="ms_repair_compacted_")
+    mig = run_job("Migrate", spark=spark, **{
+        "input.sf_dir": sf_dir, "output.dir": out})
+    assert mig.status == "SUCCEEDED"
+    sink = IdempotentKeyedSink(os.path.join(out, "sink"), ["ws", "source"])
+    truth = sink.read(spark).persist()
+    truth.count()
+    cmp_res = run_job("Compact", spark=spark, **{
+        "sink.dir": f"{out}/sink", "sink.keys": "ws,source"})
+    assert cmp_res.status == "SUCCEEDED"
+    assert sink.epochs() == [], "compaction must fold the epoch log"
+    res = run_job("Repair", spark=spark, **{
+        "sink.dir": os.path.join(out, "sink"), "sf.dir": sf_dir,
+        "repair.windows": str(EPOCH_2026)})
+    assert res.status == "SUCCEEDED", res.status
+    wm = sink.compaction_watermark()
+    assert res.metrics["epoch"] > wm, \
+        f"patch epoch {res.metrics['epoch']} must clear watermark {wm}"
+    after = sink.read(spark)
+    assert after.exceptAll(truth).count() == 0
+    assert truth.exceptAll(after).count() == 0
+    truth.unpersist()
+
+
 def test_compact_job_preserves_visible_rows(spark, sf_dir):
     """Compact task: collapses the epoch log into the snapshot with
     identical read-visible results and reports the reclaimed epochs."""

@@ -1312,6 +1312,66 @@ def test_degenerate_docs_never_throw(spark):
     assert all(m["n_occ"] >= 1 for m in merges)
 
 
+def test_ivf_assign_empty_centroid_list_is_empty_not_crash(spark):
+    """Totality of the centroid-dim guard: when no vector falls in the
+    seed id range (e.g. a delta slice whose ids all exceed it), the
+    collected centroid list is EMPTY — cents[0] would be an ANSI
+    INVALID_ARRAY_INDEX crash there (the class CLAUDE.md pins);
+    get(cents, 0) makes the guard NULL so every row filters out
+    instead. Before the seed range existed, the same input merely
+    produced no assignments — crash-free must stay true."""
+    from movement_spark.operators.similarity import ivf_assign
+
+    emb = spark.createDataFrame(
+        [(100 + i, "s", [float(i), 1.0]) for i in range(5)],
+        "vec_id bigint, label string, embedding array<float>")
+    assert ivf_assign(emb, n_centroids=4).count() == 0
+
+
+def test_incremental_state_merge_counts_null_doc_id(spark):
+    """The base/delta split must be TOTAL: pmod(NULL, mod) is NULL and
+    both where() branches would drop a NULL-doc_id row, silently
+    shrinking the merged view while a one-pass recompute counts it.
+    NULL rides with the base; merge(state(base), state(delta)) must
+    equal state(full) including that row."""
+    from movement_spark.operators.relational import (
+        _doc_agg_state, incremental_state_merge)
+
+    docs = spark.createDataFrame(
+        [(0, "s0", "en", 10, "a"), (8, "s0", "en", 20, "b"),
+         (None, "s0", "en", 30, "c"), (9, "s1", "de", 40, "d")],
+        "doc_id bigint, source string, lang string, n_chars int, "
+        "text string")
+    merged = {r["source"]: (r["n_docs"], r["sum_chars"])
+              for r in incremental_state_merge(docs).collect()}
+    full = {r["source"]: (r["n_docs"], r["sum_chars"])
+            for r in _doc_agg_state(docs).collect()}
+    assert merged == full
+    assert merged["s0"] == (3, 60), "NULL doc_id row must be counted"
+
+
+def test_pq_encode_arrow_excludes_null_element_vectors(spark):
+    """A correct-LENGTH vector carrying a NULL element must be excluded
+    by the Arrow build, not encoded: NULL becomes NaN on the pandas
+    side and the int64 ndarray cast is an unchecked C cast (NaN →
+    INT64_MIN), which would write deterministic-looking but meaningless
+    codes into the index."""
+    from movement_spark.operators.similarity import (
+        PQ_M, PQ_SUB, pq_codebook, pq_encode_arrow)
+
+    dim = PQ_M * PQ_SUB
+    good = [float(i % 7) for i in range(dim)]
+    holed = [None if i == 3 else float(i % 5) for i in range(dim)]
+    emb = spark.createDataFrame(
+        [(0, "s", good), (1, "s", holed)],
+        "vec_id bigint, label string, embedding array<float>")
+    cb = pq_codebook(emb.where(F.col("vec_id") == 0))
+    got = pq_encode_arrow(emb, cb).collect()
+    assert [r["vec_id"] for r in got] == [0], \
+        "the NULL-element vector must not be encoded"
+    assert all(c is not None for c in got[0]["codes"])
+
+
 def test_reshard_moves_only_to_new_shards(spark):
     """Rendezvous property: extending 8 shards to 10 leaves every old
     shard's score for a key unchanged, so a key relocates ONLY when a
