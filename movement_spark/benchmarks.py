@@ -283,9 +283,12 @@ def neardup_monitor_throughput(spark: SparkSession, stage_dir: str,
         run_streaming_neardup_monitor)
 
     def summarize(out):
-        return {"monitor_windows_out": out.count(),
-                "dup_seq_flagged":
-                int(out.agg(F.sum("n_dup_seq")).collect()[0][0] or 0)}
+        # one job over the sink, not count()+agg() back to back — the
+        # summary sits inside elapsed, so a second read would inflate
+        # this monitor's wall relative to the others it's compared with
+        r = out.agg(F.count("*"), F.sum("n_dup_seq")).collect()[0]
+        return {"monitor_windows_out": r[0],
+                "dup_seq_flagged": int(r[1] or 0)}
 
     return _monitor_throughput(
         spark, run_streaming_neardup_monitor, stage_dir, n_rows,
@@ -304,9 +307,8 @@ def cms_monitor_throughput(spark: SparkSession, stage_dir: str,
     from movement_spark.streaming.pipeline import run_streaming_cms_monitor
 
     def summarize(out):
-        return {"watch_rows_out": out.count(),
-                "watch_est_sum":
-                int(out.agg(F.sum("cms_est")).collect()[0][0] or 0)}
+        r = out.agg(F.count("*"), F.sum("cms_est")).collect()[0]
+        return {"watch_rows_out": r[0], "watch_est_sum": int(r[1] or 0)}
 
     return _monitor_throughput(
         spark, run_streaming_cms_monitor, stage_dir, n_rows, sink_dir,
@@ -328,9 +330,8 @@ def quantile_monitor_throughput(spark: SparkSession, stage_dir: str,
         run_streaming_quantile_monitor)
 
     def summarize(out):
-        return {"monitor_rows_out": out.count(),
-                "max_p99_lo":
-                int(out.agg(F.max("p99_lo")).collect()[0][0] or 0)}
+        r = out.agg(F.count("*"), F.max("p99_lo")).collect()[0]
+        return {"monitor_rows_out": r[0], "max_p99_lo": int(r[1] or 0)}
 
     return _monitor_throughput(
         spark, run_streaming_quantile_monitor, stage_dir, n_rows,

@@ -517,9 +517,14 @@ def window_drift_tvd(hist: DataFrame, width_sec: int = 300) -> DataFrame:
     )
 
 
-# Shard-shuffle constants: same multiplicative family as the split hash
-# but a distinct increment, so shard assignment is independent of the
-# train/val/test bucket (h % 100 vs h' % n_shards never correlate).
+# Shard-shuffle constants: a DISTINCT MULTIPLIER from the split hash,
+# not just a distinct increment — with the same multiplier the two
+# hashes differ by a constant, and since that constant and 100 are both
+# ≡ 0 (mod 4), shard % 4 would be fully determined by the train/val/
+# test bucket (every split-bucket's docs confined to 4 of 16 shards).
+# A different multiplier decorrelates the residues. 1_566_083_941
+# wraps SPLIT_P from doc_id=2 and keeps doc_id*A < 2^63 to ~5.9e9 docs.
+SHUFFLE_A = 1_566_083_941
 SHUFFLE_B = 54_321
 N_SHARDS = 16
 
@@ -539,7 +544,7 @@ def shard_shuffle_manifest(documents: DataFrame,
     doc's position into an integer only the exact permutation
     reproduces. 100-TB shape: shard-keyed shuffle + per-shard window —
     never a global row_number."""
-    h = ((F.col("doc_id") * SPLIT_A + SHUFFLE_B) % SPLIT_P)
+    h = ((F.col("doc_id") * SHUFFLE_A + SHUFFLE_B) % SPLIT_P)
     w = Window.partitionBy("shard").orderBy("h", "doc_id")
     return (
         documents
@@ -648,10 +653,14 @@ def dsir_importance_weights(documents: DataFrame,
     # already HUGEINT.
     ratios = (model.crossJoin(F.broadcast(totals))
               .withColumn("ratio_ppm",
+                          # greatest(tot_tgt, 1): a corpus with ZERO
+                          # target-lang tokens must degrade to ratio 0
+                          # everywhere (cnt_tgt is 0 too), not raise
+                          # DIVIDE_BY_ZERO under ANSI (totality rule)
                           F.expr(f"cast((cast(cnt_tgt as decimal(38,0)) "
                                  f"* tot_raw * {DSIR_SCALE}) "
                                  f"div (cast(cnt_raw as decimal(38,0)) "
-                                 f"* tot_tgt) as bigint)"))
+                                 f"* greatest(tot_tgt, 1)) as bigint)"))
               .select("bucket", "ratio_ppm"))
     scored = (words.join(F.broadcast(ratios), "bucket")
               .groupBy("doc_id", "lang", "n_chars")

@@ -826,6 +826,23 @@ def cross_source_dup_matrix(documents: DataFrame) -> DataFrame:
 TRIGRAM_MOD = 50261
 
 
+def packed_trigram_expr(gram_mod: int) -> str:
+    """Packed token-trigram array: a*m² + b*m + c per window (injective
+    for token ids < gram_mod); empty for sub-3-token shards. The ONE
+    trigram packing rule shared by duplicate_ngram_coverage and
+    dup_span_scrub (the text.packed_bigram_expr convention) — change
+    it here and in each query's oracle SQL mirror, nowhere else."""
+    m = gram_mod
+    return (
+        f"if(n_tok >= 3, "
+        f"transform(sequence(0, n_tok - 3), "
+        f"i -> cast(tokens[i] % {m} as bigint) * {m * m} "
+        f"   + cast(tokens[i+1] % {m} as bigint) * {m} "
+        f"   + cast(tokens[i+2] % {m} as bigint)), "
+        f"array())"
+    )
+
+
 def duplicate_ngram_coverage(tokens: DataFrame,
                              gram_mod: int = TRIGRAM_MOD) -> DataFrame:
     """Per-source duplicated-text share — the corpus report the dedup
@@ -849,15 +866,7 @@ def duplicate_ngram_coverage(tokens: DataFrame,
     two branches (column pruning makes the subtrees differ), so the
     join form either recomputes the explode or checkpoints a
     corpus-sized frame — both wrong at 100 TB."""
-    m = gram_mod
-    gram_expr = (
-        f"if(n_tok >= 3, "
-        f"transform(sequence(0, n_tok - 3), "
-        f"i -> cast(tokens[i] % {m} as bigint) * {m * m} "
-        f"   + cast(tokens[i+1] % {m} as bigint) * {m} "
-        f"   + cast(tokens[i+2] % {m} as bigint)), "
-        f"array())"
-    )
+    gram_expr = packed_trigram_expr(gram_mod)
     from pyspark.sql.window import Window
     per_doc = (
         tokens
@@ -908,15 +917,7 @@ def dup_span_scrub(tokens: DataFrame,
     """
     from pyspark.sql.window import Window
 
-    m = gram_mod
-    gram_expr = (
-        f"if(n_tok >= 3, "
-        f"transform(sequence(0, n_tok - 3), "
-        f"i -> cast(tokens[i] % {m} as bigint) * {m * m} "
-        f"   + cast(tokens[i+1] % {m} as bigint) * {m} "
-        f"   + cast(tokens[i+2] % {m} as bigint)), "
-        f"array())"
-    )
+    gram_expr = packed_trigram_expr(gram_mod)
     per_doc_gram = (
         tokens
         .select("source", "doc_id", "seq",

@@ -5148,7 +5148,7 @@ def q_ann_ivf_incremental(spark, sf_dir):
 @register("shard_shuffle_manifest", f"""
 WITH h AS (
   SELECT doc_id, n_chars,
-         (doc_id * {dataset.SPLIT_A} + {dataset.SHUFFLE_B})
+         (doc_id * {dataset.SHUFFLE_A} + {dataset.SHUFFLE_B})
            % {dataset.SPLIT_P} AS h
   FROM documents),
 pos AS (
@@ -5216,7 +5216,7 @@ tot AS (SELECT SUM(cnt_raw) AS tot_raw, SUM(cnt_tgt) AS tot_tgt FROM model),
 ratios AS (
   SELECT bucket,
          (cnt_tgt * tot_raw * {dataset.DSIR_SCALE})
-           // (cnt_raw * tot_tgt) AS ratio_ppm
+           // (cnt_raw * greatest(tot_tgt, 1)) AS ratio_ppm
   FROM model, tot),
 scored AS (
   SELECT w.doc_id, w.lang, w.n_chars, COUNT(*) AS n_tok,
@@ -5514,7 +5514,7 @@ WITH q AS (
          list_transform(embedding, x ->
            CAST(round(CAST(x AS DOUBLE) * {similarity.QUANT}, 0) AS BIGINT)) AS qv
   FROM embeddings),
-mm AS (SELECT [MIN(qv[1]), MIN(qv[2]), MIN(qv[3]), MIN(qv[4]), MIN(qv[5]), MIN(qv[6]), MIN(qv[7]), MIN(qv[8]), MIN(qv[9]), MIN(qv[10]), MIN(qv[11]), MIN(qv[12]), MIN(qv[13]), MIN(qv[14]), MIN(qv[15]), MIN(qv[16]), MIN(qv[17]), MIN(qv[18]), MIN(qv[19]), MIN(qv[20]), MIN(qv[21]), MIN(qv[22]), MIN(qv[23]), MIN(qv[24]), MIN(qv[25]), MIN(qv[26]), MIN(qv[27]), MIN(qv[28]), MIN(qv[29]), MIN(qv[30]), MIN(qv[31]), MIN(qv[32]), MIN(qv[33]), MIN(qv[34]), MIN(qv[35]), MIN(qv[36]), MIN(qv[37]), MIN(qv[38]), MIN(qv[39]), MIN(qv[40]), MIN(qv[41]), MIN(qv[42]), MIN(qv[43]), MIN(qv[44]), MIN(qv[45]), MIN(qv[46]), MIN(qv[47]), MIN(qv[48]), MIN(qv[49]), MIN(qv[50]), MIN(qv[51]), MIN(qv[52]), MIN(qv[53]), MIN(qv[54]), MIN(qv[55]), MIN(qv[56]), MIN(qv[57]), MIN(qv[58]), MIN(qv[59]), MIN(qv[60]), MIN(qv[61]), MIN(qv[62]), MIN(qv[63]), MIN(qv[64])] AS mn, [MAX(qv[1]), MAX(qv[2]), MAX(qv[3]), MAX(qv[4]), MAX(qv[5]), MAX(qv[6]), MAX(qv[7]), MAX(qv[8]), MAX(qv[9]), MAX(qv[10]), MAX(qv[11]), MAX(qv[12]), MAX(qv[13]), MAX(qv[14]), MAX(qv[15]), MAX(qv[16]), MAX(qv[17]), MAX(qv[18]), MAX(qv[19]), MAX(qv[20]), MAX(qv[21]), MAX(qv[22]), MAX(qv[23]), MAX(qv[24]), MAX(qv[25]), MAX(qv[26]), MAX(qv[27]), MAX(qv[28]), MAX(qv[29]), MAX(qv[30]), MAX(qv[31]), MAX(qv[32]), MAX(qv[33]), MAX(qv[34]), MAX(qv[35]), MAX(qv[36]), MAX(qv[37]), MAX(qv[38]), MAX(qv[39]), MAX(qv[40]), MAX(qv[41]), MAX(qv[42]), MAX(qv[43]), MAX(qv[44]), MAX(qv[45]), MAX(qv[46]), MAX(qv[47]), MAX(qv[48]), MAX(qv[49]), MAX(qv[50]), MAX(qv[51]), MAX(qv[52]), MAX(qv[53]), MAX(qv[54]), MAX(qv[55]), MAX(qv[56]), MAX(qv[57]), MAX(qv[58]), MAX(qv[59]), MAX(qv[60]), MAX(qv[61]), MAX(qv[62]), MAX(qv[63]), MAX(qv[64])] AS mx FROM q),
+mm AS (SELECT [{', '.join(f'MIN(qv[{i}])' for i in range(1, similarity.EMB_DIM + 1))}] AS mn, [{', '.join(f'MAX(qv[{i}])' for i in range(1, similarity.EMB_DIM + 1))}] AS mx FROM q),
 coded AS (
   SELECT vec_id,
          list_transform(range(1, {similarity.EMB_DIM} + 1), i ->

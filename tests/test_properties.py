@@ -507,3 +507,43 @@ def test_source_cap_matches_model(spark, seed):
                                       r["sum_chars"])
            for r in source_cap_manifest(df).collect()}
     assert got == expected
+
+
+def test_shard_hash_independent_of_split_bucket():
+    """The shuffled-shard hash must use a DISTINCT MULTIPLIER from the
+    train/val/test split hash: with a shared multiplier the two hashes
+    differ by a constant, and since that constant and 100 are both
+    divisible by 4, shard % 4 was fully determined by the split bucket
+    — every split bucket's docs confined to 4 of the 16 shards. With
+    independent hashes each bucket's ~200 docs (of 20k) must reach ALL
+    shards. Oracle-invisible bug class (DuckDB mirrors the same
+    formula), so this model check is the only gate."""
+    from movement_spark.operators.dataset import (
+        N_SHARDS, SHUFFLE_A, SHUFFLE_B, SPLIT_A, SPLIT_B, SPLIT_P)
+
+    assert SHUFFLE_A != SPLIT_A, "shard hash must not share the split multiplier"
+    reach: dict[int, set[int]] = {}
+    for doc_id in range(20_000):
+        bucket = ((doc_id * SPLIT_A + SPLIT_B) % SPLIT_P) % 100
+        shard = ((doc_id * SHUFFLE_A + SHUFFLE_B) % SPLIT_P) % N_SHARDS
+        reach.setdefault(bucket, set()).add(shard)
+    starved = {b: sorted(s) for b, s in reach.items() if len(s) < N_SHARDS}
+    assert not starved, f"split buckets confined to a shard subset: {starved}"
+
+
+def test_dsir_zero_target_lang_tokens_degrades_not_crashes(spark):
+    """A corpus with ZERO target-lang tokens must yield ratio 0
+    everywhere (nothing selected), not DIVIDE_BY_ZERO under ANSI —
+    tot_tgt is 0 there, and the fixture always contains target-lang
+    docs so neither oracle parity nor the empty-table sweep reaches
+    this branch."""
+    from movement_spark.operators.dataset import dsir_importance_weights
+
+    docs = spark.createDataFrame(
+        [(i, "s0", "de", 20, "ein kurzer text hier") for i in range(6)],
+        "doc_id bigint, source string, lang string, n_chars int, "
+        "text string")
+    rows = dsir_importance_weights(docs, target_lang="en").collect()
+    assert rows, "per-lang manifest must still be emitted"
+    assert all(r["n_selected"] == 0 and r["sum_avg_ppm"] == 0
+               for r in rows)
