@@ -110,6 +110,12 @@ DEGEN_PARITY_QUERIES = [
     # (a NULL type crashed the streaming symbol join; NaT poisons the
     # event-time timeout)
     "pattern_match_stats",
+    # NULL-doc_id contracts: the state-merge split must be total (NULL
+    # rides with the base), the shard/DSIR hashes must agree with the
+    # oracle's NULL arithmetic (NULL hash -> NULL shard group in both
+    # engines)
+    "incremental_state_merge", "shard_shuffle_manifest",
+    "dsir_importance_weights",
 ]
 
 
@@ -159,7 +165,8 @@ def test_degenerate_corpus_parity(spark, sf_dir, tmp_path):
          (900006, "x", "de", "src2", 1),
          (900007, None, "en", "src0", 0),
          (900008, "null lang doc with some words here", None, "src1", 34),
-         (900025, None, None, "src2", 0)],
+         (900025, None, None, "src2", 0),
+         (None, "null id doc body words", "en", "src0", 22)],
         "doc_id bigint, text string, lang string, source string, "
         "n_chars bigint")
     # DuckDB's read_parquet wants a FILE, not Spark's output dir —
