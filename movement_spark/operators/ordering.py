@@ -168,6 +168,7 @@ def _assemble(key, pdfs: Iterable[pd.DataFrame], state,
         ts = pdf["ts"].max()
         if max_ts is None or ts > max_ts:
             max_ts = ts
+    out = None
     if expected > 0 and len(seqs) >= expected and set(seqs) >= set(range(expected)):
         order = np.argsort(np.asarray(seqs, dtype=np.int64), kind="stable")
         merged = np.concatenate(
@@ -177,30 +178,27 @@ def _assemble(key, pdfs: Iterable[pd.DataFrame], state,
         # removing state outright: it absorbs post-completion duplicate
         # deliveries until the watermark clears it via the same timeout.
         state.update(([], [], _COMPLETED))
-        if max_ts is not None:
-            # clamp strictly above the current watermark: Spark rejects
-            # an event-time timeout at/below it (small caller-supplied
-            # timeout_ms + long watermark delay would crash the query)
-            state.setTimeoutTimestamp(
-                max(int(max_ts.timestamp() * 1000) + timeout_margin_ms,
-                    state.getCurrentWatermarkMs() + 1))
-        yield pd.DataFrame({
+        out = pd.DataFrame({
             "doc_id": [doc_id],
             "n_shard": [len(seqs)],
             "total_tok": [len(merged)],
             "merged": [merged],
         })
     else:
-        state.update((seqs, toks, expected))
         # keep the doc around until the watermark passes its last shard
         # by the configured margin
-        if max_ts is not None:
-            # clamp strictly above the current watermark: Spark rejects
-            # an event-time timeout at/below it (small caller-supplied
-            # timeout_ms + long watermark delay would crash the query)
-            state.setTimeoutTimestamp(
-                max(int(max_ts.timestamp() * 1000) + timeout_margin_ms,
-                    state.getCurrentWatermarkMs() + 1))
+        state.update((seqs, toks, expected))
+    if max_ts is not None:
+        # ONE clamp for both the completed marker and the open doc
+        # (previously duplicated per branch — a drift hazard): strictly
+        # above the current watermark, because Spark rejects an
+        # event-time timeout at/below it (small caller-supplied
+        # timeout_ms + long watermark delay would crash the query)
+        state.setTimeoutTimestamp(
+            max(int(max_ts.timestamp() * 1000) + timeout_margin_ms,
+                state.getCurrentWatermarkMs() + 1))
+    if out is not None:
+        yield out
 
 
 def ordered_doc_assembler_jvm(shards: DataFrame, gap: str = "62 minutes",

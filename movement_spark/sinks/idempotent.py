@@ -52,6 +52,19 @@ class IdempotentKeyedSink:
     def _watermark_file(self) -> str:
         return os.path.join(self.path, "_compacted_through.json")
 
+    def _hwm_file(self) -> str:
+        return os.path.join(self.path, "_epoch_hwm.json")
+
+    def _write_json_atomic(self, path: str, payload: dict) -> None:
+        """tmp + os.replace — the ONE metadata-write discipline (a torn
+        in-place write would poison the next process's read of the
+        sidecar; the watermark and tombstone files always did this, the
+        schema file was the outlier)."""
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+        os.replace(tmp, path)
+
     def _load_schema(self) -> StructType | None:
         if self._schema is not None:
             return self._schema
@@ -92,9 +105,20 @@ class IdempotentKeyedSink:
             # narrow schema on disk would make a fresh process's
             # empty-sink read drop the evolved columns
             os.makedirs(self.path, exist_ok=True)
-            with open(self._schema_file(), "w") as f:
-                json.dump(batch_df.schema.jsonValue(), f)
+            self._write_json_atomic(
+                self._schema_file(),
+                batch_df.schema.jsonValue())
         self._schema = batch_df.schema
+        # Raise the epoch high-water mark BEFORE the data write: empty
+        # epochs are reclaimed below without trace, but their ids were
+        # still CONSUMED by the stream's checkpoint — next_patch_epoch
+        # must never hand one out for a batch patch (a resumed stream
+        # replaying that id would overwrite, or empty-reclaim, the
+        # patch dir). Recording pre-write keeps crashed attempts
+        # counted too — their ids get replayed.
+        prev = self._epoch_hwm()
+        if prev is None or epoch_id > prev:
+            self._write_json_atomic(self._hwm_file(), {"hwm": epoch_id})
         out = os.path.join(self.path, f"epoch={epoch_id}")
         # Deterministic per-epoch path + overwrite == idempotent replay.
         # The batch plan executes exactly ONCE (write only); row counting
@@ -151,17 +175,56 @@ class IdempotentKeyedSink:
         commit log (Iceberg snapshot-list analog)."""
         return self._live_epoch_ids(self.compaction_watermark())
 
+    def _stone_lock(self):
+        """Exclusive advisory lock serializing every tombstone
+        read-modify-write (erase_keys vs erase_keys, erase_keys vs
+        compact()'s applied-stone clear): without it, a stone appended
+        between another writer's load and os.replace is wiped unapplied
+        — an erased key silently resurrecting, the exact failure the
+        fail-closed right-to-be-forgotten contract forbids. Local-FS
+        flock matches this sink's local epoch-log scope; the Iceberg
+        backend swaps in the catalog's atomic commit here."""
+        import fcntl
+        from contextlib import contextmanager
+
+        @contextmanager
+        def _lock():
+            os.makedirs(self.path, exist_ok=True)
+            with open(os.path.join(self.path, "_tombstones.lock"),
+                      "w") as lf:
+                fcntl.flock(lf, fcntl.LOCK_EX)
+                try:
+                    yield
+                finally:
+                    fcntl.flock(lf, fcntl.LOCK_UN)
+        return _lock()
+
+    def _epoch_hwm(self) -> int | None:
+        """Highest epoch id EVER pushed through foreach_batch — includes
+        empty epochs that were reclaimed without leaving a directory,
+        which the live-epoch listing cannot see."""
+        try:
+            with open(self._hwm_file()) as f:
+                return json.load(f).get("hwm")
+        except (OSError, ValueError, KeyError):
+            return None
+
     def next_patch_epoch(self) -> int:
         """Epoch id for a batch REPAIR patch: strictly above every live
-        epoch AND the compaction watermark. `max(epochs())+1` alone is
-        wrong on a compacted sink — epochs() is empty there, and a patch
-        written at 0 sits at/below the watermark, so read() never sees
-        it and the next compact() reclaims it unfolded. Patches run
-        after the stream is done (the stream's replayed epoch counter
-        would otherwise overwrite a patch dir — CLAUDE.md epoch-id
-        conventions)."""
+        epoch, the compaction watermark, AND the epoch high-water mark.
+        `max(epochs())+1` alone is wrong twice over: on a compacted
+        sink epochs() is empty, so a patch at 0 sits at/below the
+        watermark (invisible to read(), reclaimed unfolded by the next
+        compact()); and on a sink whose newest stream epochs were empty
+        (reclaimed without trace) it would hand out an id the stream's
+        checkpoint already owns — a resumed stream replaying that id
+        overwrites, or empty-reclaims, the patch dir. Patches run after
+        the stream is done (CLAUDE.md epoch-id conventions)."""
         wm = self.compaction_watermark()
-        return max(self.epochs() + [wm if wm is not None else -1]) + 1
+        hwm = self._epoch_hwm()
+        return max(self.epochs()
+                   + [wm if wm is not None else -1]
+                   + [hwm if hwm is not None else -1]) + 1
 
     def read(self, spark: SparkSession,
              as_of_epoch: int | None = None) -> DataFrame:
@@ -299,17 +362,16 @@ class IdempotentKeyedSink:
         wm = self.compaction_watermark()
         live = self.epochs()
         bound = max(live) if live else (wm if wm is not None else -1)
-        current = self._load_tombstones()
-        seen = {tuple(s["key"]) for s in current}
-        for kv in key_values:
-            t = tuple(kv)
-            if t not in seen:
-                current.append({"key": list(t), "max_epoch": bound})
-                seen.add(t)
-        tmp = self._tombstone_file() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"keys": current}, f)
-        os.replace(tmp, self._tombstone_file())
+        with self._stone_lock():
+            current = self._load_tombstones()
+            seen = {tuple(s["key"]) for s in current}
+            for kv in key_values:
+                t = tuple(kv)
+                if t not in seen:
+                    current.append({"key": list(t), "max_epoch": bound})
+                    seen.add(t)
+            self._write_json_atomic(self._tombstone_file(),
+                                    {"keys": current})
         return len(current)
 
     def _apply_tombstones(self, spark: SparkSession,
@@ -388,11 +450,9 @@ class IdempotentKeyedSink:
             os.path.join(self.path, new_dirname))
         # atomic flip: temp file + os.replace; readers see either the
         # old complete state or the new complete state, never between
-        tmp_wm = self._watermark_file() + ".tmp"
-        with open(tmp_wm, "w") as f:
-            json.dump({"compacted_through": max_epoch,
-                       "snapshot": new_dirname}, f)
-        os.replace(tmp_wm, self._watermark_file())
+        self._write_json_atomic(self._watermark_file(),
+                                {"compacted_through": max_epoch,
+                                 "snapshot": new_dirname})
         # reclamation is safe now — everything below is replay residue.
         # Only epochs <= the new watermark are folded; an epoch that
         # landed after the listing stays live.
@@ -418,13 +478,12 @@ class IdempotentKeyedSink:
         if applied:
             applied_set = {(tuple(s["key"]), s["max_epoch"])
                            for s in applied}
-            remaining = [s for s in self._load_tombstones()
-                         if (tuple(s["key"]), s["max_epoch"])
-                         not in applied_set]
-            tmp = self._tombstone_file() + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump({"keys": remaining}, f)
-            os.replace(tmp, self._tombstone_file())
+            with self._stone_lock():
+                remaining = [s for s in self._load_tombstones()
+                             if (tuple(s["key"]), s["max_epoch"])
+                             not in applied_set]
+                self._write_json_atomic(self._tombstone_file(),
+                                        {"keys": remaining})
 
     def drop_storage(self) -> None:
         """Output.dropStorage analog (Output.java:37)."""

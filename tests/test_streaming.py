@@ -644,6 +644,26 @@ def test_compact_on_never_written_sink_is_noop(spark):
     sink.compact(spark)  # must not raise
 
 
+def test_patch_epoch_skips_empty_reclaimed_stream_epochs(spark):
+    """next_patch_epoch must clear the epoch HIGH-WATER MARK, not just
+    the live epoch list: an empty stream epoch is reclaimed without
+    leaving a directory, but its id was consumed by the checkpoint — a
+    patch written at that id would be overwritten (or empty-reclaimed)
+    by a resumed stream replaying the batch."""
+    path = _mkdir()
+    sink = IdempotentKeyedSink(path, ["k"])
+    sink.foreach_batch(spark.createDataFrame([(1, 10)], "k INT, v INT"), 0)
+    # epochs 1 and 2: empty batches — reclaimed, no epoch dirs remain
+    empty = spark.createDataFrame([], "k INT, v INT")
+    sink.foreach_batch(empty, 1)
+    sink.foreach_batch(empty, 2)
+    assert sink.epochs() == [0]
+    assert sink.next_patch_epoch() == 3, \
+        "patch must skip the stream-consumed (reclaimed-empty) ids 1, 2"
+    # and a fresh process reading only the disk state agrees
+    assert IdempotentKeyedSink(path, ["k"]).next_patch_epoch() == 3
+
+
 def test_schema_file_tracks_evolution_for_fresh_process(spark):
     """_schema.json is rewritten on schema evolution, so a FRESH process
     reading a sink whose epochs were all reclaimed still sees the
