@@ -644,6 +644,37 @@ def test_compact_on_never_written_sink_is_noop(spark):
     sink.compact(spark)  # must not raise
 
 
+def test_concurrent_erasers_never_lose_stones():
+    """Tombstone writes are read-modify-write; without the advisory
+    lock two concurrent erase_keys calls can interleave load/replace
+    and wipe each other's stones — an erased key silently resurrecting.
+    16 threads each record a distinct stone through separate sink
+    handles; all 16 must survive. (Probabilistically red without the
+    lock, deterministically green with it.)"""
+    import threading
+
+    path = os.path.join(_mkdir(), "stones")
+    errs: list[Exception] = []
+
+    def erase(i: int) -> None:
+        try:
+            IdempotentKeyedSink(path, ["k"]).erase_keys([(i,)])
+        except Exception as e:  # surfaced below — a thread must not die
+            errs.append(e)
+
+    threads = [threading.Thread(target=erase, args=(i,))
+               for i in range(16)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    got = {tuple(s["key"]) for s in
+           IdempotentKeyedSink(path, ["k"])._load_tombstones()}
+    assert got == {(i,) for i in range(16)}, \
+        f"lost stones: {sorted({(i,) for i in range(16)} - got)}"
+
+
 def test_patch_epoch_skips_empty_reclaimed_stream_epochs(spark):
     """next_patch_epoch must clear the epoch HIGH-WATER MARK, not just
     the live epoch list: an empty stream epoch is reclaimed without
