@@ -88,7 +88,10 @@ def _run_with_status(name: str, conf: dict, quiet: bool = False):
     spark = get_spark(app_name=f"movement_spark_{name}")
     listener = RuntimeMetricsListener()
     spark.streams.addListener(listener)
-    task_id = run_job_async(name, spark=spark, **conf)
+    # conf= (dict channel), never **conf: user-controlled keys like
+    # 'name' or 'spark' in a properties file would collide with the
+    # positional parameters and TypeError instead of running the job
+    task_id = run_job_async(name, spark=spark, conf=conf)
     last, t0 = 0, time.time()
     try:
         while task_status(task_id)["status"] == "RUNNING":

@@ -105,6 +105,7 @@ def _job_load_csv(spark: SparkSession, conf: dict) -> dict:
 def _job_bench(spark: SparkSession, conf: dict) -> dict:
     from movement_spark.benchmarks import streaming_throughput
     from movement_spark.sources.synth import stage_synth_stream
+    from movement_spark.streaming.pipeline import STATE_PARTITIONS
     work = tempfile.mkdtemp(prefix="ms_benchjob_")
     n_docs = int(conf.get("bench.docs", "100000"))
     stage = os.path.join(work, "stage")
@@ -112,7 +113,7 @@ def _job_bench(spark: SparkSession, conf: dict) -> dict:
     return streaming_throughput(
         spark, stage, rows, os.path.join(work, "sink"),
         os.path.join(work, "ck"), files_per_trigger=16,
-        state_partitions=8)
+        state_partitions=STATE_PARTITIONS)
 
 
 def _job_compact(spark: SparkSession, conf: dict) -> dict:
@@ -155,7 +156,10 @@ def _job_repair(spark: SparkSession, conf: dict) -> dict:
     sink = IdempotentKeyedSink(conf["sink.dir"], ["ws", "source"])
     ws_list = [int(x) for x in str(conf["repair.windows"]).split(",")]
     width_sec = int(conf.get("repair.width_sec", "300"))
-    t = token_sequences(spark, conf["sf.dir"])
+    # canonical source key matches the other jobs ('input.sf_dir');
+    # 'sf.dir' accepted as a fallback
+    sf_dir = conf.get("input.sf_dir") or conf["sf.dir"]
+    t = token_sequences(spark, sf_dir)
     win = (F.floor(F.unix_timestamp("ts") / width_sec)
            * width_sec).cast("bigint")
     repair = (
@@ -182,15 +186,22 @@ JOBS: dict[str, Callable[[SparkSession, dict], dict]] = {
 
 
 def run_job(name: str, spark: SparkSession | None = None,
-            **conf: Any) -> JobResult:
+            conf: dict[str, Any] | None = None, **kw: Any) -> JobResult:
     """Programmatic entry point (the g.call('Migrate').with(...) analog,
-    SURVEY.md §3.2)."""
+    SURVEY.md §3.2). Config can arrive as the ``conf`` dict or as
+    keyword splat; the DICT is the collision-safe channel for
+    user-controlled keys — a properties file carrying a ``name=`` or
+    ``spark=`` line splatted as **kwargs would collide with the
+    positional parameters and TypeError instead of running (the CLI
+    always passes conf=)."""
     if name not in JOBS:
         raise KeyError(f"unknown job {name!r}; known: {sorted(JOBS)}")
     spark = spark or get_spark(app_name=f"movement_spark_{name}")
+    merged = dict(conf or {})
+    merged.update(kw)
     t0 = time.time()
     try:
-        metrics = JOBS[name](spark, dict(conf))
+        metrics = JOBS[name](spark, merged)
         return JobResult(name, "SUCCEEDED", t0, time.time(), metrics)
     except Exception as e:  # noqa: BLE001 — fail-fast policy, report status
         return JobResult(name, f"FAILED: {e}", t0, time.time())
@@ -219,12 +230,23 @@ _TASKS: dict[str, _TaskHandle] = {}
 _TASKS_LOCK = threading.Lock()
 
 
+# Completed-task retention bound: the reference's runtime drops
+# finished futures; without eviction a long-lived dispatcher accumulates
+# one handle (thread object + result) per task forever.
+_TASKS_KEEP = 256
+
+
 def run_job_async(name: str, spark: SparkSession | None = None,
-                  **conf: Any) -> str:
+                  conf: dict[str, Any] | None = None, **kw: Any) -> str:
     """Launch a job in the background; returns a taskId immediately
-    (Runtime.runTask analog — `Iterator.of(taskId)`)."""
+    (Runtime.runTask analog — `Iterator.of(taskId)`). Same conf-dict
+    vs kwargs contract as run_job. Finished task handles beyond
+    _TASKS_KEEP are evicted oldest-first at launch; a pruned task_id
+    reads as unknown, like a task that never existed."""
     if name not in JOBS:
         raise KeyError(f"unknown job {name!r}; known: {sorted(JOBS)}")
+    merged = dict(conf or {})
+    merged.update(kw)
     task_id = str(uuid.uuid4())
     handle = _TaskHandle(task_id, name, None, time.time())  # type: ignore[arg-type]
 
@@ -235,13 +257,19 @@ def run_job_async(name: str, spark: SparkSession | None = None,
         # RUNNING forever for a dead thread.
         t0 = time.time()
         try:
-            handle.result = run_job(name, spark, **conf)
+            handle.result = run_job(name, spark, conf=merged)
         except Exception as e:  # noqa: BLE001
             handle.result = JobResult(name, f"FAILED: {e}", t0, time.time())
 
     handle.thread = threading.Thread(
         target=_target, daemon=True, name=f"ms-task-{task_id[:8]}")
     with _TASKS_LOCK:
+        if len(_TASKS) >= _TASKS_KEEP:
+            done = sorted(
+                (tid for tid, h in _TASKS.items() if h.result is not None),
+                key=lambda tid: _TASKS[tid].started_at)
+            for tid in done[:len(_TASKS) - _TASKS_KEEP + 1]:
+                del _TASKS[tid]
         _TASKS[task_id] = handle
     handle.thread.start()
     return task_id

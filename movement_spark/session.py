@@ -66,7 +66,11 @@ def ensure_shipped(spark: SparkSession) -> None:
     if getattr(sc, "_movement_spark_shipped", False):
         return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    zip_path = os.path.join(tempfile.gettempdir(), "movement_spark_pkg.zip")
+    # per-process zip name: a fixed shared path races across processes
+    # (a second session truncating the file while the first JVM's file
+    # server is still serving it -> workers fetch a torn zip)
+    zip_path = os.path.join(tempfile.gettempdir(),
+                            f"movement_spark_pkg_{os.getpid()}.zip")
     with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
         for root, _dirs, files in os.walk(pkg_dir):
             for fn in files:

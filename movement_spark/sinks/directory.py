@@ -27,6 +27,14 @@ from pyspark.sql.types import StructType
 
 ENTRIES_PER_FILE = 10_000  # SplitFileLineOutput.java:69-74 default
 
+# NULL must survive the round trip DISTINCT from the empty string: under
+# Spark CSV defaults both serialize to an empty field and every ''
+# reads back as NULL, breaking the module's read-back content-parity
+# contract. The classic \N sentinel keeps NULL apart ('' keeps its
+# default quoted-""-on-write / ""-on-read representation); write and
+# read MUST use the same sentinel.
+CSV_NULL = r"\N"
+
 
 def write_directory_csv(df: DataFrame, base_dir: str, phase: str,
                         label_col: str = "label",
@@ -41,6 +49,7 @@ def write_directory_csv(df: DataFrame, base_dir: str, phase: str,
     out = f"{base_dir}/{phase}"
     (df.write.mode("overwrite")
        .option("header", True)
+       .option("nullValue", CSV_NULL)
        .option("maxRecordsPerFile", entries_per_file)
        .partitionBy(label_col)
        .csv(out))
@@ -56,6 +65,7 @@ def read_directory_csv(spark: SparkSession, base_dir: str, phase: str,
     directory names.
     """
     return (spark.read.option("header", True)
+            .option("nullValue", CSV_NULL)
             .schema(schema)
             .csv(f"{base_dir}/{phase}"))
 

@@ -90,27 +90,51 @@ class DirectoryOutputLogger:
     # -- Output lifecycle -------------------------------------------------
     def flush(self) -> str:
         """Encode the buffered records and write them through the
-        directory Output (writer keyed by level, the message 'label')."""
+        directory Output (writer keyed by level, the message 'label').
+
+        The flush index is taken from DISK at flush time, under an
+        advisory lock: the constructor-snapshotted counter alone is
+        wrong for CONCURRENT instances over one base_dir (both snapshot
+        0 before either flushes; the second mode('overwrite') write
+        would silently clobber the first — the reference serializes its
+        single file writer for exactly this reason)."""
         if not self._buffer:
             return f"{self.base_dir}/{LOG_PHASE}"
+        import fcntl
+        import os
         df = self.spark.createDataFrame(
             self._buffer, LOG_SCHEMA + ", level STRING")
+        root = os.path.join(self.base_dir, LOG_PHASE)
+        os.makedirs(root, exist_ok=True)
         # one subdirectory per flush (flush=N) so successive flushes
         # append to the log storage instead of replacing it — the
         # rotation SingleSynchronizedFileLogger gets from its split files
-        write_directory_csv(df, self.base_dir,
-                            f"{LOG_PHASE}/flush={self._flushes}",
-                            label_col="level")
-        self._flushes += 1
+        with open(os.path.join(root, ".flush.lock"), "w") as lf:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            try:
+                idx = self._next_flush_idx()
+                write_directory_csv(df, self.base_dir,
+                                    f"{LOG_PHASE}/flush={idx}",
+                                    label_col="level")
+            finally:
+                fcntl.flock(lf, fcntl.LOCK_UN)
+        self._flushes = idx + 1
         self.io_ops += len(self._buffer)
         self._buffer = []
         return f"{self.base_dir}/{LOG_PHASE}"
 
     def read(self, spark: SparkSession | None = None) -> DataFrame:
         """Output.reader analog over the log storage (level recovered
-        from the partition directories)."""
-        return read_directory_csv(
-            spark or self.spark, self.base_dir, LOG_PHASE, LOG_SCHEMA)
+        from the partition directories). A never-flushed logger reads
+        as an EMPTY typed table, not a PATH_NOT_FOUND crash — the
+        monitor that polls the log before the first record lands must
+        see zero rows."""
+        import os
+        s = spark or self.spark
+        if not os.path.isdir(os.path.join(self.base_dir, LOG_PHASE)):
+            return s.createDataFrame(
+                [], LOG_SCHEMA + ", flush INT, level STRING")
+        return read_directory_csv(s, self.base_dir, LOG_PHASE, LOG_SCHEMA)
 
     def metrics(self) -> dict[str, int]:
         return {"io_ops": self.io_ops, "buffered": len(self._buffer)}

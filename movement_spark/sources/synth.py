@@ -17,14 +17,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from movement_spark.sources.tokens import (
-    EPOCH_2026, LEN_MOD, POS_MULT, SEQ_MULT, TOK_MOD, TOK_MULT, TS_MOD,
+    EPOCH_2026, LEN_MOD, TS_MOD, tokens_expr as _tokens_expr,
 )
-
-def _tokens_expr(len_mod: int) -> str:
-    return (
-        f"transform(sequence(0, cast((did*7 + seq*13) % {len_mod} as int)), "
-        f"i -> cast((did*{TOK_MULT} + seq*{SEQ_MULT} + i*{POS_MULT}) % {TOK_MOD} as int))"
-    )
 
 
 def synth_token_sequences(spark: SparkSession, n_docs: int,
@@ -70,9 +64,14 @@ def stage_synth_stream(spark: SparkSession, n_docs: int, stage_dir: str,
     advances monotonically across micro-batches.
     """
     df = synth_token_sequences(spark, n_docs, len_mod=len_mod)
-    n_rows = df.count()
     (df.repartitionByRange(n_files, "ts")
        .write.mode("overwrite").parquet(stage_dir))
+    # row count from the staged footers (free), NOT df.count() — that
+    # would re-run the whole token-array generation a second time just
+    # to count rows, roughly doubling staging wall at bench scale.
+    # Taken BEFORE the sentinel files land below.
+    import pyarrow.parquet as pq
+    n_rows = pq.ParquetDataset(stage_dir).read(columns=[]).num_rows
     # two flush-sentinel files staged AFTER the data (later mtime); the
     # file source only lists direct children, so the sentinel part file
     # is moved up into stage_dir

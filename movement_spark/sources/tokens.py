@@ -39,10 +39,19 @@ TOK_MOD = 50261
 LEN_MOD = 120
 TS_MOD = 3600
 
-_TOKENS_EXPR = (
-    "transform(sequence(0, cast((did*7 + seq*13) % 120 as int)), "
-    f"i -> cast((did*{TOK_MULT} + seq*{SEQ_MULT} + i*{POS_MULT}) % {TOK_MOD} as int))"
-)
+def tokens_expr(len_mod: int = LEN_MOD) -> str:
+    """The ONE token-array derivation (shared with synth.py's generator
+    — it was duplicated there with this module's copy hard-coding 120,
+    so a LEN_MOD change would have silently broken len(tokens) == n_tok
+    on the Spark side only)."""
+    return (
+        f"transform(sequence(0, cast((did*7 + seq*13) % {len_mod} as int)), "
+        f"i -> cast((did*{TOK_MULT} + seq*{SEQ_MULT} + i*{POS_MULT}) "
+        f"% {TOK_MOD} as int))"
+    )
+
+
+_TOKENS_EXPR = tokens_expr()
 
 
 # doc_id <-> did codec. The string form is 'd' || did (see derivation

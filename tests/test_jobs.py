@@ -224,7 +224,7 @@ def test_repair_job_visible_after_compact(spark, sf_dir):
     assert cmp_res.status == "SUCCEEDED"
     assert sink.epochs() == [], "compaction must fold the epoch log"
     res = run_job("Repair", spark=spark, **{
-        "sink.dir": os.path.join(out, "sink"), "sf.dir": sf_dir,
+        "sink.dir": os.path.join(out, "sink"), "input.sf_dir": sf_dir,
         "repair.windows": str(EPOCH_2026)})
     assert res.status == "SUCCEEDED", res.status
     wm = sink.compaction_watermark()
@@ -253,3 +253,47 @@ def test_compact_job_preserves_visible_rows(spark, sf_dir):
     assert res.metrics["rows"] == mig.metrics["rows"]
     assert res.metrics["epochs_collapsed"] >= 1
     assert res.metrics["watermark"] is not None
+
+
+def test_conf_dict_channel_tolerates_reserved_key_names(spark, sf_dir):
+    """User-controlled config keys named after run_job's own parameters
+    ('name', 'spark' — e.g. a properties file carrying name=myrun) must
+    run the job, not TypeError: the conf-dict channel (what the CLI
+    uses) routes them around the positional parameters."""
+    import tempfile
+
+    from movement_spark.jobs import run_job
+
+    res = run_job("Export", spark=spark, conf={
+        "input.sf_dir": sf_dir,
+        "output.dir": tempfile.mkdtemp(prefix="ms_confkey_"),
+        "name": "user-supplied-run-name",
+        "spark": "user-supplied-junk"})
+    assert res.status == "SUCCEEDED", res.status
+
+
+def test_finished_async_tasks_are_pruned_at_cap(spark, sf_dir, monkeypatch):
+    """The async task registry must not grow without bound: finished
+    handles beyond _TASKS_KEEP are evicted oldest-first at launch (the
+    reference's runtime drops completed futures)."""
+    import movement_spark.jobs as J
+
+    monkeypatch.setattr(J, "_TASKS_KEEP", 3)
+    with J._TASKS_LOCK:
+        saved = dict(J._TASKS)
+        J._TASKS.clear()
+    try:
+        ids = []
+        for _ in range(5):
+            tid = J.run_job_async("Export", spark=spark, conf={
+                "input.sf_dir": "/nonexistent/prune_probe"})
+            J.wait_task(tid)
+            ids.append(tid)
+        with J._TASKS_LOCK:
+            kept = set(J._TASKS)
+        assert len(kept) <= 3
+        assert ids[-1] in kept, "the newest task must survive pruning"
+    finally:
+        with J._TASKS_LOCK:
+            J._TASKS.clear()
+            J._TASKS.update(saved)

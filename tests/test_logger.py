@@ -61,3 +61,33 @@ def test_second_logger_instance_appends_not_clobbers(spark, tmp_path):
     back = b.read(spark)
     assert back.count() == 2
     assert {r.logger for r in back.collect()} == {"job_a", "job_b"}
+
+
+def test_read_before_first_flush_is_empty_not_crash(spark, tmp_path):
+    """A never-flushed logger must read as an EMPTY typed table (the
+    monitor polling the log before the first record lands), not a
+    PATH_NOT_FOUND AnalysisException."""
+    log = DirectoryOutputLogger(spark, str(tmp_path), clock=lambda: 0.0)
+    out = log.read(spark)
+    assert out.count() == 0
+    assert "level" in out.columns and "message" in out.columns
+
+
+def test_concurrent_logger_instances_do_not_clobber(spark, tmp_path):
+    """Two loggers CONSTRUCTED before either flushes (concurrent jobs
+    over one base_dir) must interleave flushes without overwriting:
+    the flush index comes from disk at flush time under a lock, not
+    from a constructor snapshot — with the snapshot both would target
+    flush=0 and the second mode('overwrite') write silently deleted
+    the first's records."""
+    a = DirectoryOutputLogger(spark, str(tmp_path), name="job_a",
+                              clock=lambda: 1.0)
+    b = DirectoryOutputLogger(spark, str(tmp_path), name="job_b",
+                              clock=lambda: 2.0)
+    a.info("from a")
+    b.info("from b")
+    a.flush()
+    b.flush()  # pre-fix: overwrote a's flush=0
+    back = b.read(spark)
+    assert back.count() == 2
+    assert {r.logger for r in back.collect()} == {"job_a", "job_b"}

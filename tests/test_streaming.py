@@ -1374,3 +1374,21 @@ def test_loglog_monitor_resumes_from_checkpoint(spark, sf_dir):
     expected = loglog_window_fold(grid, ["ws", "source"])
     assert result.count() == expected.count() > 0
     assert result.exceptAll(expected).count() == 0
+
+
+def test_directory_csv_roundtrip_keeps_empty_string_distinct_from_null(spark):
+    """The directory sink's read-back content-parity contract: a STRING
+    field holding '' must come back as '' and NULL as NULL — under
+    Spark CSV defaults both serialize to an empty field and every ''
+    resurfaced as NULL (the \\N null sentinel keeps them apart)."""
+    from movement_spark.sinks.directory import (
+        read_directory_csv, write_directory_csv)
+
+    d = _mkdir()
+    df = spark.createDataFrame(
+        [(1, "", "a"), (2, None, "a"), (3, "x", "b")],
+        "id INT, v STRING, label STRING")
+    write_directory_csv(df, d, "p")
+    back = {r.id: r.v for r in
+            read_directory_csv(spark, d, "p", "id INT, v STRING").collect()}
+    assert back == {1: "", 2: None, 3: "x"}
