@@ -174,6 +174,55 @@ def _job_repair(spark: SparkSession, conf: dict) -> dict:
             .where(F.col("ws").isin(ws_list)).count()}
 
 
+def _job_build_corpus(spark: SparkSession, conf: dict) -> dict:
+    """BuildCorpus: the pretraining-corpus assembly pipeline as ONE
+    named task — filter funnel (corpus_verdicts: exact-dup → bad-lang →
+    too-short → repetitive precedence) → per-(source, lang) document
+    cap (salted two-phase, no hot-key task) → deterministic
+    train/val/test assignment (split_column) → partitioned parquet
+    layout (split=.../) plus the drop manifest a data team signs off
+    on. Every stage is a pure function of the corpus, so re-running the
+    task over the same input produces byte-identical output — the
+    determinism the audit trail depends on. The composed plan adds NO
+    shuffle beyond the stages' own: funnel digest groupBy + join-back,
+    the cap's two balanced windows, then per-row split assignment
+    straight into the write."""
+    from pyspark.sql import functions as F
+
+    from movement_spark.operators.dataset import (
+        CAP_PER_KEY, CAP_SALT, corpus_verdicts, source_cap_kept,
+        split_column)
+    from movement_spark.sources.tables import load_table
+
+    sf_dir = conf.get("input.sf_dir", "/root/testdata/sf0.001")
+    cap = int(conf.get("corpus.cap", CAP_PER_KEY))
+    salt = int(conf.get("corpus.salt", CAP_SALT))
+    out = conf.get("output.dir") or tempfile.mkdtemp(prefix="ms_corpus_")
+
+    docs = load_table(spark, sf_dir, "documents")
+    verdicts = corpus_verdicts(docs)
+    funnel = {f"dropped_{r['verdict']}": r["n"] for r in
+              verdicts.where(F.col("verdict") != "keep")
+              .groupBy("verdict").agg(F.count("*").alias("n")).collect()}
+    survivors = docs.join(
+        verdicts.where(F.col("verdict") == "keep").select("doc_id"),
+        "doc_id")
+    capped = source_cap_kept(survivors, cap, salt)
+    corpus = capped.withColumn("split", split_column(F.col("doc_id")))
+    corpus.write.mode("overwrite").partitionBy("split").parquet(
+        os.path.join(out, "corpus"))
+    written = spark.read.parquet(os.path.join(out, "corpus"))
+    split_counts = {f"split_{r['split']}": r["n"] for r in
+                    written.groupBy("split")
+                    .agg(F.count("*").alias("n")).collect()}
+    n_in, n_keep = docs.count(), written.count()
+    n_cap_dropped = n_in - sum(funnel.values()) - n_keep
+    manifest = dict(rows_in=n_in, rows_kept=n_keep,
+                    dropped_by_cap=n_cap_dropped, **funnel, **split_counts,
+                    output=out, cap=cap)
+    return manifest
+
+
 JOBS: dict[str, Callable[[SparkSession, dict], dict]] = {
     "Load": _job_load,
     "LoadCsv": _job_load_csv,
@@ -182,6 +231,7 @@ JOBS: dict[str, Callable[[SparkSession, dict], dict]] = {
     "Bench": _job_bench,
     "Compact": _job_compact,
     "Repair": _job_repair,
+    "BuildCorpus": _job_build_corpus,
 }
 
 

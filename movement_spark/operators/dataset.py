@@ -697,6 +697,34 @@ CAP_PRI_ADD = 11
 CAP_PRI_MOD = 1_000_003
 
 
+def source_cap_kept(documents: DataFrame,
+                    cap: int = CAP_PER_KEY,
+                    salt: int = CAP_SALT) -> DataFrame:
+    """The salted two-phase cap's KEPT ROWS (all input columns
+    preserved): ≤cap docs per (source, lang) by hash priority
+    (doc_id*a + b) mod p. Every global top-`cap` row is also top-`cap`
+    inside its salt bucket, so phase 1 never discards a final keeper —
+    the hot-key window never lands on one task (phase 1 bounds every
+    key to cap×salt survivors on a balanced shuffle, phase 2 exact).
+    Callers wanting the cheap plan project to the columns they need
+    BEFORE calling (the windows carry every column through both
+    shuffles)."""
+    from pyspark.sql.window import Window
+
+    pri = F.expr(f"(doc_id * {CAP_PRI_MULT}L + {CAP_PRI_ADD}) % {CAP_PRI_MOD}")
+    base = (documents.withColumn("pri", pri)
+            .withColumn("salt", F.col("doc_id") % salt))
+    w1 = Window.partitionBy("source", "lang", "salt").orderBy(
+        F.asc("pri"), F.asc("doc_id"))
+    pre = (base.withColumn("rn1", F.row_number().over(w1))
+           .where(F.col("rn1") <= cap))
+    w2 = Window.partitionBy("source", "lang").orderBy(
+        F.asc("pri"), F.asc("doc_id"))
+    return (pre.withColumn("rn", F.row_number().over(w2))
+            .where(F.col("rn") <= cap)
+            .drop("pri", "salt", "rn1", "rn"))
+
+
 def source_cap_manifest(documents: DataFrame,
                         cap: int = CAP_PER_KEY,
                         salt: int = CAP_SALT) -> DataFrame:
@@ -704,20 +732,9 @@ def source_cap_manifest(documents: DataFrame,
     dropped, and the char mass kept. Priority = (doc_id*a + b) mod p —
     every global top-`cap` row is also top-`cap` inside its salt
     bucket, so phase 1 never discards a final keeper."""
-    from pyspark.sql.window import Window
-
-    pri = F.expr(f"(doc_id * {CAP_PRI_MULT}L + {CAP_PRI_ADD}) % {CAP_PRI_MOD}")
-    base = documents.select(
-        "source", "lang", "doc_id", "n_chars", pri.alias("pri"),
-        (F.col("doc_id") % salt).alias("salt"))
-    w1 = Window.partitionBy("source", "lang", "salt").orderBy(
-        F.asc("pri"), F.asc("doc_id"))
-    pre = (base.withColumn("rn1", F.row_number().over(w1))
-           .where(F.col("rn1") <= cap))
-    w2 = Window.partitionBy("source", "lang").orderBy(
-        F.asc("pri"), F.asc("doc_id"))
-    kept = (pre.withColumn("rn", F.row_number().over(w2))
-            .where(F.col("rn") <= cap))
+    kept = source_cap_kept(
+        documents.select("source", "lang", "doc_id", "n_chars"),
+        cap, salt)
     totals = documents.groupBy("source", "lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("sum_chars"))

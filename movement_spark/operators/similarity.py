@@ -195,13 +195,16 @@ def ivf_assign(embeddings: DataFrame,
     return _argmax_dot_assign(q, cents)
 
 
-def _argmax_dot_assign(q: DataFrame, cents: DataFrame) -> DataFrame:
+def _argmax_dot_assign(q: DataFrame, cents: DataFrame,
+                       keep: tuple = ()) -> DataFrame:
     """Nearest-centroid-by-dot assignment as ONE codegen expression
     over a broadcast centroid array — never expands to corpus × k rows
     (a row_number window there sort-shuffles n·k rows carrying the
     vectors; measured 10-50× slower at 1M × 256). array_min on
     struct(-dot, cent_id) is exactly orderBy(dot DESC, cent_id ASC)
-    LIMIT 1. Returns (vec_id, q, cent_id)."""
+    LIMIT 1. Returns (vec_id, q, *keep, cent_id) — ``keep`` passes
+    metadata columns (e.g. label) through into the index, the way a
+    production inverted list stores filter attributes alongside codes."""
     cent_row = cents.agg(
         F.collect_list(F.struct("cent_id", "cv")).alias("cents"))
     best = F.expr(
@@ -219,7 +222,7 @@ def _argmax_dot_assign(q: DataFrame, cents: DataFrame) -> DataFrame:
         # drops every row instead (totality rule, CLAUDE.md)
         .where(F.expr("size(q) = size(get(cents, 0).cv)"))
         .withColumn("m", best)
-        .select("vec_id", "q", F.col("m.cent_id").alias("cent_id"))
+        .select("vec_id", "q", *keep, F.col("m.cent_id").alias("cent_id"))
     )
 
 
@@ -274,6 +277,66 @@ def ivf_search(assigned: DataFrame, n_centroids: int,
         cand.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "dot", "rank")
+    )
+
+
+FILTER_NPROBE = 2  # filtered search probes wider: predicate thins lists
+
+
+def ivf_filtered_topk(embeddings: DataFrame, n_queries: int = 10,
+                      k: int = 5, n_centroids: int = N_CENTROIDS,
+                      nprobe: int = FILTER_NPROBE) -> DataFrame:
+    """Metadata-filtered IVF search: top-k among candidates whose
+    ``label`` equals the query's label — the attribute-predicate vector
+    search every production store exposes (filtered ANN). The index
+    carries the filter column in its inverted lists
+    (``_argmax_dot_assign(keep=("label",))``), so the predicate is
+    evaluated INSIDE the probed-list scan (post-filtering), never as a
+    join back to the corpus; the standard recall compensation is a
+    wider ``nprobe`` (default 2 vs the unfiltered 1) because the
+    predicate thins each probed list by the label selectivity.
+
+    Scale shape: identical to ``ivf_search`` — broadcast centroids +
+    queries, corpus touched only on probed lists (nprobe/n_centroids of
+    it), per-query top-k via TakeOrderedAndProject-style window over
+    the filtered candidates. The filter drops candidates BEFORE the
+    window, so the sort sees ≤ list × selectivity rows.
+
+    Reference scope: the reference has no vector surface; this extends
+    the ANN family the north rule's training-data pipeline needs
+    (SURVEY §2.8)."""
+    q = quantized(embeddings)  # vec_id, label, q
+    cents = q.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cent_id"), F.col("q").alias("cv"))
+    assigned = _argmax_dot_assign(
+        q.select("vec_id", "q", "label"), cents, keep=("label",))
+    queries = (
+        assigned.where(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("q").alias("qv"), F.col("label").alias("q_label"))
+        .crossJoin(F.broadcast(cents))
+        .select("query_id", "qv", "q_label",
+                F.col("cent_id").alias("q_cent"),
+                _dot("qv", "cv").alias("cdot"))
+        .withColumn("_rn", F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.desc("cdot"), F.asc("q_cent"))))
+        .where(F.col("_rn") <= nprobe)
+        .select("query_id", "qv", "q_label", "q_cent")
+    )
+    cand = (
+        assigned.join(F.broadcast(queries),
+                      F.col("cent_id") == F.col("q_cent"))
+        .where((F.col("vec_id") != F.col("query_id"))
+               & (F.col("label") == F.col("q_label")))
+        .select("query_id", F.col("q_label").alias("label"),
+                "vec_id", _dot("q", "qv").alias("dot"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "label", "vec_id", "dot", "rank")
     )
 
 

@@ -659,10 +659,115 @@ def bm25_topk(documents: DataFrame, terms: tuple = BM25_TERMS,
     # TakeOrderedAndProject: per-partition top-k then a driver merge of
     # k rows per partition — never a global sort. The rank window runs
     # over the ≤k surviving rows only.
-    top = doc_scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    # asc_nulls_last: a NULL-doc_id doc (degenerate corpora) must sort
+    # where DuckDB's default (NULLS LAST) puts it, not Spark's ASC
+    # default (nulls first) — rank parity on tie groups depends on it
+    top = doc_scores.orderBy(F.desc("score"),
+                             F.asc_nulls_last("doc_id")).limit(k)
     rnk = F.row_number().over(
-        Window.orderBy(F.desc("score"), F.asc("doc_id")))
+        Window.orderBy(F.desc("score"), F.asc_nulls_last("doc_id")))
     return top.withColumn("rank", rnk.cast("int"))
+
+
+# ---------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion (RRF) of a lexical BM25 list
+# and a hashed bag-of-words "dense" list — the standard two-leg hybrid
+# search of RAG pipelines (Cormack et al.'s RRF: score = Σ 1/(K+rank)),
+# kept integer-exact as Σ RRF_SCALE div (K + rank). Each leg is a scan
+# plus a bounded top-R (TakeOrderedAndProject — never a global sort);
+# the fusion join sees ≤ 2R rows, broadcast trivially. The dense leg is
+# a feature-hashed query/document dot product computed as ONE aggregate
+# over the words (Σ_w qv[bucket(w)] — the hashed-BoW dot with a constant
+# query vector needs no per-doc vector materialization), length-
+# normalized by integer division so long docs don't dominate.
+# ---------------------------------------------------------------------
+
+RRF_K = 60                 # the canonical RRF damping constant
+RRF_SCALE = 1_000_000_000  # integer-exact 1/(K+rank) surrogate
+HYB_BUCKETS = 16           # feature-hash width of the dense leg
+HYB_R = 50                 # per-leg candidate depth fed to the fusion
+HYB_K = 10                 # fused results returned
+
+
+def _word_hash_py(w: str) -> int:
+    """Python mirror of the repo's rolling word hash ((acc*31 + ascii)
+    mod FP_MOD — classifier_score_expr / fingerprint_expr convention)
+    for driver-side constants like the hashed query vector."""
+    h = 0
+    for c in w:
+        h = (h * 31 + ord(c)) % FP_MOD
+    return h
+
+
+def hashed_query_vector(terms: tuple = BM25_TERMS,
+                        buckets: int = HYB_BUCKETS) -> list:
+    """qv[b] = number of query terms feature-hashed into bucket b."""
+    qv = [0] * buckets
+    for t in terms:
+        qv[_word_hash_py(t) % buckets] += 1
+    return qv
+
+
+def hashed_bow_topk(documents: DataFrame, terms: tuple = BM25_TERMS,
+                    k: int = HYB_R, buckets: int = HYB_BUCKETS) -> DataFrame:
+    """Dense-leg top-k: length-normalized hashed-BoW dot product.
+
+    score(d) = (Σ_w qv[bucket(w)]) * 1000 div max(dl, 1) with qv the
+    constant hashed query vector — one whole-stage-codegen aggregate
+    per doc, zero shuffle before the bounded top-k. greatest(dl, 1)
+    keeps the division total on empty docs (CLAUDE.md totality rule)."""
+    from pyspark.sql.window import Window
+
+    qv = hashed_query_vector(terms, buckets)
+    qv_lit = "array(" + ", ".join(f"{v}L" for v in qv) + ")"
+    word_hash = (
+        "if(length(w) = 0, 0L, "
+        "aggregate(sequence(1, length(w)), 0L, "
+        f"(h, i) -> (h * 31 + ascii(substring(w, cast(i as int), 1))) % {FP_MOD}))"
+    )
+    dot = (f"aggregate(split(text, ' '), 0L, (acc, w) -> acc + "
+           f"element_at({qv_lit}, cast({word_hash} % {buckets} as int) + 1))")
+    scored = documents.select(
+        "doc_id",
+        F.expr(f"({dot}) * 1000 div greatest(size(split(text, ' ')), 1)")
+        .alias("sem_score"))
+    top = scored.orderBy(F.desc("sem_score"),
+                         F.asc_nulls_last("doc_id")).limit(k)
+    rnk = F.row_number().over(
+        Window.orderBy(F.desc("sem_score"), F.asc_nulls_last("doc_id")))
+    return top.withColumn("rank", rnk.cast("int"))
+
+
+def hybrid_rrf_topk(documents: DataFrame, terms: tuple = BM25_TERMS,
+                    r: int = HYB_R, k: int = HYB_K) -> DataFrame:
+    """RRF fusion of the BM25 and hashed-BoW top-R lists.
+
+    rrf(d) = Σ_legs RRF_SCALE div (RRF_K + rank_leg(d)) over the legs
+    that surfaced d (absent leg contributes 0 — the standard RRF
+    treatment of out-of-list docs). Returns the fused top-k with each
+    leg's rank preserved (NULL where a leg missed the doc). Both legs
+    are ≤ r rows, so the full-outer fusion join and the final top-k are
+    driver-trivial at any corpus size; corpus-sized work is exactly two
+    scans (one per leg)."""
+    from pyspark.sql.window import Window
+
+    lex = bm25_topk(documents, terms, k=r).select(
+        "doc_id", F.col("rank").alias("lex_rank"))
+    sem = hashed_bow_topk(documents, terms, k=r).select(
+        "doc_id", F.col("rank").alias("sem_rank"))
+    fused = (
+        lex.join(sem, "doc_id", "full_outer")
+        .withColumn("rrf_score", F.expr(
+            f"coalesce({RRF_SCALE}L div ({RRF_K} + lex_rank), 0L) + "
+            f"coalesce({RRF_SCALE}L div ({RRF_K} + sem_rank), 0L)"))
+    )
+    top = fused.orderBy(F.desc("rrf_score"),
+                        F.asc_nulls_last("doc_id")).limit(k)
+    rnk = F.row_number().over(
+        Window.orderBy(F.desc("rrf_score"), F.asc_nulls_last("doc_id")))
+    return top.withColumn("rank", rnk.cast("int")).select(
+        "doc_id", "rrf_score", F.col("lex_rank").cast("int").alias("lex_rank"),
+        F.col("sem_rank").cast("int").alias("sem_rank"), "rank")
 
 
 def source_percentile_cut(documents: DataFrame) -> DataFrame:

@@ -6252,6 +6252,138 @@ def q_range_layout_plan(spark, sf_dir):
         load_table(spark, sf_dir, "documents"))
 
 
+# =====================================================================
+# Round-4 sixth-session: hybrid retrieval (RRF fusion) and
+# metadata-filtered ANN — the two retrieval compositions RAG-style
+# serving stacks add on top of the BM25 + IVF primitives above.
+# =====================================================================
+
+_HYB_QV = text.hashed_query_vector()
+_HYB_QV_LIT = "[" + ", ".join(str(v) for v in _HYB_QV) + "]"
+_HYB_WORD_BUCKET = f"""(CASE WHEN length(w) = 0 THEN 0 ELSE
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(1, length(w) + 1),
+                   i -> CAST(ascii(substring(w, CAST(i AS INT), 1)) AS BIGINT))),
+                 (acc, c) -> (acc * 31 + c) % {text.FP_MOD}) END
+             % {text.HYB_BUCKETS})"""
+
+
+@register("hybrid_rrf_retrieval", f"""
+WITH stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS s_dl
+  FROM documents),
+words AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         unnest(string_split(text, ' ')) AS term
+  FROM documents),
+hits AS (SELECT * FROM words
+         WHERE term IN ({", ".join(f"'{t}'" for t in text.BM25_TERMS)})),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf, MAX(dl) AS dl
+       FROM hits GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM hits GROUP BY 1),
+lexsc AS (
+  SELECT doc_id,
+         (((n_docs * {text.BM25_IDF_SCALE}) // df) * 22 * tf * s_dl)
+           // (10 * tf * s_dl + 3 * s_dl + 9 * dl * n_docs) AS part
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats),
+doc_scores AS (
+  SELECT doc_id, CAST(SUM(part) AS BIGINT) AS score
+  FROM lexsc GROUP BY 1),
+lexr AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC)
+           AS lex_rank
+  FROM doc_scores),
+lex AS (SELECT doc_id, lex_rank FROM lexr WHERE lex_rank <= {text.HYB_R}),
+semsc AS (
+  SELECT doc_id,
+         (list_sum(list_transform(string_split(text, ' '),
+            w -> ({_HYB_QV_LIT})[{_HYB_WORD_BUCKET} + 1])) * 1000)
+           // greatest(len(string_split(text, ' ')), 1) AS sem_score
+  FROM documents),
+semr AS (
+  SELECT doc_id, row_number() OVER (ORDER BY sem_score DESC, doc_id ASC)
+           AS sem_rank
+  FROM semsc),
+sem AS (SELECT doc_id, sem_rank FROM semr WHERE sem_rank <= {text.HYB_R}),
+rrf AS (
+  SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+         coalesce({text.RRF_SCALE} // ({text.RRF_K} + l.lex_rank), 0)
+           + coalesce({text.RRF_SCALE} // ({text.RRF_K} + s.sem_rank), 0)
+           AS rrf_score,
+         l.lex_rank, s.sem_rank
+  FROM lex l FULL JOIN sem s ON l.doc_id = s.doc_id),
+final AS (
+  SELECT *, row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS rank
+  FROM rrf)
+SELECT doc_id, CAST(rrf_score AS BIGINT) AS rrf_score,
+       CAST(lex_rank AS INT) AS lex_rank,
+       CAST(sem_rank AS INT) AS sem_rank,
+       CAST(rank AS INT) AS rank
+FROM final WHERE rank <= {text.HYB_K}
+""")
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval via reciprocal-rank fusion: the BM25 lexical
+    top-R and a hashed-BoW dense top-R fused by Σ SCALE div (K + rank)
+    (Cormack et al.'s RRF, integer-exact). Corpus-sized work is exactly
+    two scans; the fusion full-outer join sees ≤ 2R rows. The fused
+    rank preserves each leg's rank (NULL where a leg missed the doc) —
+    the audit trail a retrieval-quality dashboard needs."""
+    return text.hybrid_rrf_topk(load_table(spark, sf_dir, "documents"))
+
+
+_IVF_FILTERED_SQL = f"""
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x ->
+           CAST(round(CAST(x AS DOUBLE) * {similarity.QUANT}, 0) AS BIGINT)) AS qv
+  FROM embeddings),
+cents AS (SELECT vec_id AS cent_id, qv AS cv FROM q
+          WHERE vec_id < {similarity.N_CENTROIDS}),
+scored AS (
+  SELECT q.vec_id, q.label, q.qv, cents.cent_id,
+         CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+              i -> q.qv[i] * cents.cv[i])) AS BIGINT) AS cdot
+  FROM q CROSS JOIN cents),
+assigned AS (
+  SELECT vec_id, label, qv, cent_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cdot DESC, cent_id ASC) AS rn
+    FROM scored) WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_id, label AS q_label, qv AS query_v,
+         cent_id AS q_cent
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cdot DESC, cent_id ASC) AS rn
+    FROM scored WHERE vec_id < 10)
+  WHERE rn <= {similarity.FILTER_NPROBE}),
+cand AS (
+  SELECT query_id, q_label AS label, a.vec_id,
+         CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+              i -> a.qv[i] * probes.query_v[i])) AS BIGINT) AS dot
+  FROM assigned a JOIN probes ON a.cent_id = probes.q_cent
+  WHERE a.vec_id <> probes.query_id AND a.label = probes.q_label),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY dot DESC, vec_id ASC) AS rank
+  FROM cand)
+SELECT query_id, label, vec_id, dot, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+@register("ann_filtered_topk", _IVF_FILTERED_SQL)
+def q_ann_filtered(spark, sf_dir):
+    """Metadata-filtered IVF search (label predicate evaluated inside
+    the probed inverted lists, nprobe widened to 2 as the standard
+    recall compensation for predicate thinning) — the filtered-ANN
+    surface of production vector stores, composed from the same
+    ivf_assign index with the filter column carried in the lists."""
+    df = similarity.ivf_filtered_topk(load_table(spark, sf_dir, "embeddings"))
+    return df.withColumn("rank", F.col("rank").cast("int"))
+
+
 # ---------------------------------------------------------------------
 # Driver-gate ordering. The correctness sweep evaluates the registry in
 # insertion order and time-boxes at ~50 rows (r01 truncated at 49; r02
@@ -6333,6 +6465,9 @@ _FRONT = [
     "streaming_loglog_monitor",
     "streaming_backfill_handoff",
     "streaming_late_repair",
+    # --- Round-4 sixth-session additions (never driver-verified).
+    "hybrid_rrf_retrieval",
+    "ann_filtered_topk",
     # --- Re-verification: load-bearing rows whose only green driver
     # row is r01 (two rounds stale). The driver re-runs whatever is in
     # the window; green re-runs prove no silent regression since r01.

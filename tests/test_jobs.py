@@ -297,3 +297,45 @@ def test_finished_async_tasks_are_pruned_at_cap(spark, sf_dir, monkeypatch):
         with J._TASKS_LOCK:
             J._TASKS.clear()
             J._TASKS.update(saved)
+
+
+def test_build_corpus_job_end_to_end(spark, sf_dir, tmp_path):
+    """BuildCorpus materializes the composed pipeline: the written
+    corpus honors every stage's contract (no duplicate text, en-only,
+    ≤cap docs per (source, lang), split ∈ {train,val,test}), the
+    manifest conserves rows_in across keep + funnel drops + cap drops,
+    and a second run over the same input writes byte-identical doc_id
+    sets (the determinism the audit trail depends on)."""
+    from pyspark.sql import functions as F
+
+    from movement_spark.jobs import run_job
+
+    res = run_job("BuildCorpus", spark=spark, conf={
+        "input.sf_dir": sf_dir, "output.dir": str(tmp_path / "one")})
+    assert res.status == "SUCCEEDED", res.status
+    m = res.metrics
+    import os
+    corpus = spark.read.parquet(os.path.join(m["output"], "corpus"))
+    # stage contracts on the materialized rows
+    assert corpus.count() == m["rows_kept"] > 0
+    assert corpus.groupBy("text").count().agg(
+        F.max("count")).collect()[0][0] == 1, "exact dup survived"
+    assert corpus.where(F.col("lang") != "en").count() == 0
+    over = (corpus.groupBy("source", "lang").count()
+            .where(F.col("count") > m["cap"]).count())
+    assert over == 0, "source cap violated"
+    splits = {r["split"] for r in corpus.select("split").distinct().collect()}
+    assert splits <= {"train", "val", "test"}
+    # manifest conservation: in == kept + funnel drops + cap drops
+    drops = sum(v for k, v in m.items() if k.startswith("dropped_"))
+    assert m["rows_in"] == m["rows_kept"] + drops, m
+    assert sum(v for k, v in m.items()
+               if k.startswith("split_")) == m["rows_kept"]
+    # determinism: a re-run to a fresh dir keeps the identical doc set
+    res2 = run_job("BuildCorpus", spark=spark, conf={
+        "input.sf_dir": sf_dir, "output.dir": str(tmp_path / "two")})
+    ids = lambda r: sorted(  # noqa: E731
+        x["doc_id"] for x in spark.read.parquet(
+            os.path.join(r.metrics["output"], "corpus"))
+        .select("doc_id").collect())
+    assert ids(res) == ids(res2)

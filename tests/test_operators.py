@@ -1435,3 +1435,77 @@ def test_lang_buckets_distinct_for_fixture_langs():
 
     langs = ["de", "en", "es", "fr", "zh"]
     assert len({bucket(lg) for lg in langs}) == len(langs)
+
+
+def test_hybrid_rrf_fusion_semantics(spark):
+    """RRF fusion contract on a corpus engineered so the legs disagree:
+    a doc surfaced by only one leg carries a NULL rank for the other
+    and its rrf_score is exactly that single leg's SCALE div (K+rank);
+    a doc surfaced by both sums both contributions; the fused order is
+    (rrf_score DESC, doc_id ASC)."""
+    from movement_spark.operators.text import (
+        RRF_K, RRF_SCALE, hybrid_rrf_topk)
+
+    rows = [
+        # doc 0: lexical hit only (query terms, long doc dilutes dense)
+        (0, "dup merge query " + "line " * 200, "en", "s0", 0),
+        # doc 1: both legs (query terms, short doc)
+        (1, "dup merge query", "en", "s0", 0),
+        # doc 2: dense leg only — "column" feature-hashes into the
+        #        same bucket as merge/query (qv weight 2) but is not a
+        #        BM25 term, so the lexical leg misses it entirely while
+        #        its dense score (6*1000/3) tops doc 1's (5*1000/3)
+        (2, "column column column", "en", "s0", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    got = {r["doc_id"]: r for r in hybrid_rrf_topk(docs, r=2, k=3).collect()}
+    # doc 2 has no query term: absent from the lexical leg entirely
+    assert got[2]["lex_rank"] is None
+    assert got[2]["rrf_score"] == RRF_SCALE // (RRF_K + got[2]["sem_rank"])
+    # doc 0's dense score is diluted by 200 off-bucket words: with
+    # per-leg depth r=2 it falls off the dense list but keeps its
+    # lexical slot — the symmetric single-leg case
+    assert got[0]["sem_rank"] is None and got[0]["lex_rank"] is not None
+    assert got[0]["rrf_score"] == RRF_SCALE // (RRF_K + got[0]["lex_rank"])
+    # doc 1 is in both legs: score is the two-leg sum
+    both = got[1]
+    assert both["lex_rank"] is not None and both["sem_rank"] is not None
+    assert both["rrf_score"] == (RRF_SCALE // (RRF_K + both["lex_rank"])
+                                 + RRF_SCALE // (RRF_K + both["sem_rank"]))
+    # fused ordering: rank follows (rrf_score DESC, doc_id ASC)
+    ordered = sorted(got.values(), key=lambda r: (-r["rrf_score"], r["doc_id"]))
+    assert [r["rank"] for r in ordered] == [1, 2, 3]
+
+
+def test_ann_filtered_topk_respects_predicate(spark, sf_dir):
+    """Filtered ANN: every returned candidate carries the query's own
+    label (the predicate is enforced inside the probed lists), ranks
+    are 1..n dense per query, and — the post-filtering contract — each
+    query's candidate set is a subset of what the UNfiltered search
+    over the same probes would return for that label."""
+    from movement_spark.operators.similarity import (
+        FILTER_NPROBE, ivf_filtered_topk, ivf_topk)
+    from movement_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    labels = {r["vec_id"]: r["label"]
+              for r in emb.select("vec_id", "label").collect()}
+    got = ivf_filtered_topk(emb, n_queries=5, k=5).collect()
+    assert got, "filtered search returned nothing"
+    per_q = {}
+    for r in got:
+        assert r["label"] == labels[r["query_id"]], r
+        assert labels[r["vec_id"]] == r["label"], r
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    for qid, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), (qid, ranks)
+    # consistency vs the unfiltered search at the same nprobe: the
+    # filtered top-k is exactly the label-matching slice re-ranked
+    unf = ivf_topk(emb, n_queries=5, k=10**6, nprobe=FILTER_NPROBE).collect()
+    want = {}
+    for r in sorted(unf, key=lambda r: (r["query_id"], -r["dot"], r["vec_id"])):
+        if labels[r["vec_id"]] == labels[r["query_id"]]:
+            want.setdefault(r["query_id"], []).append(r["vec_id"])
+    for r in got:
+        assert want[r["query_id"]][r["rank"] - 1] == r["vec_id"], r

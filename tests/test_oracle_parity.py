@@ -116,6 +116,10 @@ DEGEN_PARITY_QUERIES = [
     # engines)
     "incremental_state_merge", "shard_shuffle_manifest",
     "dsir_importance_weights",
+    # hybrid retrieval: NULL/empty/1-word text contracts of BOTH legs
+    # (NULL text -> NULL scores ranked NULLS LAST in both engines;
+    # NULL doc_id tie-break pinned to NULLS LAST on the Spark side)
+    "hybrid_rrf_retrieval",
 ]
 
 
@@ -191,6 +195,7 @@ MALFORMED_VECTOR_QUERIES = [
     "ann_brute_force_topk", "ann_sq8_topk", "ann_sq8_rerank_topk",
     "kmeans_training_loop", "semantic_dedup_stats",
     "ann_ivf_incremental_lists", "embedding_label_centroids",
+    "ann_filtered_topk",
 ]
 
 
