@@ -1160,3 +1160,83 @@ def truncated_rerank_topk(embeddings: DataFrame, n_queries: int = 10,
     cands = truncated_topk(embeddings, n_queries=n_queries, k=pool,
                            d=d).select("query_id", "vec_id")
     return _exact_rerank(embeddings, cands, n_queries, k)
+
+
+# MMR diversified re-rank: relevance vs redundancy. λ = MMR_A/(MMR_A +
+# MMR_B) as integer weights so the greedy scores stay oracle-exact
+# (score = MMR_A·rel − MMR_B·max-sim-to-selected; higher = better).
+MMR_POOL = 8
+MMR_K = 3
+MMR_A, MMR_B = 2, 1
+
+
+def mmr_diversified_topk(embeddings: DataFrame, n_queries: int = 4,
+                         pool: int = MMR_POOL, k: int = MMR_K) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k (Carbonell &
+    Goldstein's MMR): greedily pick, k times, the candidate maximizing
+    MMR_A·relevance − MMR_B·max-similarity-to-already-selected — the
+    diversity-aware serving layer that keeps a near-dup-heavy corpus
+    from returning k copies of one document.
+
+    Scale shape: the DISTRIBUTED stage is candidate generation (here
+    the brute-force scan pool; production composes the IVF/PQ stage,
+    identical contract to the *_rerank family) bounded to ``pool`` rows
+    per query; the greedy loop then runs k UNROLLED join+argmax steps
+    over the ≤pool-row per-query frames — every step's inputs are
+    pool-bounded (pairs ≤ pool², selected ≤ k), so the unroll costs
+    O(k · pool²) per query regardless of corpus size. Each step's
+    argmax is the same one-row window as everywhere else (ties by
+    vec_id — deterministic, oracle-reproducible). The first pick's
+    score is MMR_A·rel (nothing selected yet ⇒ max_sim = 0).
+
+    At production pool sizes you would collect each query's pool into
+    one row (collect_list ≤ pool structs) and run the greedy loop in a
+    single expression; the unrolled relational form is kept because it
+    is engine-portable and k is small for serving (3-10)."""
+    q = quantized(embeddings)
+    queries = q.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qv"))
+    scored = (
+        q.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "q", _dot("q", "qv").alias("rel"))
+    )
+    w_rel = Window.partitionBy("query_id").orderBy(
+        F.desc("rel"), F.asc("vec_id"))
+    cand = (scored.withColumn("_rn", F.row_number().over(w_rel))
+            .where(F.col("_rn") <= pool)
+            .select("query_id", "vec_id", "q", "rel"))
+    a = cand.select("query_id", F.col("vec_id").alias("a_vec"),
+                    F.col("q").alias("aq"))
+    b = cand.select("query_id", F.col("vec_id").alias("b_vec"),
+                    F.col("q").alias("bq"))
+    pairs = (a.join(b, "query_id")
+             .where(F.col("a_vec") != F.col("b_vec"))
+             .select("query_id", "a_vec", "b_vec",
+                     _dot("aq", "bq").alias("sim")))
+    pool_slim = cand.select("query_id", "vec_id", "rel")
+    selected = (pool_slim.withColumn("_rn", F.row_number().over(w_rel))
+                .where(F.col("_rn") == 1)
+                .select("query_id", "vec_id", "rel",
+                        (F.col("rel") * MMR_A).cast("bigint").alias("score"),
+                        F.lit(1).cast("int").alias("mmr_rank")))
+    for t in range(2, k + 1):
+        ms = (pairs.join(selected.select("query_id",
+                                         F.col("vec_id").alias("b_vec")),
+                         ["query_id", "b_vec"])
+              .groupBy("query_id", F.col("a_vec").alias("vec_id"))
+              .agg(F.max("sim").alias("max_sim")))
+        rem = pool_slim.join(selected.select("query_id", "vec_id"),
+                             ["query_id", "vec_id"], "left_anti")
+        sc = (rem.join(ms, ["query_id", "vec_id"])
+              .select("query_id", "vec_id", "rel",
+                      (F.col("rel") * MMR_A - F.col("max_sim") * MMR_B)
+                      .cast("bigint").alias("score")))
+        w_sc = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("vec_id"))
+        pick = (sc.withColumn("_rn", F.row_number().over(w_sc))
+                .where(F.col("_rn") == 1)
+                .select("query_id", "vec_id", "rel", "score",
+                        F.lit(t).cast("int").alias("mmr_rank")))
+        selected = selected.unionByName(pick)
+    return selected

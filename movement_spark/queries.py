@@ -6384,6 +6384,90 @@ def q_ann_filtered(spark, sf_dir):
     return df.withColumn("rank", F.col("rank").cast("int"))
 
 
+def _mmr_oracle_sql(n_queries: int = 4,
+                    pool: int = similarity.MMR_POOL,
+                    k: int = similarity.MMR_K) -> str:
+    """Generate the k-step-unrolled MMR oracle: the same greedy
+    argmax chain as similarity.mmr_diversified_topk, one CTE pair
+    (max-sim fold + pick) per step. Unrolling in a loop keeps the two
+    engines' step algebra in lockstep by construction."""
+    A, B = similarity.MMR_A, similarity.MMR_B
+
+    def dot(x: str, y: str) -> str:
+        return (f"CAST(list_sum(list_transform(range(1, len({x}) + 1), "
+                f"i -> {x}[i] * {y}[i])) AS BIGINT)")
+
+    sql = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x ->
+           CAST(round(CAST(x AS DOUBLE) * {similarity.QUANT}, 0) AS BIGINT)) AS qv
+  FROM embeddings),
+queries AS (SELECT vec_id AS query_id, qv AS query_v FROM q
+            WHERE vec_id < {n_queries}),
+scored AS (
+  SELECT query_id, q.vec_id, q.qv, {dot("q.qv", "queries.query_v")} AS rel
+  FROM q CROSS JOIN queries WHERE q.vec_id <> queries.query_id),
+cand AS (
+  SELECT query_id, vec_id, qv, rel FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rel DESC, vec_id ASC) AS rn
+    FROM scored) WHERE rn <= {pool}),
+pairs AS (
+  SELECT a.query_id, a.vec_id AS a_vec, b.vec_id AS b_vec,
+         {dot("a.qv", "b.qv")} AS sim
+  FROM cand a JOIN cand b
+    ON a.query_id = b.query_id AND a.vec_id <> b.vec_id),
+selected1 AS (
+  SELECT query_id, vec_id, rel, CAST(rel * {A} AS BIGINT) AS score,
+         1 AS mmr_rank
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rel DESC, vec_id ASC) AS rn
+    FROM cand) WHERE rn = 1)"""
+    for t in range(2, k + 1):
+        prev = f"selected{t - 1}"
+        sql += f""",
+ms{t} AS (
+  SELECT p.query_id, p.a_vec AS vec_id, MAX(p.sim) AS max_sim
+  FROM pairs p JOIN {prev} s
+    ON p.query_id = s.query_id AND p.b_vec = s.vec_id
+  GROUP BY 1, 2),
+rem{t} AS (
+  SELECT c.query_id, c.vec_id, c.rel
+  FROM cand c LEFT JOIN {prev} s
+    ON c.query_id = s.query_id AND c.vec_id = s.vec_id
+  WHERE s.vec_id IS NULL),
+sc{t} AS (
+  SELECT r.query_id, r.vec_id, r.rel,
+         CAST(r.rel * {A} - m.max_sim * {B} AS BIGINT) AS score
+  FROM rem{t} r JOIN ms{t} m
+    ON r.query_id = m.query_id AND r.vec_id = m.vec_id),
+sel{t} AS (
+  SELECT query_id, vec_id, rel, score, {t} AS mmr_rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, vec_id ASC) AS rn
+    FROM sc{t}) WHERE rn = 1),
+selected{t} AS (
+  SELECT * FROM {prev} UNION ALL SELECT * FROM sel{t})"""
+    sql += f"""
+SELECT query_id, vec_id, rel, score, CAST(mmr_rank AS INT) AS mmr_rank
+FROM selected{k}
+"""
+    return sql
+
+
+@register("mmr_diversified_topk", _mmr_oracle_sql())
+def q_mmr_diversified(spark, sf_dir):
+    """MMR diversified re-rank (Carbonell & Goldstein): greedy
+    MMR_A·rel − MMR_B·max-sim-to-selected over a pool-bounded candidate
+    set — the diversity-aware serving layer over a near-dup-heavy
+    corpus. Distributed work = candidate generation; the k unrolled
+    greedy steps touch ≤pool² rows per query."""
+    return similarity.mmr_diversified_topk(
+        load_table(spark, sf_dir, "embeddings"))
+
+
 # ---------------------------------------------------------------------
 # Driver-gate ordering. The correctness sweep evaluates the registry in
 # insertion order and time-boxes at ~50 rows (r01 truncated at 49; r02
@@ -6468,6 +6552,7 @@ _FRONT = [
     # --- Round-4 sixth-session additions (never driver-verified).
     "hybrid_rrf_retrieval",
     "ann_filtered_topk",
+    "mmr_diversified_topk",
     # --- Re-verification: load-bearing rows whose only green driver
     # row is r01 (two rounds stale). The driver re-runs whatever is in
     # the window; green re-runs prove no silent regression since r01.

@@ -1509,3 +1509,29 @@ def test_ann_filtered_topk_respects_predicate(spark, sf_dir):
             want.setdefault(r["query_id"], []).append(r["vec_id"])
     for r in got:
         assert want[r["query_id"]][r["rank"] - 1] == r["vec_id"], r
+
+
+def test_mmr_second_pick_skips_near_duplicate(spark):
+    """MMR's reason to exist: when the two most relevant candidates are
+    exact duplicates, plain top-2 returns both; MMR's second greedy
+    step must skip the duplicate (its max-sim-to-selected penalty
+    dwarfs its relevance) and pick the diverse third candidate. Also
+    pins the first pick = plain argmax and score = A*rel - B*max_sim."""
+    from movement_spark.operators.similarity import (
+        MMR_A, MMR_B, mmr_diversified_topk)
+
+    rows = [
+        (0, [1.0, 1.0, 0.0, 0.0], 0),    # the query
+        (10, [20.0, 0.0, 0.0, 0.0], 0),  # most relevant (rel 20)
+        (11, [20.0, 0.0, 0.0, 0.0], 0),  # exact dup of 10 (sim 400)
+        (12, [0.0, 18.0, 0.0, 0.0], 0),  # diverse runner-up (rel 18)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    got = {r["mmr_rank"]: r
+           for r in mmr_diversified_topk(emb, n_queries=1, k=2).collect()}
+    assert got[1]["vec_id"] == 10
+    assert got[1]["score"] == MMR_A * got[1]["rel"]
+    assert got[2]["vec_id"] == 12, "MMR kept the near-duplicate"
+    # quantized ints: rel(12)=18e6, sim(12,10)=0 -> score = A*rel
+    assert got[2]["score"] == MMR_A * got[2]["rel"] - MMR_B * 0

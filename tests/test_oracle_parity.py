@@ -195,7 +195,7 @@ MALFORMED_VECTOR_QUERIES = [
     "ann_brute_force_topk", "ann_sq8_topk", "ann_sq8_rerank_topk",
     "kmeans_training_loop", "semantic_dedup_stats",
     "ann_ivf_incremental_lists", "embedding_label_centroids",
-    "ann_filtered_topk",
+    "ann_filtered_topk", "mmr_diversified_topk",
 ]
 
 
