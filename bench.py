@@ -100,6 +100,9 @@ def main() -> None:
         # round-4 fourth-session families
         "reshard_movement_matrix", "incremental_state_merge",
         "quantile_sketch_profile",
+        # round-4 sixth-session retrieval families
+        "hybrid_rrf_retrieval", "ann_filtered_topk",
+        "mmr_diversified_topk",
     )
     extended: dict[str, float] = {}
     for name in EXTENDED:

@@ -167,6 +167,14 @@ def stage_token_stream(spark: SparkSession, sf_dir: str, stage_dir: str,
     return n_rows
 
 
+# The straggler fixture's event-time cut: rows before EPOCH_2026 +
+# STRAGGLER_WIN_SEC are eligible to be held back. Shared by the stager
+# and run_streaming_late_repair's damaged-window derivation — one
+# constant so the two sides of the drop-then-repair contract cannot
+# drift apart.
+STRAGGLER_WIN_SEC = 300
+
+
 def stage_token_stream_with_stragglers(spark: SparkSession, sf_dir: str,
                                        stage_dir: str, n_chunks: int = 6,
                                        straggler_mod: int = 7
@@ -181,7 +189,8 @@ def stage_token_stream_with_stragglers(spark: SparkSession, sf_dir: str,
     import shutil
 
     df = _staged_token_frame(spark, sf_dir)
-    first_win = F.col("ts") < F.timestamp_seconds(F.lit(EPOCH_2026 + 300))
+    first_win = (F.col("ts")
+                 < F.timestamp_seconds(F.lit(EPOCH_2026 + STRAGGLER_WIN_SEC)))
     is_straggler = first_win & (F.col("did") % straggler_mod == 0)
     main = df.where(~is_straggler).drop("did")
     strag = df.where(is_straggler).drop("did")
@@ -674,7 +683,8 @@ def run_streaming_late_repair(spark: SparkSession, sf_dir: str,
     t = token_sequences(spark, sf_dir, keep_did=True)
     win_start = (F.floor(F.unix_timestamp("ts") / width_sec)
                  * width_sec).cast("bigint")
-    first_win = F.col("ts") < F.timestamp_seconds(F.lit(EPOCH_2026 + 300))
+    first_win = (F.col("ts")
+                 < F.timestamp_seconds(F.lit(EPOCH_2026 + STRAGGLER_WIN_SEC)))
     damaged = (t.where(first_win & (F.col("did") % straggler_mod == 0))
                .select(win_start.alias("ws0")).distinct())
     repair = (
