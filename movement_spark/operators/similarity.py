@@ -1203,9 +1203,15 @@ def mmr_diversified_topk(embeddings: DataFrame, n_queries: int = 4,
     )
     w_rel = Window.partitionBy("query_id").orderBy(
         F.desc("rel"), F.asc("vec_id"))
+    # persist the pool: every greedy step's rem/sc branch and the pairs
+    # self-join re-reference it — without the cache the unrolled plan
+    # recomputes the corpus scan once PER BRANCH (~2k times), which is
+    # exactly the lineage blow-up connected_components/pagerank guard
+    # against. Released below after the ≤ n_queries·k result rows are
+    # materialized (the pagerank cache-lifetime pattern, graph.py).
     cand = (scored.withColumn("_rn", F.row_number().over(w_rel))
             .where(F.col("_rn") <= pool)
-            .select("query_id", "vec_id", "q", "rel"))
+            .select("query_id", "vec_id", "q", "rel").persist())
     a = cand.select("query_id", F.col("vec_id").alias("a_vec"),
                     F.col("q").alias("aq"))
     b = cand.select("query_id", F.col("vec_id").alias("b_vec"),
@@ -1239,4 +1245,8 @@ def mmr_diversified_topk(embeddings: DataFrame, n_queries: int = 4,
                 .select("query_id", "vec_id", "rel", "score",
                         F.lit(t).cast("int").alias("mmr_rank")))
         selected = selected.unionByName(pick)
-    return selected
+    rows = selected.collect()
+    cand.unpersist()
+    return embeddings.sparkSession.createDataFrame(
+        rows, schema="query_id bigint, vec_id bigint, rel bigint, "
+                     "score bigint, mmr_rank int")
