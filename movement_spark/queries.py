@@ -11,7 +11,12 @@ Hash-parity rules applied throughout (see SURVEY.md §5):
 - integer division via explicit floor() (Spark cast truncates, DuckDB
   cast ROUNDS — never rely on cast);
 - Spark lambda index i is 0-based, DuckDB's is 1-based;
-- no engine hash builtins in checked values — only a*x+b mod p arithmetic.
+- no engine hash builtins in checked values — only a*x+b mod p arithmetic;
+- ranking tie-breaks on a NULLABLE key pin NULLS LAST on the Spark side
+  (F.asc_nulls_last): Spark's ASC default is nulls-FIRST, DuckDB's is
+  nulls-LAST, so a NULL-keyed row inside a tie group silently permutes
+  ranks between engines (caught building hybrid_rrf_retrieval's legs
+  against the degenerate corpus's NULL-doc_id row).
 """
 
 from __future__ import annotations
