@@ -6378,6 +6378,42 @@ FROM ranked WHERE rank <= 5
 """
 
 
+@register("streaming_ann_ingest", f"""
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x ->
+           CAST(round(CAST(x AS DOUBLE) * {similarity.QUANT}, 0) AS BIGINT)) AS qv
+  FROM embeddings),
+cents AS (SELECT vec_id AS cent_id, qv AS cv FROM q
+          WHERE vec_id < {similarity.N_CENTROIDS}),
+scored AS (
+  SELECT q.vec_id, q.label, cents.cent_id,
+         CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+              i -> q.qv[i] * cents.cv[i])) AS BIGINT) AS cdot
+  FROM q CROSS JOIN cents),
+assigned AS (
+  SELECT vec_id, label, cent_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cdot DESC, cent_id ASC) AS rn
+    FROM scored) WHERE rn = 1)
+SELECT cent_id, COUNT(*) AS n_vecs,
+       CAST(SUM(vec_id) AS BIGINT) AS sum_vec_id,
+       CAST(COUNT(DISTINCT label) AS INT) AS n_labels
+FROM assigned GROUP BY 1
+""")
+def q_streaming_ann_ingest(spark, sf_dir):
+    """Streaming IVF index ingest: live embeddings assigned to the
+    FROZEN coarse codebook micro-batch by micro-batch (stream-static
+    broadcast argmin — stateless, no watermark, no stream-side
+    shuffle) into the exactly-once vec_id-keyed sink; the read-side
+    fold is the inverted-list manifest. Oracle = the BATCH assignment
+    over the same table — the online and offline index builds commute,
+    which is the ivf_assign_incremental contract in streaming form."""
+    from movement_spark.streaming.pipeline import run_streaming_ann_ingest
+    return run_streaming_ann_ingest(
+        spark, sf_dir, n_centroids=similarity.N_CENTROIDS)
+
+
 @register("ann_filtered_topk", _IVF_FILTERED_SQL)
 def q_ann_filtered(spark, sf_dir):
     """Metadata-filtered IVF search (label predicate evaluated inside
@@ -6558,6 +6594,7 @@ _FRONT = [
     "hybrid_rrf_retrieval",
     "ann_filtered_topk",
     "mmr_diversified_topk",
+    "streaming_ann_ingest",
     # --- Re-verification: load-bearing rows whose only green driver
     # row is r01 (two rounds stale). The driver re-runs whatever is in
     # the window; green re-runs prove no silent regression since r01.

@@ -35,8 +35,8 @@ import pyarrow.parquet as pq
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
-    ArrayType, IntegerType, StringType, StructField, StructType,
-    TimestampType,
+    ArrayType, FloatType, IntegerType, LongType, StringType, StructField,
+    StructType, TimestampType,
 )
 
 from movement_spark.operators.ordering import ordered_doc_assembler
@@ -747,6 +747,83 @@ def run_streaming_loglog_monitor(spark: SparkSession, sf_dir: str,
                                ["ws", "source", "reg"])
     _run_to_sink(grid, sink, checkpoint_dir or _tmp("msll_ck_"), listener)
     return loglog_window_fold(sink.read(spark), ["ws", "source"])
+
+
+EMB_STREAM_SCHEMA = StructType([
+    StructField("vec_id", LongType()),
+    StructField("embedding", ArrayType(FloatType())),
+    StructField("label", IntegerType()),
+])
+
+
+def stage_embedding_stream(spark: SparkSession, sf_dir: str,
+                           stage_dir: str, n_chunks: int = 6) -> int:
+    """Stage the embeddings table as ordered chunk files (one vec_id
+    slice per file). No sentinel files: the ANN-ingest pipeline is
+    STATELESS (no watermark, no windowed state), so nothing needs a
+    flush — availableNow drains every staged file and stops."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    n_rows, _, _ = _distribute_chunks(emb, stage_dir, n_chunks, ["vec_id"])
+    return n_rows
+
+
+def run_streaming_ann_ingest(spark: SparkSession, sf_dir: str,
+                             n_centroids: int = 16,
+                             stage_dir: str | None = None,
+                             sink_dir: str | None = None,
+                             checkpoint_dir: str | None = None,
+                             listener=None,
+                             files_per_trigger: int | None = None
+                             ) -> DataFrame:
+    """Streaming IVF index ingest: a live embedding stream is assigned
+    to a FROZEN coarse codebook micro-batch by micro-batch (the
+    stream-static broadcast form of similarity.ivf_assign_incremental)
+    and lands in the exactly-once sink keyed by vec_id — the online
+    half of ANN index maintenance, where vectors arrive continuously
+    and the codebook only moves on the scheduled batch re-cluster.
+
+    Scale shape: the assignment is ONE stream-static broadcast
+    crossJoin + codegen argmin per micro-batch (no state store, no
+    watermark, no shuffle on the stream side — a stateless projection),
+    so ingest throughput is scan-bound exactly like the batch path; the
+    vec_id sink key makes at-least-once replays idempotent. The
+    read-side fold returns the inverted-list manifest (per-centroid
+    membership count, id mass, label spread) — equal to the BATCH
+    assignment over the same table, which is the oracle statement: the
+    online and offline index builds commute.
+
+    Reference scope: Emitter→Encoder→Output over vectors instead of
+    token shards; the codebook-frozen contract mirrors
+    ivf_assign_incremental (pinned by test_ivf_incremental_equals_rebuild).
+    """
+    from movement_spark.operators.similarity import (
+        _argmax_dot_assign, quantized)
+
+    cents = (quantized(
+        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")))
+        .where(F.col("vec_id") < n_centroids)
+        .select(F.col("vec_id").alias("cent_id"), F.col("q").alias("cv")))
+    stage = stage_dir or _tmp("msai_stage_")
+    if _n_stage_files(stage) == 0:
+        stage_embedding_stream(spark, sf_dir, stage)
+    if files_per_trigger is None:
+        files_per_trigger = _auto_trigger(stage)
+    src = (spark.readStream.schema(EMB_STREAM_SCHEMA)
+           .option("maxFilesPerTrigger", files_per_trigger)
+           .parquet(stage))
+    assigned = _argmax_dot_assign(
+        quantized(src).select("vec_id", "q", "label"),
+        cents, keep=("label",))
+    out = assigned.select("vec_id", "label", "cent_id")
+    sink = IdempotentKeyedSink(sink_dir or _tmp("msai_sink_"), ["vec_id"])
+    _run_to_sink(out, sink, checkpoint_dir or _tmp("msai_ck_"), listener)
+    return (
+        sink.read(spark)
+        .groupBy("cent_id")
+        .agg(F.count("*").alias("n_vecs"),
+             F.sum("vec_id").cast("bigint").alias("sum_vec_id"),
+             F.countDistinct("label").cast("int").alias("n_labels"))
+    )
 
 
 def run_streaming_dedup(spark: SparkSession, sf_dir: str,

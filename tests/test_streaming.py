@@ -1392,3 +1392,47 @@ def test_directory_csv_roundtrip_keeps_empty_string_distinct_from_null(spark):
     back = {r.id: r.v for r in
             read_directory_csv(spark, d, "p", "id INT, v STRING").collect()}
     assert back == {1: "", 2: None, 3: "x"}
+
+
+def test_ann_ingest_resumes_and_replays_idempotently(spark, sf_dir):
+    """Kill/resume for the streaming ANN ingest: assignments made
+    before the kill must not duplicate or change after the resume (the
+    codebook is frozen, the sink is vec_id-keyed), so the resumed run's
+    manifest equals the batch assignment over the full table — and a
+    THIRD run over the already-drained stage (pure replay) returns the
+    identical manifest."""
+    from movement_spark.operators.similarity import (
+        _argmax_dot_assign, quantized)
+    from movement_spark.sources.tables import load_table
+    from movement_spark.streaming.pipeline import (
+        run_streaming_ann_ingest, stage_embedding_stream)
+
+    full_stage = _mkdir()
+    stage_embedding_stream(spark, sf_dir, full_stage)
+    files = sorted(os.listdir(full_stage))
+    part_stage, ck, sink_dir = _mkdir(), _mkdir(), _mkdir()
+    cut = len(files) // 2
+    for f in files[:cut]:
+        shutil.copy2(os.path.join(full_stage, f), os.path.join(part_stage, f))
+    run_streaming_ann_ingest(spark, sf_dir, stage_dir=part_stage,
+                             sink_dir=sink_dir, checkpoint_dir=ck)
+    for f in files[cut:]:
+        shutil.copy2(os.path.join(full_stage, f), os.path.join(part_stage, f))
+    result = run_streaming_ann_ingest(spark, sf_dir, stage_dir=part_stage,
+                                      sink_dir=sink_dir, checkpoint_dir=ck)
+    emb = quantized(load_table(spark, sf_dir, "embeddings"))
+    cents = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cent_id"), F.col("q").alias("cv"))
+    expected = (
+        _argmax_dot_assign(emb.select("vec_id", "q", "label"),
+                           cents, keep=("label",))
+        .groupBy("cent_id")
+        .agg(F.count("*").alias("n_vecs"),
+             F.sum("vec_id").cast("bigint").alias("sum_vec_id"),
+             F.countDistinct("label").cast("int").alias("n_labels")))
+    assert result.count() == expected.count() > 0
+    assert result.exceptAll(expected).count() == 0
+    replay = run_streaming_ann_ingest(spark, sf_dir, stage_dir=part_stage,
+                                      sink_dir=sink_dir, checkpoint_dir=ck)
+    assert replay.exceptAll(expected).count() == 0
+    assert replay.count() == expected.count()
