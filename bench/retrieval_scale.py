@@ -45,7 +45,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F  # noqa: E402
 from pyspark.sql.window import Window                            # noqa: E402
 
 from movement_spark.operators.similarity import (                # noqa: E402
-    _dot, ivf_filtered_topk, ivf_topk, mmr_diversified_topk, quantized,
+    _dot, ivf_assign, ivf_assign_arrow, ivf_filtered_topk, ivf_topk,
+    mmr_diversified_topk, quantized,
 )
 from movement_spark.operators.text import (                      # noqa: E402
     bm25_topk, hashed_bow_topk, hybrid_rrf_topk,
@@ -125,6 +126,14 @@ def _run_pool_stage(emb: DataFrame, n_queries: int, pool: int) -> None:
     assert n == n_queries * pool
 
 
+def _materialize_count(df: DataFrame) -> int:
+    df = df.persist()
+    try:
+        return df.count()
+    finally:
+        df.unpersist()
+
+
 def interleaved_medians(forms: dict, rounds: int = 3) -> dict:
     """Per-form median over interleaved rounds (CLAUDE.md protocol:
     back-to-back single shots measured the same plan at 107.9 s then
@@ -199,6 +208,15 @@ def run_vec_level(spark: SparkSession, n_vecs: int) -> dict:
         "mmr": _mmr,
         "ivf_unf": _unf,
         "ivf_fil": _fil,
+        # persist+count+unpersist: a bare count() lets Catalyst PRUNE
+        # the argmin projection entirely (measured 1.5 s for a "build"
+        # the persisted form runs in ~80 s) — materialize the full
+        # index like ann_scale does, or the comparison measures a
+        # filtered count, not the build
+        "build_jvm": lambda: _materialize_count(
+            ivf_assign(emb, n_centroids=N_CLUSTERS)),
+        "build_arrow": lambda: _materialize_count(
+            ivf_assign_arrow(emb, n_centroids=N_CLUSTERS)),
     })
     # streaming ANN ingest throughput: pre-staged chunks (staging cost
     # excluded — production ingests from an existing landing zone),
@@ -211,22 +229,32 @@ def run_vec_level(spark: SparkSession, n_vecs: int) -> dict:
     # the machine (measured 5.3k vecs/s; the batch build on the same
     # corpus does 12.8k on full local[32])
     stage_embedding_stream(spark, sf_tmp, ingest_stage, n_chunks=64)
-    t0 = time.perf_counter()
-    manifest = run_streaming_ann_ingest(
-        spark, sf_tmp, n_centroids=N_CLUSTERS, stage_dir=ingest_stage,
-        sink_dir=tempfile.mkdtemp(prefix="ms_retr_ingsink_"),
-        checkpoint_dir=tempfile.mkdtemp(prefix="ms_retr_ingck_"))
-    n_assigned = manifest.agg(F.sum("n_vecs")).collect()[0][0]
-    t_ing = time.perf_counter() - t0
-    assert n_assigned == n_vecs
+    ing = {}
+    for mode in ("jvm", "arrow"):
+        t0 = time.perf_counter()
+        manifest = run_streaming_ann_ingest(
+            spark, sf_tmp, n_centroids=N_CLUSTERS, stage_dir=ingest_stage,
+            sink_dir=tempfile.mkdtemp(prefix="ms_retr_ingsink_"),
+            checkpoint_dir=tempfile.mkdtemp(prefix="ms_retr_ingck_"),
+            assign=mode)
+        n_assigned = manifest.agg(F.sum("n_vecs")).collect()[0][0]
+        ing[mode] = time.perf_counter() - t0
+        assert n_assigned == n_vecs
+    t_ing = ing["jvm"]
     shutil.rmtree(ingest_stage, ignore_errors=True)
 
     shutil.rmtree(d, ignore_errors=True)
     assert counts["mmr"] == N_QUERIES * MMR_K
     return {
         "n_vecs": n_vecs,
+        "build_jvm_sec": round(med["build_jvm"], 1),
+        "build_arrow_sec": round(med["build_arrow"], 1),
+        "build_speedup": round(med["build_jvm"]
+                               / max(med["build_arrow"], 1e-9), 1),
         "ann_ingest_sec": round(t_ing, 1),
         "ann_ingest_vecs_per_sec": round(n_vecs / t_ing, 1),
+        "ann_ingest_arrow_sec": round(ing["arrow"], 1),
+        "ann_ingest_arrow_vecs_per_sec": round(n_vecs / ing["arrow"], 1),
         "mmr_pool_stage_sec": round(med["pool"], 1),
         "mmr_total_sec": round(med["mmr"], 1),
         "mmr_greedy_overhead_sec": round(med["mmr"] - med["pool"], 1),
@@ -303,14 +331,21 @@ def main() -> None:
           f"{r['hybrid_sec']} | {r['fusion_overhead_sec']} |"
           for r in doc_rows]
     vh = ("| vectors | MMR pool stage (s) | MMR total (s) | greedy overhead (s) "
-          "| IVF nprobe=2 (s) | filtered (s) | rows unf/fil "
-          "| stream ingest (s) | ingest vecs/s |")
-    vs = "|---|---|---|---|---|---|---|---|---|"
+          "| IVF nprobe=2 (s) | filtered (s) | rows unf/fil |")
+    vs = "|---|---|---|---|---|---|---|"
     vl = [f"| {r['n_vecs']:,} | {r['mmr_pool_stage_sec']} | "
           f"{r['mmr_total_sec']} | {r['mmr_greedy_overhead_sec']} | "
           f"{r['ivf_unfiltered_sec']} | {r['ivf_filtered_sec']} | "
-          f"{r['ivf_unfiltered_rows']}/{r['ivf_filtered_rows']} | "
-          f"{r['ann_ingest_sec']} | {r['ann_ingest_vecs_per_sec']:,.0f} |"
+          f"{r['ivf_unfiltered_rows']}/{r['ivf_filtered_rows']} |"
+          for r in vec_rows]
+    bh = ("| vectors | build JVM (s) | build Arrow (s) | speedup "
+          "| ingest JVM (s) | JVM vecs/s | ingest Arrow (s) | Arrow vecs/s |")
+    bs = "|---|---|---|---|---|---|---|---|"
+    bl = [f"| {r['n_vecs']:,} | {r['build_jvm_sec']} | "
+          f"{r['build_arrow_sec']} | {r['build_speedup']}× | "
+          f"{r['ann_ingest_sec']} | {r['ann_ingest_vecs_per_sec']:,.0f} | "
+          f"{r['ann_ingest_arrow_sec']} | "
+          f"{r['ann_ingest_arrow_vecs_per_sec']:,.0f} |"
           for r in vec_rows]
     bd, bv = doc_rows[-1], vec_rows[-1]
     section = f"""{SECTION_START}
@@ -330,6 +365,10 @@ ORTHOGONAL vec_id%10 label, local[32], calibration pre/post
 {vs}
 {chr(10).join(vl)}
 
+{bh}
+{bs}
+{chr(10).join(bl)}
+
 - The dense leg is scan-bound ({bd['dense_docs_per_sec']:,.0f} docs/s
   at {bd['n_docs']:,} docs): the hashed-BoW dot is one codegen
   aggregate per doc against the constant query vector — no explode, no
@@ -346,16 +385,22 @@ ORTHOGONAL vec_id%10 label, local[32], calibration pre/post
   at {vec_rows[0]['n_vecs']:,} and {bv['mmr_greedy_overhead_sec']} s at
   {bv['n_vecs']:,} vectors — the wall tracks the candidate-generation
   scan (pool stage), exactly the *_rerank composition contract.
-- Streaming ANN ingest runs at the batch index build's COMPUTE bound
-  ({bv['ann_ingest_vecs_per_sec']:,.0f} vecs/s at {bv['n_vecs']:,}
-  end-to-end incl. the exactly-once sink write and read-back fold):
-  the per-micro-batch assignment is a stream-static broadcast argmin —
-  no state store, no watermark, no stream-side shuffle — and its cost
-  is the 256-centroid interpreted higher-order-function dot loop, the
-  same bound the batch ivf build and pq_encode hit (BENCH
-  pqencode_scale); micro-batch parallelism equals the staged-file
-  count, and the Arrow flat-column encode path is the production
-  escape hatch for this argmin exactly as for PQ.
+- The JVM index build is compute-bound on the 256-centroid
+  interpreted higher-order-function dot loop (Catalyst does not
+  codegen lambda bodies — the pq_encode class of bound);
+  ivf_assign_arrow does the same exact int64 argmax as one numpy
+  matmul per Arrow batch and builds the identical index (pinned by
+  test_ivf_assign_arrow_matches_jvm) {bv['build_speedup']}× faster at
+  {bv['n_vecs']:,} vectors ({bv['build_jvm_sec']} → 
+  {bv['build_arrow_sec']} s).
+- Streaming ANN ingest inherits the same bound and the same fix: the
+  stateless per-micro-batch assignment (no state store, no watermark,
+  no stream-side shuffle) runs {bv['ann_ingest_vecs_per_sec']:,.0f}
+  vecs/s in JVM mode and {bv['ann_ingest_arrow_vecs_per_sec']:,.0f}
+  vecs/s with assign="arrow" at {bv['n_vecs']:,} vectors, end-to-end
+  incl. the exactly-once sink write and read-back fold (manifests
+  identical — test_ann_ingest_arrow_equals_jvm); micro-batch
+  parallelism equals the staged-file count.
 - Filtered IVF at the same nprobe costs about the unfiltered search
   ({bv['ivf_filtered_sec']} vs {bv['ivf_unfiltered_sec']} s at
   {bv['n_vecs']:,}): the label predicate drops candidates BEFORE the

@@ -226,6 +226,88 @@ def _argmax_dot_assign(q: DataFrame, cents: DataFrame,
     )
 
 
+def ivf_assign_arrow(embeddings: DataFrame,
+                     n_centroids: int = N_CENTROIDS,
+                     dim: int | None = None,
+                     cents: DataFrame | None = None,
+                     keep: tuple = ()) -> DataFrame:
+    """Arrow/numpy scale form of ivf_assign — same (vec_id, q, *keep,
+    cent_id) index, with the nearest-centroid argmax done as ONE numpy
+    matmul per Arrow batch against the collected codebook instead of
+    the interpreted higher-order-function dot loop (Catalyst does not
+    codegen lambda bodies — the same bound pq_encode hit, where the
+    flat-column Arrow form measured 51.8× at 1M vectors;
+    BENCH/pqencode_scale.json).
+
+    Tie semantics are IDENTICAL to the JVM form: codebook rows are
+    sorted by cent_id and np.argmax returns the FIRST maximum, which is
+    exactly orderBy(dot DESC, cent_id ASC) LIMIT 1. The vector ships in
+    and out as FLAT int64 columns (never a list column — Arrow
+    materializes one ndarray object per row for lists, measured ~10×
+    the matmuls it feeds) and the array<bigint> shape the search path
+    expects is re-assembled JVM-side.
+
+    ``cents`` overrides the codebook frame (cent_id, cv) — the frozen
+    external codebook of the streaming ingest / incremental-assign
+    paths; default derives it from ``embeddings`` like ivf_assign.
+    ``dim`` defaults to the codebook's own width (works for the 64-dim
+    table and the 32-dim bench corpus alike).
+    Contract: assigns exactly-``dim``-length NULL-free vectors (the
+    explicit malformed-row exclusion, same as pq_encode_arrow); a
+    malformed CODEBOOK row is a ValueError, not a silent skew. Oracle
+    queries keep the JVM form (registry plan guardrail); this is the
+    deployed index-build / ingest path. Identity with ivf_assign is
+    pinned by test_ivf_assign_arrow_matches_jvm."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    if cents is None:
+        cents = quantized(embeddings).where(
+            F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("cent_id"), F.col("q").alias("cv"))
+    rows = sorted(cents.collect(), key=lambda r: r["cent_id"])
+    if not rows:
+        raise ValueError("empty centroid codebook")
+    if dim is None:  # derive the vector width from the codebook itself
+        dim = len(rows[0]["cv"]) if rows[0]["cv"] is not None else 0
+    bad = [r["cent_id"] for r in rows
+           if r["cv"] is None or len(r["cv"]) != dim
+           or any(v is None for v in r["cv"])]
+    if bad:
+        raise ValueError(f"malformed codebook centroids: {bad}")
+    cb = np.asarray([r["cv"] for r in rows], dtype=np.int64)   # (nc, dim)
+    cent_ids = np.asarray([r["cent_id"] for r in rows], dtype=np.int64)
+
+    qcols = [f"q{i}" for i in range(dim)]
+    schema = StructType(
+        [StructField("vec_id", LongType())]
+        + [f for f in quantized(embeddings).select(*keep).schema.fields]
+        + [StructField(c, LongType()) for c in qcols]
+        + [StructField("cent_id", LongType())])
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = pdf[qcols].to_numpy(dtype=np.int64)
+            best = np.argmax(x @ cb.T, axis=1)     # first max = low cent
+            out = pdf.copy()
+            out["cent_id"] = cent_ids[best]
+            yield out
+
+    qflat = (
+        quantized(embeddings)
+        .where((F.size("q") == dim)
+               & F.expr("forall(q, x -> x is not null)"))
+        .select("vec_id", *keep,
+                *[F.element_at("q", i + 1).alias(c)
+                  for i, c in enumerate(qcols)]))
+    flat = qflat.mapInPandas(assign, schema=schema)
+    return flat.select("vec_id", F.array(*qcols).alias("q"), *keep,
+                       "cent_id")
+
+
 def ivf_assign_incremental(index: DataFrame, new_embeddings: DataFrame,
                            n_centroids: int = N_CENTROIDS) -> DataFrame:
     """Maintain an IVF index under append-only ingest: assign ONLY the

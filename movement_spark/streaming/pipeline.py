@@ -773,8 +773,8 @@ def run_streaming_ann_ingest(spark: SparkSession, sf_dir: str,
                              sink_dir: str | None = None,
                              checkpoint_dir: str | None = None,
                              listener=None,
-                             files_per_trigger: int | None = None
-                             ) -> DataFrame:
+                             files_per_trigger: int | None = None,
+                             assign: str = "jvm") -> DataFrame:
     """Streaming IVF index ingest: a live embedding stream is assigned
     to a FROZEN coarse codebook micro-batch by micro-batch (the
     stream-static broadcast form of similarity.ivf_assign_incremental)
@@ -792,12 +792,19 @@ def run_streaming_ann_ingest(spark: SparkSession, sf_dir: str,
     assignment over the same table, which is the oracle statement: the
     online and offline index builds commute.
 
+    ``assign="arrow"`` swaps the interpreted JVM argmin for the
+    flat-column numpy form (similarity.ivf_assign_arrow) inside each
+    micro-batch — the deployed path once ingest is compute-bound on the
+    centroid loop (same escape hatch as pq_encode_arrow; identity
+    pinned by test_ann_ingest_arrow_equals_jvm). The registered oracle
+    query keeps "jvm" (registry plan guardrail: no Python stages).
+
     Reference scope: Emitter→Encoder→Output over vectors instead of
     token shards; the codebook-frozen contract mirrors
     ivf_assign_incremental (pinned by test_ivf_incremental_equals_rebuild).
     """
     from movement_spark.operators.similarity import (
-        _argmax_dot_assign, quantized)
+        _argmax_dot_assign, ivf_assign_arrow, quantized)
 
     cents = (quantized(
         spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")))
@@ -811,9 +818,12 @@ def run_streaming_ann_ingest(spark: SparkSession, sf_dir: str,
     src = (spark.readStream.schema(EMB_STREAM_SCHEMA)
            .option("maxFilesPerTrigger", files_per_trigger)
            .parquet(stage))
-    assigned = _argmax_dot_assign(
-        quantized(src).select("vec_id", "q", "label"),
-        cents, keep=("label",))
+    if assign == "arrow":
+        assigned = ivf_assign_arrow(src, cents=cents, keep=("label",))
+    else:
+        assigned = _argmax_dot_assign(
+            quantized(src).select("vec_id", "q", "label"),
+            cents, keep=("label",))
     out = assigned.select("vec_id", "label", "cent_id")
     sink = IdempotentKeyedSink(sink_dir or _tmp("msai_sink_"), ["vec_id"])
     _run_to_sink(out, sink, checkpoint_dir or _tmp("msai_ck_"), listener)

@@ -1535,3 +1535,30 @@ def test_mmr_second_pick_skips_near_duplicate(spark):
     assert got[2]["vec_id"] == 12, "MMR kept the near-duplicate"
     # quantized ints: rel(12)=18e6, sim(12,10)=0 -> score = A*rel
     assert got[2]["score"] == MMR_A * got[2]["rel"] - MMR_B * 0
+
+
+def test_ivf_assign_arrow_matches_jvm(spark, sf_dir):
+    """The Arrow flat-column assignment must be row-identical to the
+    JVM expression form — same q arrays, same cent_id per vec_id, same
+    tie-break (codebook rows sorted by cent_id + np.argmax first-max ==
+    orderBy(dot DESC, cent_id ASC) LIMIT 1) — and must EXCLUDE the
+    same malformed rows; a malformed CODEBOOK row raises instead of
+    silently skewing every assignment."""
+    import pytest
+
+    from movement_spark.operators.similarity import (
+        ivf_assign, ivf_assign_arrow)
+    from movement_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    jvm = {r["vec_id"]: (tuple(r["q"]), r["cent_id"])
+           for r in ivf_assign(emb).collect()}
+    arrow = {r["vec_id"]: (tuple(r["q"]), r["cent_id"])
+             for r in ivf_assign_arrow(emb).collect()}
+    assert jvm == arrow and len(jvm) > 0
+    # malformed codebook -> explicit error
+    bad = spark.createDataFrame(
+        [(0, [1.0] * 64, 0), (1, [0.5, 0.5], 1), (2, [2.0] * 64, 0)],
+        "vec_id long, embedding array<float>, label int")
+    with pytest.raises(ValueError, match="malformed codebook"):
+        ivf_assign_arrow(bad, n_centroids=2)

@@ -1436,3 +1436,24 @@ def test_ann_ingest_resumes_and_replays_idempotently(spark, sf_dir):
                                       sink_dir=sink_dir, checkpoint_dir=ck)
     assert replay.exceptAll(expected).count() == 0
     assert replay.count() == expected.count()
+
+
+def test_ann_ingest_arrow_equals_jvm(spark, sf_dir):
+    """The arrow assignment mode must produce the identical inverted-
+    list manifest to the JVM mode over the same staged stream — the
+    per-micro-batch numpy argmax and the interpreted argmin agree
+    row-for-row (codebook sorted by cent_id + first-max tie-break)."""
+    from movement_spark.streaming.pipeline import (
+        run_streaming_ann_ingest, stage_embedding_stream)
+
+    stage = _mkdir()
+    stage_embedding_stream(spark, sf_dir, stage)
+    jvm = run_streaming_ann_ingest(
+        spark, sf_dir, stage_dir=stage, sink_dir=_mkdir(),
+        checkpoint_dir=_mkdir(), assign="jvm")
+    arrow = run_streaming_ann_ingest(
+        spark, sf_dir, stage_dir=stage, sink_dir=_mkdir(),
+        checkpoint_dir=_mkdir(), assign="arrow")
+    assert jvm.count() > 0
+    assert jvm.exceptAll(arrow).count() == 0
+    assert arrow.exceptAll(jvm).count() == 0
