@@ -1332,3 +1332,34 @@ def mmr_diversified_topk(embeddings: DataFrame, n_queries: int = 4,
     return embeddings.sparkSession.createDataFrame(
         rows, schema="query_id bigint, vec_id bigint, rel bigint, "
                      "score bigint, mmr_rank int")
+
+
+def ivf_recall_audit(embeddings: DataFrame, n_queries: int = 10,
+                     k: int = 5, n_centroids: int = N_CENTROIDS,
+                     nprobe: int = 1) -> DataFrame:
+    """Per-query recall@k of the IVF index against the exact scan — the
+    index-quality dashboard row a deployed ANN store recomputes after
+    every build/re-cluster (bench/ann_scale.py measures the same
+    number offline; this is its first-class oracle-gated form).
+
+    recall_bps = hits·10000 div k with the exact top-k as truth (the
+    standard recall@k denominator — an IVF list shorter than k counts
+    as misses). Deterministic: both rankings tie-break by vec_id, so
+    the hit set is engine-reproducible. Scale shape: the truth scan is
+    the expensive side (exact top-k); production samples n_queries ≪
+    corpus and reuses the persisted index for the approx side — the
+    audit costs one bounded scan, not a second index build."""
+    truth = brute_force_topk(embeddings, n_queries, k).select(
+        "query_id", "vec_id")
+    approx = ivf_topk(embeddings, n_queries, k, n_centroids,
+                      nprobe).select("query_id", "vec_id")
+    hits = (truth.join(approx, ["query_id", "vec_id"])
+            .groupBy("query_id").agg(F.count("*").alias("n_hit")))
+    base = truth.select("query_id").distinct()
+    return (
+        base.join(hits, "query_id", "left")
+        .select("query_id",
+                F.coalesce("n_hit", F.lit(0)).cast("int").alias("n_hit"),
+                F.expr(f"coalesce(n_hit, 0L) * 10000 div {k}")
+                .cast("bigint").alias("recall_bps"))
+    )

@@ -6414,6 +6414,68 @@ def q_streaming_ann_ingest(spark, sf_dir):
         spark, sf_dir, n_centroids=similarity.N_CENTROIDS)
 
 
+@register("ann_ivf_recall_audit", f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x ->
+           CAST(round(CAST(x AS DOUBLE) * {similarity.QUANT}, 0) AS BIGINT)) AS qv
+  FROM embeddings),
+queries AS (SELECT vec_id AS query_id, qv AS query_v FROM q
+            WHERE vec_id < 10),
+bscored AS (
+  SELECT query_id, q.vec_id,
+         CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+              i -> q.qv[i] * queries.query_v[i])) AS BIGINT) AS dot
+  FROM q CROSS JOIN queries WHERE q.vec_id <> queries.query_id),
+brutek AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY dot DESC, vec_id ASC) AS rank
+    FROM bscored) WHERE rank <= 5),
+cents AS (SELECT vec_id AS cent_id, qv AS cv FROM q
+          WHERE vec_id < {similarity.N_CENTROIDS}),
+cscored AS (
+  SELECT q.vec_id, q.qv, cents.cent_id,
+         CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+              i -> q.qv[i] * cents.cv[i])) AS BIGINT) AS cdot
+  FROM q CROSS JOIN cents),
+assigned AS (
+  SELECT vec_id, qv, cent_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cdot DESC, cent_id ASC) AS rn
+    FROM cscored) WHERE rn = 1),
+iqueries AS (SELECT vec_id AS query_id, qv AS query_v, cent_id AS q_cent
+             FROM assigned WHERE vec_id < 10),
+icand AS (
+  SELECT query_id, a.vec_id,
+         CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+              i -> a.qv[i] * iqueries.query_v[i])) AS BIGINT) AS dot
+  FROM assigned a JOIN iqueries ON a.cent_id = iqueries.q_cent
+  WHERE a.vec_id <> iqueries.query_id),
+ivfk AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY dot DESC, vec_id ASC) AS rank
+    FROM icand) WHERE rank <= 5),
+hits AS (
+  SELECT b.query_id, COUNT(*) AS n_hit
+  FROM brutek b JOIN ivfk i
+    ON b.query_id = i.query_id AND b.vec_id = i.vec_id
+  GROUP BY 1)
+SELECT b.query_id, CAST(coalesce(h.n_hit, 0) AS INT) AS n_hit,
+       CAST(coalesce(h.n_hit, 0) * 10000 // 5 AS BIGINT) AS recall_bps
+FROM (SELECT DISTINCT query_id FROM brutek) b
+LEFT JOIN hits h ON b.query_id = h.query_id
+""")
+def q_ivf_recall_audit(spark, sf_dir):
+    """Per-query recall@k of the IVF index vs the exact scan — the
+    index-quality dashboard an ANN deployment recomputes after every
+    build/re-cluster, as a first-class oracle-gated query (both
+    rankings tie-break by vec_id, so the hit set is deterministic)."""
+    return similarity.ivf_recall_audit(
+        load_table(spark, sf_dir, "embeddings"))
+
+
 @register("ann_filtered_topk", _IVF_FILTERED_SQL)
 def q_ann_filtered(spark, sf_dir):
     """Metadata-filtered IVF search (label predicate evaluated inside
@@ -6595,6 +6657,7 @@ _FRONT = [
     "ann_filtered_topk",
     "mmr_diversified_topk",
     "streaming_ann_ingest",
+    "ann_ivf_recall_audit",
     # --- Re-verification: load-bearing rows whose only green driver
     # row is r01 (two rounds stale). The driver re-runs whatever is in
     # the window; green re-runs prove no silent regression since r01.

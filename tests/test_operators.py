@@ -1562,3 +1562,22 @@ def test_ivf_assign_arrow_matches_jvm(spark, sf_dir):
         "vec_id long, embedding array<float>, label int")
     with pytest.raises(ValueError, match="malformed codebook"):
         ivf_assign_arrow(bad, n_centroids=2)
+
+
+def test_ivf_recall_audit_full_probe_is_perfect(spark, sf_dir):
+    """Recall semantics pin: probing EVERY inverted list makes IVF ==
+    the exact scan, so the audit must report 10000 bps for every query;
+    at nprobe=1 the audit stays within [0, 10000] with n_hit*2000 ==
+    recall_bps (k=5)."""
+    from movement_spark.operators.similarity import (
+        N_CENTROIDS, ivf_recall_audit)
+    from movement_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    full = ivf_recall_audit(emb, nprobe=N_CENTROIDS).collect()
+    assert len(full) == 10
+    assert all(r["recall_bps"] == 10000 for r in full), full
+    one = ivf_recall_audit(emb, nprobe=1).collect()
+    for r in one:
+        assert 0 <= r["recall_bps"] <= 10000
+        assert r["recall_bps"] == r["n_hit"] * 2000, r
