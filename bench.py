@@ -104,12 +104,18 @@ def main() -> None:
         "hybrid_rrf_retrieval", "ann_filtered_topk",
         "mmr_diversified_topk",
     )
+    # Same median-of-3 + recorded spread as the headline ten (VERDICT
+    # r04 #5): without the band, a single-shot drift like pagerank's
+    # apparent +13% r03→r04 is unreadable as signal vs hypervisor noise.
     extended: dict[str, float] = {}
+    extended_spread: dict[str, dict] = {}
     for name in EXTENDED:
         if name in qs:
-            extended[name] = round(
-                time_query_stats(qs[name], spark, sf_dir, runs=3)["median"],
-                3)
+            st = time_query_stats(qs[name], spark, sf_dir, runs=3)
+            extended[name] = round(st["median"], 3)
+            extended_spread[name] = {"min": round(st["min"], 3),
+                                     "max": round(st["max"], 3),
+                                     "runs": st["runs"]}
 
     # Streaming throughput. state_partitions pinned at 8: stateful
     # shuffle layout is a deployment constant sized to key cardinality
@@ -254,6 +260,7 @@ def main() -> None:
         "queries": timings,
         "query_spread": spread,
         "extended_queries": extended,
+        "extended_query_spread": extended_spread,
         "sf": sf,
         "cpus": cpus,
         "calibration_sec": calibration_sec,

@@ -240,7 +240,9 @@ def run_vec_level(spark: SparkSession, n_vecs: int) -> dict:
         n_assigned = manifest.agg(F.sum("n_vecs")).collect()[0][0]
         ing[mode] = time.perf_counter() - t0
         assert n_assigned == n_vecs
-    t_ing = ing["jvm"]
+    # arrow is the deployed ingest default (pipeline.py) — report it as
+    # the headline; the jvm oracle form stays as the comparison row
+    t_ing = ing["arrow"]
     shutil.rmtree(ingest_stage, ignore_errors=True)
 
     shutil.rmtree(d, ignore_errors=True)

@@ -26,11 +26,21 @@ def quantized(embeddings: DataFrame) -> DataFrame:
     excluded here, at the shared entry: every downstream distance on a
     NULL array is NULL and silently drops from top-k/thresholds, but
     excluding the rows up front keeps the contract explicit and the
-    scan cheaper. Wrong-LENGTH vectors are a separate contract enforced
-    where per-dimension indexing lives (sq8_train/sq8_encode) — the
-    zip_with-based distances are total over them (NULL-padded → NULL
-    score → dropped), matching the oracle's NULL semantics."""
-    return embeddings.where(F.col("embedding").isNotNull()).select(
+    scan cheaper. Null ELEMENTS (correct length, one missing value)
+    are excluded here too: they dot/L2 to NULL against everything, and
+    while top-k paths drop them naturally, the argmin/argmax ASSIGN
+    paths would silently park them on id 0 (skew — the malformed-row
+    bug class CLAUDE.md forbids) and sq8_train's per-dim min/max would
+    let their NON-null dims shift everyone's codebook. One shared
+    exclusion keeps every consumer — and the JVM vs Arrow assign forms
+    — agreeing on exactly which rows exist. Wrong-LENGTH vectors are a
+    separate contract enforced where per-dimension indexing lives
+    (sq8_train/sq8_encode) — the zip_with-based distances are total
+    over them (NULL-padded → NULL score → dropped), matching the
+    oracle's NULL semantics."""
+    return embeddings.where(
+        F.col("embedding").isNotNull()
+        & F.expr("forall(embedding, x -> x is not null)")).select(
         "vec_id", "label",
         F.expr(f"transform(embedding, x -> cast(round(cast(x as double) * {QUANT}, 0) as bigint))")
         .alias("q"),
@@ -219,8 +229,13 @@ def _argmax_dot_assign(q: DataFrame, cents: DataFrame,
         # (works at any corpus dim; benches run 32, the table 64).
         # get(), not cents[0]: [] on an EMPTY centroid list is an ANSI
         # INVALID_ARRAY_INDEX crash; get() is NULL there, so the filter
-        # drops every row instead (totality rule, CLAUDE.md)
-        .where(F.expr("size(q) = size(get(cents, 0).cv)"))
+        # drops every row instead (totality rule, CLAUDE.md).
+        # forall: a correct-length vector with a NULL ELEMENT dots to
+        # NULL against every centroid and the struct-argmin would
+        # silently assign it to cent_id 0 (skew) — drop it here so the
+        # JVM and Arrow forms agree on exactly which rows are indexed
+        .where(F.expr("size(q) = size(get(cents, 0).cv)"
+                      " and forall(q, x -> x is not null)"))
         .withColumn("m", best)
         .select("vec_id", "q", *keep, F.col("m.cent_id").alias("cent_id"))
     )
@@ -895,8 +910,11 @@ def _lloyd_rounds(q: DataFrame, k: int, iters: int):
             # same dim-agnostic exclusion as _argmax_dot_assign: a
             # wrong-length q has a NULL L2 against every centroid and
             # must not be assigned anywhere (it skewed the means);
-            # get() for the empty-list totality case, as above
-            .where(F.expr("size(q) = size(get(cents, 0).c)"))
+            # get() for the empty-list totality case, as above.
+            # forall: null-ELEMENT rows also L2 to NULL everywhere and
+            # the struct-argmin would silently park them in cluster 0
+            .where(F.expr("size(q) = size(get(cents, 0).c)"
+                          " and forall(q, x -> x is not null)"))
             .withColumn("m", argmin)
             .select("vec_id", F.col("m.cluster").alias("cluster"), "q"))
         est = (
@@ -1252,29 +1270,13 @@ MMR_K = 3
 MMR_A, MMR_B = 2, 1
 
 
-def mmr_diversified_topk(embeddings: DataFrame, n_queries: int = 4,
-                         pool: int = MMR_POOL, k: int = MMR_K) -> DataFrame:
-    """Maximal-marginal-relevance diversified top-k (Carbonell &
-    Goldstein's MMR): greedily pick, k times, the candidate maximizing
-    MMR_A·relevance − MMR_B·max-similarity-to-already-selected — the
-    diversity-aware serving layer that keeps a near-dup-heavy corpus
-    from returning k copies of one document.
-
-    Scale shape: the DISTRIBUTED stage is candidate generation (here
-    the brute-force scan pool; production composes the IVF/PQ stage,
-    identical contract to the *_rerank family) bounded to ``pool`` rows
-    per query; the greedy loop then runs k UNROLLED join+argmax steps
-    over the ≤pool-row per-query frames — every step's inputs are
-    pool-bounded (pairs ≤ pool², selected ≤ k), so the unroll costs
-    O(k · pool²) per query regardless of corpus size. Each step's
-    argmax is the same one-row window as everywhere else (ties by
-    vec_id — deterministic, oracle-reproducible). The first pick's
-    score is MMR_A·rel (nothing selected yet ⇒ max_sim = 0).
-
-    At production pool sizes you would collect each query's pool into
-    one row (collect_list ≤ pool structs) and run the greedy loop in a
-    single expression; the unrolled relational form is kept because it
-    is engine-portable and k is small for serving (3-10)."""
+def _mmr_candidate_pool(embeddings: DataFrame, n_queries: int,
+                        pool: int) -> DataFrame:
+    """Shared MMR stage 1 — the DISTRIBUTED part: per-query relevance
+    scan bounded to ``pool`` candidates (query side broadcast, corpus
+    streams through once, per-query top-pool window). Production
+    composes the IVF/PQ candidate stage here instead (identical
+    contract to the *_rerank family)."""
     q = quantized(embeddings)
     queries = q.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qv"))
@@ -1285,15 +1287,49 @@ def mmr_diversified_topk(embeddings: DataFrame, n_queries: int = 4,
     )
     w_rel = Window.partitionBy("query_id").orderBy(
         F.desc("rel"), F.asc("vec_id"))
+    return (scored.withColumn("_rn", F.row_number().over(w_rel))
+            .where(F.col("_rn") <= pool)
+            .select("query_id", "vec_id", "q", "rel"))
+
+
+def mmr_diversified_topk(embeddings: DataFrame, n_queries: int = 4,
+                         pool: int = MMR_POOL, k: int = MMR_K,
+                         mode: str = "bulk") -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k (Carbonell &
+    Goldstein's MMR): greedily pick, k times, the candidate maximizing
+    MMR_A·relevance − MMR_B·max-similarity-to-already-selected — the
+    diversity-aware serving layer that keeps a near-dup-heavy corpus
+    from returning k copies of one document.
+
+    Scale shape: the DISTRIBUTED stage is candidate generation
+    (``_mmr_candidate_pool``); the greedy loop is inherently sequential
+    per query, so the default ``mode="bulk"`` collects each query's
+    ≤pool candidates into ONE row (collect_list of structs, sorted for
+    determinism) and runs all k greedy steps inside a single aggregate
+    expression — one job, no unrolled plan, no driver collect; per-row
+    work is O(k·pool·k) dots, bounded regardless of corpus size.
+
+    ``mode="unrolled"`` is the engine-portable relational cross-check:
+    k UNROLLED join+argmax steps over the pool-bounded frames (pairs ≤
+    pool², selected ≤ k) — the form the DuckDB oracle mirrors
+    step-for-step. Both tie-break by vec_id (argmax by score DESC,
+    vec_id ASC; first pick's score is MMR_A·rel since max_sim = 0), so
+    the forms are bit-identical — pinned by
+    test_mmr_bulk_equals_unrolled. The unrolled form pays plan-compile
+    per step (measured 3.2 s at sf0.1 vs well under 1 s bulk) and a
+    driver collect; keep it for oracle work only."""
+    cand = _mmr_candidate_pool(embeddings, n_queries, pool)
+    if mode == "bulk":
+        return _mmr_greedy_bulk(cand, k)
     # persist the pool: every greedy step's rem/sc branch and the pairs
     # self-join re-reference it — without the cache the unrolled plan
     # recomputes the corpus scan once PER BRANCH (~2k times), which is
     # exactly the lineage blow-up connected_components/pagerank guard
     # against. Released below after the ≤ n_queries·k result rows are
     # materialized (the pagerank cache-lifetime pattern, graph.py).
-    cand = (scored.withColumn("_rn", F.row_number().over(w_rel))
-            .where(F.col("_rn") <= pool)
-            .select("query_id", "vec_id", "q", "rel").persist())
+    cand = cand.persist()
+    w_rel = Window.partitionBy("query_id").orderBy(
+        F.desc("rel"), F.asc("vec_id"))
     a = cand.select("query_id", F.col("vec_id").alias("a_vec"),
                     F.col("q").alias("aq"))
     b = cand.select("query_id", F.col("vec_id").alias("b_vec"),
@@ -1332,6 +1368,43 @@ def mmr_diversified_topk(embeddings: DataFrame, n_queries: int = 4,
     return embeddings.sparkSession.createDataFrame(
         rows, schema="query_id bigint, vec_id bigint, rel bigint, "
                      "score bigint, mmr_rank int")
+
+
+def _mmr_greedy_bulk(cand: DataFrame, k: int) -> DataFrame:
+    """The production MMR greedy: one row per query holding its sorted
+    candidate pool, all k picks computed inside ONE aggregate
+    expression — no per-step plan, no driver collect. Semantics are
+    exactly the unrolled form's: step score = MMR_A·rel −
+    MMR_B·max-dot-to-selected (0 when nothing is selected — the first
+    pick), argmax ties by vec_id via array_min on struct(-score,
+    vec_id). Totality: the if-guard stops appending once the pool is
+    exhausted (pool < k), so array_min never sees an empty array and a
+    query with an empty pool yields zero rows, same as unrolled.
+    sort_array fixes collect_list's nondeterministic order."""
+    grouped = cand.groupBy("query_id").agg(
+        F.expr("sort_array(collect_list(struct(vec_id, rel, q)))")
+        .alias("pool"))
+    sel = (
+        f"aggregate(sequence(1, {k}), "
+        "cast(array() as array<struct<vec_id: bigint, rel: bigint, "
+        "score: bigint, mmr_rank: int, qv: array<bigint>>>), "
+        "(sel, t) -> if(size(sel) >= size(pool), sel, array_append(sel, "
+        "transform(array(array_min(transform("
+        "filter(pool, c -> !exists(sel, s -> s.vec_id = c.vec_id)), "
+        f"c -> struct(-({MMR_A} * c.rel - {MMR_B} * coalesce(array_max("
+        "transform(sel, s -> aggregate(zip_with(c.q, s.qv, "
+        "(x, y) -> x * y), 0L, (acc, v) -> acc + v))), 0L)) as negscore, "
+        "c.vec_id as vec_id, c.rel as rel, c.q as q)))), "
+        "b -> named_struct('vec_id', b.vec_id, 'rel', b.rel, "
+        "'score', -b.negscore, 'mmr_rank', t, 'qv', b.q))[0])))"
+    )
+    return (
+        grouped.select("query_id", F.explode(F.expr(sel)).alias("s"))
+        .select("query_id", F.col("s.vec_id").alias("vec_id"),
+                F.col("s.rel").alias("rel"),
+                F.col("s.score").cast("bigint").alias("score"),
+                F.col("s.mmr_rank").cast("int").alias("mmr_rank"))
+    )
 
 
 def ivf_recall_audit(embeddings: DataFrame, n_queries: int = 10,

@@ -6408,10 +6408,14 @@ def q_streaming_ann_ingest(spark, sf_dir):
     shuffle) into the exactly-once vec_id-keyed sink; the read-side
     fold is the inverted-list manifest. Oracle = the BATCH assignment
     over the same table — the online and offline index builds commute,
-    which is the ivf_assign_incremental contract in streaming form."""
+    which is the ivf_assign_incremental contract in streaming form.
+    assign="jvm" pinned here: the oracle row keeps the all-JVM codegen
+    argmin (no Python stages in registry plans); the deployed default
+    is the Arrow form, identity pinned by
+    test_ann_ingest_arrow_equals_jvm."""
     from movement_spark.streaming.pipeline import run_streaming_ann_ingest
     return run_streaming_ann_ingest(
-        spark, sf_dir, n_centroids=similarity.N_CENTROIDS)
+        spark, sf_dir, n_centroids=similarity.N_CENTROIDS, assign="jvm")
 
 
 @register("ann_ivf_recall_audit", f"""
@@ -6573,141 +6577,142 @@ def q_mmr_diversified(spark, sf_dir):
 
 # ---------------------------------------------------------------------
 # Driver-gate ordering. The correctness sweep evaluates the registry in
-# insertion order and time-boxes at ~50 rows (r01 truncated at 49; r02
-# and r03 each verified exactly the first 50). Cumulative green driver
-# rows through r03: 150 of 164 — every row ever emitted is green. The
-# round-4 order puts the 14 never-driver-verified queries at positions
-# 0-13 (cheap batch first, per measured sf0.01 wall), then any round-4
-# additions, then re-verification of the most load-bearing r01 rows
-# (two rounds stale against evolving code), so the gate both closes the
-# registry to 164/164 cumulative AND proves no silent regression.
+# insertion order and time-boxes at ~50 rows (r01 truncated at 49;
+# r02-r04 each verified exactly the first 50). Cumulative green driver
+# rows through r04: 200 of 213 distinct — every row ever emitted is
+# green. The round-5 order puts the 13 never-driver-verified round-4
+# queries at positions 0-12 (closing the registry to 213/213
+# cumulative), reserves the next slots for round-5 additions, then runs
+# the driver-signed re-verification rotation stalest-first: all 50 rows
+# whose only green row is r01, then the 50 r02-only rows — so every
+# registry row gets a fresh driver row at least every ~4 rounds.
 # ---------------------------------------------------------------------
 _FRONT = [
-    # --- The 14 queries with no CORRECTNESS_r01/r02/r03 row (they sat
-    # at positions 50-63 last round, beyond the time-box). Cheap batch
-    # shapes first, the ANN PQ family next, streaming last.
-    "funnel_conversion",
-    "sole_fault_suppliers",
-    "source_drift_tvd",
-    "cross_source_dup_matrix",
-    "simhash_wide_pairs",
-    "lm_fluency_scores",
-    "bpe_encode_stats",
-    "bpe_merge_table",
-    "ann_pq_topk",
-    "ann_pq_trained_topk",
-    "ann_pq_rerank_topk",
-    "ann_ivfpq_topk",
-    "ann_ivfpq_rerank_topk",
-    "streaming_drift_monitor",
-    # --- Round-4 additions (never driver-verified) go here, ahead of
-    # re-verification rows but after the backlog.
-    "ann_ivf_incremental_lists",
-    "shard_shuffle_manifest",
-    "quality_weighted_mix",
-    "dsir_importance_weights",
-    "duplicate_ngram_coverage",
-    "dup_span_scrub_stats",
-    "semantic_dedup_stats",
-    "top_ngram_fraction",
-    "streaming_neardup_monitor",
-    # --- Round-4 continuation additions (never driver-verified).
-    "hashed_classifier_scores",
-    "bm25_doc_retrieval",
-    "source_cap_manifest",
-    "ann_sq8_topk",
-    "ann_sq8_rerank_topk",
-    "small_quantity_part_revenue",
-    "epoch_schedule_manifest",
-    # --- Round-4 third-session additions (never driver-verified).
-    "large_volume_customers",
-    "disjunctive_bracket_revenue",
-    "promo_revenue_share",
-    "priority_ship_delay_matrix",
-    "local_supplier_volume",
-    "hard_negative_mining",
-    "prefix_boilerplate_clusters",
-    "ann_trunc_topk",
-    "ann_trunc_rerank_topk",
-    "doc_novelty_scores",
-    "source_quality_percentile_cut",
-    # --- Round-4 third-session TPC-H completion (never driver-verified):
-    # with these the registry covers all 22 TPC-H query shapes.
-    "shipping_priority_topk",
-    "forecast_revenue_change",
-    "volume_shipping",
-    "nation_market_share",
-    "product_type_profit",
-    "returned_item_reporting",
-    "supplier_relation_counts",
-    "dominant_part_suppliers",
-    # --- Round-4 fourth-session additions (never driver-verified).
-    "reshard_movement_matrix",
+    # --- The 13 queries with no CORRECTNESS_r01-r04 row (they sat at
+    # _FRONT[50:63] last round, past the ~50-row time-box). Cheap
+    # batch shapes first, streaming last; green r05 rows here close
+    # the registry to 213/213 cumulative driver-green.
     "incremental_state_merge",
     "quantile_sketch_profile",
     "range_layout_plan",
+    "hybrid_rrf_retrieval",
+    "ann_filtered_topk",
+    "ann_ivf_recall_audit",
+    "mmr_diversified_topk",
     "streaming_quantile_monitor",
-    # --- Round-4 fifth-session additions (never driver-verified).
     "streaming_cms_monitor",
     "streaming_loglog_monitor",
     "streaming_backfill_handoff",
     "streaming_late_repair",
-    # --- Round-4 sixth-session additions (never driver-verified).
-    "hybrid_rrf_retrieval",
-    "ann_filtered_topk",
-    "mmr_diversified_topk",
     "streaming_ann_ingest",
-    "ann_ivf_recall_audit",
-    # --- Re-verification: load-bearing rows whose only green driver
-    # row is r01 (two rounds stale). The driver re-runs whatever is in
-    # the window; green re-runs prove no silent regression since r01.
-    "streaming_ordered_merge",
-    "merged_doc_check",
-    "late_data_audit",
-    "output_id_allocation",
-    "dangling_edge_audit",
-    "pricing_summary",
-    "part_best_supplier",
-    "brand_value_concentration",
-    "token_topk",
-    "emitable_tree_expansion",
-    "work_chunk_stats",
-    "csv_directory_roundtrip",
-    "shard_pair_join",
-    "events_sessionization",
-    "validation_audit",
+    # --- Round-5 additions (never driver-verified) land HERE, ahead
+    # of re-verification rows but after the backlog (registry-growth
+    # invariant, CLAUDE.md).
+    # --- Re-verification rotation, stalest first: the 50 rows whose
+    # only green driver row is r01 (four rounds of code evolution
+    # since), in registry order; ~37 fit the r05 window, the rest
+    # are priority ordering for whatever budget remains.
     "tumbling_token_throughput",
     "sliding_token_throughput",
     "session_token_windows",
-    # --- Re-verification: r02 rows backing this round's edited code
-    # paths (BPE localCheckpoint lands in text.py; dedup/PQ untouched
-    # but adjacent) plus the r02 streaming chain forms.
-    "ann_brute_force_topk",
-    "minhash_lsh_stats",
-    "dedup_canonical_manifest",
-    "cc_pointer_doubling",
-    "kmv_set_algebra",
-    "dedup_exact_stats",
-    "span_ownership_stats",
-    "embedding_cosine_neardup",
-    "kmeans_training_loop",
+    "merged_doc_check",
+    "shard_pair_join",
+    "work_chunk_stats",
+    "late_data_audit",
+    "pricing_summary",
+    "top_customers_by_revenue",
+    "region_rollup",
+    "order_rank_per_customer",
     "supplier_part_volume",
+    "priority_set_ops",
+    "event_type_daily_matrix",
+    "events_tumbling_stats",
+    "events_sessionization",
+    "dedup_exact_stats",
+    "minhash_lsh_stats",
+    "ngram_jaccard_pairs",
+    "dedup_cluster_components",
+    "simhash_docs",
+    "ann_brute_force_topk",
+    "ann_lsh_topk",
+    "embedding_cosine_neardup",
+    "dangling_edge_audit",
+    "order_priority_semijoin",
+    "idle_rich_customers",
     "grouping_sets_volume",
-    # --- Re-verification: rows green in r03 but whose code changed
-    # AFTER r03's sweep (multimodal.py corpus_stage_key content-hash
-    # fix), then the most-stale r01-only rows over this round's edited
-    # files (text.py). Positions past the ~50-row time-box are a
-    # priority ordering for whatever the driver still has budget for.
-    "multimodal_binary_ingest",
-    "multimodal_feature_stats",
-    "multimodal_resize",
-    "multimodal_frame_sample",
+    "csv_directory_roundtrip",
     "text_tokenize_stats",
     "text_quality_scores",
     "text_langid_heuristic",
     "doc_fingerprints",
-    "ngram_jaccard_pairs",
+    "emitable_tree_expansion",
+    "token_topk",
+    "token_position_stats",
+    "asof_purchase_gap",
+    "orders_by_weekday",
+    "orders_moving_revenue",
+    "repeat_customer_intersect",
+    "json_props_stats",
+    "validation_audit",
+    "order_value_quantiles",
+    "kmv_distinct_sketch",
+    "user_interarrival_stats",
+    "funnel_detection",
+    "orders_cube",
+    "output_id_allocation",
     "streaming_tumbling_pipeline",
+    "streaming_ordered_merge",
+    # --- Then the r02-stale rows (three rounds old).
+    "normalized_dup_stats",
+    "cc_pointer_doubling",
+    "leakage_safe_split_stats",
+    "span_ownership_stats",
+    "customer_order_distribution",
+    "streaming_leaderboard",
+    "kmeans_training_loop",
+    "segment_priority_mode",
+    "unpivot_event_matrix",
+    "ushape_attribution",
+    "session_touch_attribution",
+    "jsonl_roundtrip",
+    "order_value_histogram",
+    "orders_column_profile",
+    "source_silence_audit",
+    "window_share_of_total",
+    "daily_bounce_rate",
+    "triangle_count_token_graph",
+    "dedup_canonical_manifest",
+    "doc_chunking_stats",
+    "multires_rollup_chain",
+    "session_dynamic_gap",
+    "kmv_set_algebra",
+    "event_transition_matrix",
+    "event_path_trigrams",
+    "event_copresence_lift",
+    "event_type_daily_trend",
+    "lsh_containment_pairs",
+    "incremental_ingest_dedup",
+    "part_best_supplier",
+    "brand_value_concentration",
+    "top_supplier_quarter",
+    "partitioned_layout_prune",
+    "orc_roundtrip",
+    "merge_upsert_orders",
+    "bfs_token_reachability",
+    "fuzzy_blocked_matches",
+    "approx_quantile_audit",
+    "weighted_sample_manifest",
+    "training_set_manifest",
+    "locf_imputation",
+    "set_ops_bag_semantics",
+    "streaming_fanout_counters",
+    "streaming_full_outer_join",
+    "streaming_join_then_window",
+    "streaming_window_rollup",
+    "streaming_dedup_join_window",
+    "pattern_match_stats",
+    "streaming_pattern_match",
+    "bucketed_colocated_join",
 ]
 _REGISTRY = {
     name: _REGISTRY[name]

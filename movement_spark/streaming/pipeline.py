@@ -774,7 +774,7 @@ def run_streaming_ann_ingest(spark: SparkSession, sf_dir: str,
                              checkpoint_dir: str | None = None,
                              listener=None,
                              files_per_trigger: int | None = None,
-                             assign: str = "jvm") -> DataFrame:
+                             assign: str = "arrow") -> DataFrame:
     """Streaming IVF index ingest: a live embedding stream is assigned
     to a FROZEN coarse codebook micro-batch by micro-batch (the
     stream-static broadcast form of similarity.ivf_assign_incremental)
@@ -792,12 +792,16 @@ def run_streaming_ann_ingest(spark: SparkSession, sf_dir: str,
     assignment over the same table, which is the oracle statement: the
     online and offline index builds commute.
 
-    ``assign="arrow"`` swaps the interpreted JVM argmin for the
-    flat-column numpy form (similarity.ivf_assign_arrow) inside each
-    micro-batch — the deployed path once ingest is compute-bound on the
-    centroid loop (same escape hatch as pq_encode_arrow; identity
-    pinned by test_ann_ingest_arrow_equals_jvm). The registered oracle
-    query keeps "jvm" (registry plan guardrail: no Python stages).
+    ``assign="arrow"`` (the DEFAULT — the deployed ingest path) does
+    the argmin as the flat-column numpy form
+    (similarity.ivf_assign_arrow) inside each micro-batch: ingest is
+    compute-bound on the centroid loop and the Arrow form measured 14×
+    the interpreted JVM lambda at 1M vectors
+    (BENCH/retrieval_scale.json; same escape hatch as
+    pq_encode_arrow). ``assign="jvm"`` keeps the all-JVM codegen
+    argmin — the engine-portable form the registered oracle query pins
+    explicitly (registry plan guardrail: no Python stages). Identity
+    between the two is pinned by test_ann_ingest_arrow_equals_jvm.
 
     Reference scope: Emitter→Encoder→Output over vectors instead of
     token shards; the codebook-frozen contract mirrors

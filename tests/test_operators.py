@@ -1537,6 +1537,27 @@ def test_mmr_second_pick_skips_near_duplicate(spark):
     assert got[2]["score"] == MMR_A * got[2]["rel"] - MMR_B * 0
 
 
+def test_mmr_bulk_equals_unrolled(spark, sf_dir):
+    """The production single-expression greedy (mode='bulk', the
+    registry default) must be bit-identical to the engine-portable
+    unrolled relational form the oracle mirrors — same picks, same
+    scores, same ranks — including a k > pool-size query (the if-guard
+    stops early instead of appending a NULL struct)."""
+    from movement_spark.operators.similarity import mmr_diversified_topk
+    from movement_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    key = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    assert key(mmr_diversified_topk(emb)) == key(
+        mmr_diversified_topk(emb, mode="unrolled"))
+    # pool smaller than k: both forms emit exactly pool picks per query
+    small = key(mmr_diversified_topk(emb, n_queries=2, pool=2, k=5))
+    assert small == key(
+        mmr_diversified_topk(emb, n_queries=2, pool=2, k=5,
+                             mode="unrolled"))
+    assert len(small) == 4
+
+
 def test_ivf_assign_arrow_matches_jvm(spark, sf_dir):
     """The Arrow flat-column assignment must be row-identical to the
     JVM expression form — same q arrays, same cent_id per vec_id, same

@@ -214,11 +214,14 @@ def test_malformed_vectors_are_inert(spark, sf_dir, tmp_path):
               "orders", "lineitem", "events", "documents"]:
         shutil.copy(f"{sf_dir}/{t}.parquet", degen / f"{t}.parquet")
     base = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    extra = spark.createDataFrame(
+    null_elem = [0.5] * 64  # correct length, one NULL element: dots to
+    null_elem[3] = None     # NULL everywhere — must be dropped, never
+    extra = spark.createDataFrame(  # silently argmin-assigned to id 0
         [(990001, None, 3),
          (990002, [0.1, 0.2], 1),
          (990003, [], 2),
-         (990004, [0.5], None)],
+         (990004, [0.5], None),
+         (990005, null_elem, 2)],
         "vec_id bigint, embedding array<float>, label int")
     stage = tmp_path / "emb_stage"
     (base.unionByName(extra).coalesce(1)
