@@ -272,13 +272,17 @@ def drift_monitor_throughput(spark: SparkSession, stage_dir: str,
 def neardup_monitor_throughput(spark: SparkSession, stage_dir: str,
                                n_rows: int, sink_dir: str,
                                checkpoint_dir: str,
-                               files_per_trigger: int = 8) -> dict:
+                               files_per_trigger: int = 8,
+                               sig_mode: str = "stream") -> dict:
     """Throughput of the streaming near-dup monitor — the only
     chained-aggregate stateful pipeline (per-signature groups feeding a
-    per-(window, source) fold). Unlike the drift monitor it never
-    explodes the token array: the MinHash signature is one in-row
-    expression, so its per-row cost is pure codegen work and its state
-    is bounded by distinct signatures per open window."""
+    per-(window, source) fold). ``sig_mode="staged"`` reads the
+    stage-time signature column (requires a stage written with
+    with_sig=True — the production landing layout) so the stream pays
+    only the fold; "stream" recomputes the 16-probe signature per row,
+    which profiling showed is the dominant cost, not the agg chain."""
+    from functools import partial
+
     from movement_spark.streaming.pipeline import (
         run_streaming_neardup_monitor)
 
@@ -290,9 +294,12 @@ def neardup_monitor_throughput(spark: SparkSession, stage_dir: str,
         return {"monitor_windows_out": r[0],
                 "dup_seq_flagged": int(r[1] or 0)}
 
-    return _monitor_throughput(
-        spark, run_streaming_neardup_monitor, stage_dir, n_rows,
-        sink_dir, checkpoint_dir, files_per_trigger, summarize)
+    out = _monitor_throughput(
+        spark, partial(run_streaming_neardup_monitor, sig_mode=sig_mode),
+        stage_dir, n_rows, sink_dir, checkpoint_dir, files_per_trigger,
+        summarize)
+    out["sig_mode"] = sig_mode
+    return out
 
 
 def cms_monitor_throughput(spark: SparkSession, stage_dir: str,

@@ -961,6 +961,110 @@ def dup_span_scrub(tokens: DataFrame,
     )
 
 
+# Exact repeated-substring scrub (Lee et al., "Deduplicating Training
+# Data Makes Language Models Better"): remove every token position
+# inside a substring of >= EXSUB_K tokens that occurs >= 2 times
+# corpus-wide. 50 is the paper's production threshold and works
+# unchanged at fixture SF (the derived token table places every shard
+# on one master cycle mod 50261, so long exact repeats are plentiful).
+EXSUB_K = 50
+# phase-1 rolling-hash base/modulus: a*x+b mod p arithmetic only
+# (CLAUDE.md hash rule). B > token universe (50261) so the packing is
+# injective per step; P = 2^31 - 1 keeps acc*B + t < 2^47 in a bigint.
+EXSUB_B = 50263
+EXSUB_P = 2147483647
+
+
+def exact_substring_scrub(tokens: DataFrame, k: int = EXSUB_K) -> DataFrame:
+    """Exact duplicated-substring removal accounting, suffix-array
+    class: a position is scrubbed iff it lies inside a >= ``k``-token
+    substring occurring >= 2 times corpus-wide (instance count, not
+    distinct docs — the paper's semantics: a doc self-repeating counts).
+    The reduction making this Spark-shaped is exact: position p sits in
+    a repeated substring of length >= k  <=>  some k-gram instance
+    covering p repeats — every k-window of a repeated span is itself
+    repeated, and a repeated k-gram IS a >= k repeated substring. So
+    suffix-array output == k-gram census output, position for position.
+
+    Scale shape, two-phase so the corpus never shuffles its text:
+    phase 1 hashes every k-gram instance to ONE int64 (polynomial
+    rolling hash) and runs the census over the 5-narrow-column
+    (source, doc, seq, p, h) frame — the only corpus-sized shuffle
+    carries 40 bytes/instance, never k tokens. Phase 2 re-joins ONLY
+    hash-duplicated instances (bounded by duplicated volume +
+    collision rate, never all-pairs) back to their shards by
+    (doc_id, seq), materializes the true k-token slice, and re-runs
+    the census on the exact slice — equal slices hash equal, so
+    hash-count >= 2 is a superset of exact-count >= 2 and the
+    restriction loses nothing: the result is EXACT, collisions only
+    cost candidate volume. Covered positions then union per-shard
+    (DISTINCT, the dup_span_scrub convention) so overlapping spans
+    never double-count. Reference scope: Emitable 1->N expansion +
+    collapse (SequenceUtil.java) reshaped as census/verify."""
+    from pyspark.sql.window import Window
+
+    shards = tokens.select("source", "doc_id", "seq", "tokens", "n_tok")
+    # guarded position generator (totality rule): shards shorter than k
+    # contribute no instances instead of a negative-length sequence
+    inst = (
+        shards
+        .select("source", "doc_id", "seq", "tokens",
+                F.explode(F.expr(
+                    f"if(n_tok >= {k}, sequence(0, n_tok - {k}), "
+                    "array())")).alias("p"))
+        .select("source", "doc_id", "seq", "p",
+                F.expr(f"aggregate(slice(tokens, p + 1, {k}), 0L, "
+                       f"(acc, t) -> (acc * {EXSUB_B} + t) % {EXSUB_P})")
+                .alias("h"))
+    )
+    cand = (
+        inst
+        .withColumn("n_h", F.count("*").over(Window.partitionBy("h")))
+        .where(F.col("n_h") >= 2)
+        .select("source", "doc_id", "seq", "p")
+    )
+    exact = (
+        cand.join(shards.select("doc_id", "seq", "tokens"),
+                  ["doc_id", "seq"])
+        .select("source", "doc_id", "seq", "p",
+                F.expr(f"slice(tokens, p + 1, {k})").alias("gram"))
+        .withColumn("n_exact",
+                    F.count("*").over(Window.partitionBy("gram")))
+        .where(F.col("n_exact") >= 2)
+    )
+    covered = (
+        exact
+        .select("source", "doc_id", "seq",
+                F.explode(F.expr(f"sequence(p, p + {k} - 1)"))
+                .alias("cov_pos"))
+        .distinct()
+    )
+    scrub = (
+        covered
+        .groupBy("source")
+        .agg(F.countDistinct("doc_id").cast("bigint").alias("docs_scrubbed"),
+             F.count("*").cast("bigint").alias("removed_tokens"))
+    )
+    base = (
+        tokens
+        .groupBy("source")
+        .agg(F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+             F.sum("n_tok").cast("bigint").alias("total_tokens"))
+    )
+    return (
+        base.join(F.broadcast(scrub), "source", "left")
+        # integer div (not floor-of-double): matches DuckDB // at any SF
+        .select("source", "n_docs", "total_tokens",
+                F.coalesce("docs_scrubbed", F.lit(0))
+                .cast("bigint").alias("docs_scrubbed"),
+                F.coalesce("removed_tokens", F.lit(0))
+                .cast("bigint").alias("removed_tokens"),
+                F.expr("coalesce(removed_tokens, 0) * 10000"
+                       " div total_tokens")
+                .cast("bigint").alias("removed_bps"))
+    )
+
+
 PREFIX_W = 6  # words of document head that define a boilerplate key
 
 

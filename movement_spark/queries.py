@@ -5339,6 +5339,56 @@ def q_dup_span_scrub_stats(spark, sf_dir):
     return dedup.dup_span_scrub(token_sequences(spark, sf_dir))
 
 
+_EXSUB_SQL = with_token_cte(f"""
+, inst AS (
+  SELECT source, doc_id, seq, p,
+         tokens[p + 1 : p + {dedup.EXSUB_K}] AS gram
+  FROM (SELECT source, doc_id, seq, tokens,
+               unnest(range(0, GREATEST(n_tok - {dedup.EXSUB_K} + 1, 0)))
+                 AS p
+        FROM token_sequences)),
+census AS (SELECT gram, COUNT(*) AS n FROM inst GROUP BY 1),
+cov1 AS (
+  SELECT i.source, i.doc_id, i.seq, i.p + u AS cov_pos
+  FROM inst i JOIN census c USING (gram),
+       unnest(range(0, {dedup.EXSUB_K})) t(u)
+  WHERE c.n >= 2),
+cov AS (SELECT DISTINCT source, doc_id, seq, cov_pos FROM cov1),
+scrub AS (
+  SELECT source, COUNT(DISTINCT doc_id) AS docs_scrubbed,
+         COUNT(*) AS removed_tokens
+  FROM cov GROUP BY 1),
+base AS (
+  SELECT source, COUNT(DISTINCT doc_id) AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+  FROM token_sequences GROUP BY 1)
+SELECT b.source, b.n_docs, b.total_tokens,
+       CAST(COALESCE(s.docs_scrubbed, 0) AS BIGINT) AS docs_scrubbed,
+       CAST(COALESCE(s.removed_tokens, 0) AS BIGINT) AS removed_tokens,
+       CAST(COALESCE(s.removed_tokens, 0) * 10000 // b.total_tokens
+            AS BIGINT) AS removed_bps
+FROM base b LEFT JOIN scrub s USING (source)
+""")
+
+
+@register("exact_substring_scrub_stats", _EXSUB_SQL)
+def q_exact_substring_scrub_stats(spark, sf_dir):
+    """Exact repeated-substring dedup accounting (dedup.py
+    exact_substring_scrub), suffix-array class per Lee et al.: scrub
+    every position inside a >= 50-token substring occurring >= 2 times
+    corpus-wide (instance count — a self-repeating doc counts). The
+    k-gram reduction is exact (every k-window of a repeated span is
+    itself repeated), so the census output equals the suffix-array
+    output position-for-position. Spark side runs the two-phase form —
+    int64 rolling-hash census over narrow instances, then exact
+    slice verification on hash-duplicated candidates only (bounded by
+    duplicated volume, never all-pairs; equal slices hash equal, so
+    nothing is lost); the oracle is the single-phase exact census —
+    identical results, which IS the phase-2-restores-exactness
+    statement."""
+    return dedup.exact_substring_scrub(token_sequences(spark, sf_dir))
+
+
 _SEMANTIC_DEDUP_SQL = f"""
 WITH q AS (
   SELECT vec_id,
@@ -6608,6 +6658,7 @@ _FRONT = [
     # --- Round-5 additions (never driver-verified) land HERE, ahead
     # of re-verification rows but after the backlog (registry-growth
     # invariant, CLAUDE.md).
+    "exact_substring_scrub_stats",
     # --- Re-verification rotation, stalest first: the 50 rows whose
     # only green driver row is r01 (four rounds of code evolution
     # since), in registry order; ~37 fit the r05 window, the rest

@@ -54,7 +54,8 @@ def synth_token_sequences(spark: SparkSession, n_docs: int,
 
 
 def stage_synth_stream(spark: SparkSession, n_docs: int, stage_dir: str,
-                       n_files: int = 64, len_mod: int = LEN_MOD) -> int:
+                       n_files: int = 64, len_mod: int = LEN_MOD,
+                       with_sig: bool = False) -> int:
     """Materialize the synthetic stream as event-time-ordered parquet
     files (the WorkChunk layout the file-stream source consumes).
 
@@ -62,8 +63,18 @@ def stage_synth_stream(spark: SparkSession, n_docs: int, stage_dir: str,
     event-time slice; part file names sort in ts order, which is the
     FileStreamSource tiebreak within one mtime — so the watermark
     advances monotonically across micro-batches.
+
+    ``with_sig`` stamps the per-shard MinHash signature column at stage
+    time (the near-dup monitor's production landing layout, pipeline.py
+    NDSIG_STREAM_SCHEMA) — computed inside the same distributed write;
+    the extra column is invisible to schema-projecting readers, so one
+    sig-carrying stage serves every pipeline.
     """
     df = synth_token_sequences(spark, n_docs, len_mod=len_mod)
+    if with_sig:
+        from movement_spark.operators.dedup import shard_signature_expr
+        df = df.withColumn(
+            "sig", F.expr(shard_signature_expr()).cast("long"))
     (df.repartitionByRange(n_files, "ts")
        .write.mode("overwrite").parquet(stage_dir))
     # row count from the staged footers (free), NOT df.count() — that
@@ -88,6 +99,10 @@ def stage_synth_stream(spark: SparkSession, n_docs: int, stage_dir: str,
             "source string, ts timestamp, n_shards int",
         ).withColumn("ts", F.timestamp_seconds(
             F.lit(EPOCH_2026 + TS_MOD + 7200 + 60 * k)))
+        if with_sig:
+            # NULL sig: exactly what the in-row expression folds an
+            # empty token array to
+            flush = flush.withColumn("sig", F.lit(None).cast("long"))
         tmp = tempfile.mkdtemp(prefix="ms_sentinel_")
         flush.coalesce(1).write.mode("overwrite").parquet(tmp)
         part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))

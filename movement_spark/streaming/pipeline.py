@@ -139,10 +139,32 @@ def _staged_token_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Signature-enriched stage (the near-dup monitor's production layout):
+# the landing job computes the deterministic per-shard MinHash
+# signature ONCE at stage time — it is content-addressed metadata, so
+# recomputing it per arriving row in the stream is pure waste (the
+# 16-probe expression alone measured 166k rows/s on full local[32],
+# which CAPPED the monitor at 58k seq/s; the fold itself runs ~6x
+# that). Streams read it as a column; the sentinel's empty token array
+# stages a NULL sig, exactly what the in-row expression folds to.
+NDSIG_STREAM_SCHEMA = StructType(
+    STREAM_SCHEMA.fields + [StructField("sig", LongType())])
+
+_NDSIG_ARROW_SCHEMA = pa.schema(
+    list(_ARROW_SCHEMA) + [pa.field("sig", pa.int64())])
+
+
+def _ndsig_sentinel_rows(k: int):
+    pdf, _ = _token_sentinel_rows(k)
+    pdf["sig"] = pd.array([None], dtype="Int64")
+    return pdf, _NDSIG_ARROW_SCHEMA
+
+
 def stage_token_stream(spark: SparkSession, sf_dir: str, stage_dir: str,
                        n_chunks: int = 6, sentinel: bool = True,
                        duplicate_factor: int = 1,
-                       gap_docs: bool = False) -> int:
+                       gap_docs: bool = False,
+                       with_sig: bool = False) -> int:
     """Stage the deterministic token table as ordered chunk files.
 
     One file per event-time slice, mtimes increasing, so the file source
@@ -150,6 +172,9 @@ def stage_token_stream(spark: SparkSession, sf_dir: str, stage_dir: str,
     advancing watermark — the WorkChunkDriver sequence made of files.
     Fully distributed (repartitionByRange write; the oracle path and the
     scale path are the same code — no driver-side collection).
+    ``with_sig`` appends the per-shard MinHash signature column at stage
+    time (the near-dup monitor's production landing layout — see
+    NDSIG_STREAM_SCHEMA); computed inside the same distributed write.
     Returns the number of real (non-sentinel) rows staged.
     """
     df = _staged_token_frame(spark, sf_dir)
@@ -159,11 +184,16 @@ def stage_token_stream(spark: SparkSession, sf_dir: str, stage_dir: str,
         # the incomplete-doc timeout audit detects.
         df = df.where(~((F.col("did") % 5 == 0) & (F.col("seq") == 1)))
     df = df.drop("did")
+    sentinel_rows = _token_sentinel_rows
+    if with_sig:
+        from movement_spark.operators.dedup import shard_signature_expr
+        df = df.withColumn(
+            "sig", F.expr(shard_signature_expr()).cast("long"))
+        sentinel_rows = _ndsig_sentinel_rows
     n_rows, next_idx, base = _distribute_chunks(
         df, stage_dir, n_chunks, ["ts", "doc_id", "seq"], duplicate_factor)
     if sentinel:
-        _emit_sentinel_files(stage_dir, next_idx, base,
-                             _token_sentinel_rows)
+        _emit_sentinel_files(stage_dir, next_idx, base, sentinel_rows)
     return n_rows
 
 
@@ -322,6 +352,8 @@ def _stage_variant(spark: SparkSession, sf_dir: str, dest: str,
         _stage_union_dirs(spark, sf_dir, dest)
     elif variant == "gaps":
         stage_token_stream(spark, sf_dir, dest, gap_docs=True)
+    elif variant == "ndsig":
+        stage_token_stream(spark, sf_dir, dest, with_sig=True)
     else:
         raise ValueError(f"unknown stage variant {variant!r}")
 
@@ -1710,17 +1742,30 @@ def run_streaming_neardup_monitor(spark: SparkSession, sf_dir: str,
                                   sink_dir: str | None = None,
                                   checkpoint_dir: str | None = None,
                                   listener=None,
-                                  files_per_trigger: int | None = None
-                                  ) -> DataFrame:
+                                  files_per_trigger: int | None = None,
+                                  sig_mode: str = "stream") -> DataFrame:
     """Streaming near-dup-rate monitor: per (window, source), how many
     arriving shards were MinHash-signature duplicates of another shard
-    in the same window. The signature is computed IN-ROW
-    (dedup.shard_signature_expr — array_min per hash over the token
-    array; no aggregation, no extra state), so the stateful plan is two
-    CHAINED windowed aggregates: (window, source, sig) groups, then the
-    per-(window, source) fold of their emitted rows. That chain is the
+    in the same window. The stateful plan is two CHAINED windowed
+    aggregates: (window, source, sig) groups, then the per-(window,
+    source) fold of their emitted rows. That chain is the
     exact-distinct form a single streaming agg forbids (count_distinct
     is unsupported; approx_count_distinct is the sketch escape hatch).
+
+    ``sig_mode`` places the signature computation:
+    - "stream" (default, self-contained — the oracle row): computed
+      IN-ROW per arriving shard (dedup.shard_signature_expr — 16
+      array_min probes over the token array; no state). Measured cost:
+      the probe expression ALONE runs 166k rows/s on full local[32],
+      capping the monitor at ~58k seq/s — the signature, not the agg
+      chain, is the bottleneck.
+    - "staged" (the production layout): the landing job stamps the
+      deterministic per-shard signature at stage time (with_sig=True /
+      the "ndsig" variant) and the stream reads it as a column, so the
+      stream pays only the fold. Same result bit-for-bit (the
+      signature is content-derived; pinned by
+      test_neardup_monitor_staged_equals_stream); the sentinel's empty
+      token array stages the same NULL the in-row expression folds to.
 
     Scale shape: state is one row per distinct signature per open
     window (duplicate shards collapse map-side before the shuffle),
@@ -1730,19 +1775,29 @@ def run_streaming_neardup_monitor(spark: SparkSession, sf_dir: str,
     is what keeps this oracle-checkable; the filtering form is the
     batch path (dedup.lsh_verified_neardups / dup_cluster_labels).
 
-    Sentinel note (rollup corollary): the flush sentinels' empty token
-    arrays fold to a NULL signature and group alone; their far-future
-    window is cut AFTER the second aggregate by the window-column
-    predicate — cutting between the aggs would push the filter below
-    the first window and stall the flush.
+    Sentinel note (rollup corollary): the flush sentinels' NULL
+    signature groups alone; their far-future window is cut AFTER the
+    second aggregate by the window-column predicate — cutting between
+    the aggs would push the filter below the first window and stall
+    the flush.
     """
     from movement_spark.operators.dedup import shard_signature_expr
 
-    stage = _resolve_stage(spark, sf_dir, stage_dir)
-    src = read_token_stream(spark, stage, files_per_trigger)
+    if sig_mode == "staged":
+        stage = _resolve_stage(spark, sf_dir, stage_dir, "ndsig")
+        if files_per_trigger is None:
+            files_per_trigger = _auto_trigger(stage)
+        src = (spark.readStream.schema(NDSIG_STREAM_SCHEMA)
+               .option("maxFilesPerTrigger", files_per_trigger)
+               .parquet(stage))
+        sig_col = F.col("sig")
+    else:
+        stage = _resolve_stage(spark, sf_dir, stage_dir)
+        src = read_token_stream(spark, stage, files_per_trigger)
+        sig_col = F.expr(shard_signature_expr())
     flush_cut = F.timestamp_seconds(F.lit(EPOCH_2026 + TS_MOD + 3600))
     per_sig = (
-        src.withColumn("sig", F.expr(shard_signature_expr()))
+        src.withColumn("sig", sig_col)
         .withWatermark("ts", watermark)
         .groupBy(F.window("ts", width).alias("w5"), "source", "sig")
         .agg(F.count("*").alias("n"))

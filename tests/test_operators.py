@@ -903,6 +903,49 @@ def test_dup_span_scrub_golden(spark):
     assert (got["s3"]["removed_tokens"], got["s3"]["removed_bps"]) == (0, 0)
 
 
+def test_exact_substring_scrub_golden(spark):
+    """Pins the exact-substring (Lee et al.) semantics at k=4 on a
+    hand-computable corpus: (1) a >= k repeated span scrubs ALL its
+    positions — a 5-token shared run covers 5 positions via two
+    overlapping k-gram instances, unioned not summed; (2) a k-1-length
+    shared run scrubs NOTHING (the exactness boundary a trigram-width
+    census cannot express); (3) INSTANCE-count semantics: one doc
+    self-repeating a k-run across shards IS scrubbed (unlike the
+    per-doc dup_span_scrub census); (4) too-short shards and untouched
+    sources report 0, never vanish."""
+    from movement_spark.operators.dedup import exact_substring_scrub
+
+    rows = [
+        # 5-token run 1..5 shared between docs a and b
+        ("s1", "a", 0, [1, 2, 3, 4, 5, 9], 6),
+        ("s1", "b", 0, [8, 1, 2, 3, 4, 5], 6),
+        # k-1 run 21..23 shared with doc a? no — craft: 3-token run
+        # 31,32,33 shared between c and d: below k, never scrubbed
+        ("s2", "c", 0, [31, 32, 33, 41, 42], 5),
+        ("s2", "d", 0, [31, 32, 33, 51, 52], 5),
+        # doc e repeats its own 4-run across two shards: instance
+        # count >= 2 corpus-wide -> scrubbed (paper semantics)
+        ("s3", "e", 0, [61, 62, 63, 64], 4),
+        ("s3", "e", 1, [61, 62, 63, 64], 4),
+        ("s4", "f", 0, [71, 72], 2),  # shorter than k: inert
+    ]
+    toks = spark.createDataFrame(
+        rows,
+        "source string, doc_id string, seq int, tokens array<int>, "
+        "n_tok int")
+    got = {r["source"]: r
+           for r in exact_substring_scrub(toks, k=4).collect()}
+    assert set(got) == {"s1", "s2", "s3", "s4"}
+    # s1: a covers {0..4} (grams at p=0,1 union), b covers {1..5}: 10
+    assert (got["s1"]["docs_scrubbed"], got["s1"]["removed_tokens"],
+            got["s1"]["removed_bps"]) == (2, 10, 10 * 10000 // 12)
+    # s2: only a 3-token overlap — no 4-gram repeats anywhere
+    assert (got["s2"]["docs_scrubbed"], got["s2"]["removed_tokens"]) == (0, 0)
+    # s3: e's two shards are the two instances of one exact 4-gram
+    assert (got["s3"]["docs_scrubbed"], got["s3"]["removed_tokens"]) == (1, 8)
+    assert (got["s4"]["removed_tokens"], got["s4"]["removed_bps"]) == (0, 0)
+
+
 def test_semantic_dedup_golden(spark):
     """Pins the SemDeDup semantics: (1) near-dup pairs are counted ONLY
     within a k-means cluster — v5 is cosine-opposite to everything yet

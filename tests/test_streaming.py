@@ -1179,6 +1179,30 @@ def test_neardup_monitor_resumes_from_checkpoint(spark, sf_dir):
     assert result.exceptAll(expected).count() == 0
 
 
+def test_neardup_monitor_staged_equals_stream(spark, sf_dir):
+    """sig_mode='staged' (signature stamped at stage time — the
+    production landing layout and the bench primary) must be
+    row-identical to the self-contained in-stream form: the signature
+    is content-derived, so WHERE it is computed cannot change a single
+    count — including the sentinel rows, whose staged NULL sig must
+    fold exactly like the in-row expression's NULL on an empty token
+    array. A sig-free stage read in staged mode would silently yield
+    all-NULL signatures (parquet schema projection), which this
+    equality would catch as one giant dup group."""
+    from movement_spark.streaming.pipeline import (
+        run_streaming_neardup_monitor)
+
+    stream = run_streaming_neardup_monitor(
+        spark, sf_dir, sink_dir=_mkdir(), checkpoint_dir=_mkdir())
+    staged = run_streaming_neardup_monitor(
+        spark, sf_dir, sink_dir=_mkdir(), checkpoint_dir=_mkdir(),
+        sig_mode="staged")
+    a = sorted(tuple(r) for r in stream.collect())
+    b = sorted(tuple(r) for r in staged.collect())
+    assert len(a) == len(b) > 0
+    assert a == b
+
+
 def test_quantile_monitor_resumes_from_checkpoint(spark, sf_dir):
     """Kill/resume for the streaming quantile monitor: the per-(window,
     source, bucket) counter grid spans the kill point — counts for a
