@@ -45,7 +45,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F  # noqa: E402
 from pyspark.sql.window import Window                            # noqa: E402
 
 from movement_spark.operators.similarity import (                # noqa: E402
-    _dot, ivf_assign, ivf_assign_arrow, ivf_filtered_topk, ivf_topk,
+    _dot, ivf_assign, ivf_assign_arrow, ivf_filtered_topk, ivf_search,
+    ivf_topk,
     mmr_diversified_topk, quantized,
 )
 from movement_spark.operators.text import (                      # noqa: E402
@@ -203,11 +204,29 @@ def run_vec_level(spark: SparkSession, n_vecs: int) -> dict:
         counts["mmr"] = len(mmr_diversified_topk(
             emb, n_queries=N_QUERIES, pool=MMR_POOL, k=MMR_K).collect())
 
+    # the amortized production read path: search against a PERSISTED
+    # index (build excluded — it amortizes over every query batch).
+    # JVM only: an Arrow gather+einsum search form was built and
+    # MEASURED SLOWER (1M vecs, nprobe=2: 10-query batch 1.6 s JVM vs
+    # 1.9 s Arrow; 1000-query batch 6.8 s vs 8.1 s) — unlike the
+    # build, search ships each corpus vector once PER (query, probe)
+    # pairing, so the Arrow boundary's flat-column serialization
+    # outweighs the einsum win and the plan is shuffle/window-bound,
+    # not lambda-bound. The form was removed; this note is the
+    # evidence for why only the BUILD has an Arrow path.
+    index_df, index_dir = _materialize(
+        ivf_assign_arrow(emb, n_centroids=N_CLUSTERS), "idx")
+
+    def _sjvm():
+        counts["sjvm"] = ivf_search(
+            index_df, N_CLUSTERS, n_queries=10, k=10, nprobe=2).count()
+
     med = interleaved_medians({
         "pool": lambda: _run_pool_stage(emb, N_QUERIES, MMR_POOL),
         "mmr": _mmr,
         "ivf_unf": _unf,
         "ivf_fil": _fil,
+        "search_jvm": _sjvm,
         # persist+count+unpersist: a bare count() lets Catalyst PRUNE
         # the argmin projection entirely (measured 1.5 s for a "build"
         # the persisted form runs in ~80 s) — materialize the full
@@ -218,6 +237,7 @@ def run_vec_level(spark: SparkSession, n_vecs: int) -> dict:
         "build_arrow": lambda: _materialize_count(
             ivf_assign_arrow(emb, n_centroids=N_CLUSTERS)),
     })
+    shutil.rmtree(index_dir, ignore_errors=True)
     # streaming ANN ingest throughput: pre-staged chunks (staging cost
     # excluded — production ingests from an existing landing zone),
     # one timed end-to-end run incl. the sink read-back fold
@@ -255,8 +275,10 @@ def run_vec_level(spark: SparkSession, n_vecs: int) -> dict:
                                / max(med["build_arrow"], 1e-9), 1),
         "ann_ingest_sec": round(t_ing, 1),
         "ann_ingest_vecs_per_sec": round(n_vecs / t_ing, 1),
-        "ann_ingest_arrow_sec": round(ing["arrow"], 1),
-        "ann_ingest_arrow_vecs_per_sec": round(n_vecs / ing["arrow"], 1),
+        # primary = arrow (the deployed default); jvm is the
+        # engine-portable oracle form kept as the comparison row
+        "ann_ingest_jvm_sec": round(ing["jvm"], 1),
+        "ann_ingest_jvm_vecs_per_sec": round(n_vecs / ing["jvm"], 1),
         "mmr_pool_stage_sec": round(med["pool"], 1),
         "mmr_total_sec": round(med["mmr"], 1),
         "mmr_greedy_overhead_sec": round(med["mmr"] - med["pool"], 1),
@@ -265,6 +287,7 @@ def run_vec_level(spark: SparkSession, n_vecs: int) -> dict:
         "ivf_unfiltered_rows": counts["unf"],
         "ivf_filtered_sec": round(med["ivf_fil"], 1),
         "ivf_filtered_rows": counts["fil"],
+        "search_persisted_sec": round(med["search_jvm"], 1),
     }
 
 
@@ -341,13 +364,16 @@ def main() -> None:
           f"{r['ivf_unfiltered_rows']}/{r['ivf_filtered_rows']} |"
           for r in vec_rows]
     bh = ("| vectors | build JVM (s) | build Arrow (s) | speedup "
-          "| ingest JVM (s) | JVM vecs/s | ingest Arrow (s) | Arrow vecs/s |")
-    bs = "|---|---|---|---|---|---|---|---|"
+          "| search persisted-idx (s) "
+          "| ingest Arrow=default (s) | Arrow vecs/s "
+          "| ingest JVM (s) | JVM vecs/s |")
+    bs = "|---|---|---|---|---|---|---|---|---|"
     bl = [f"| {r['n_vecs']:,} | {r['build_jvm_sec']} | "
           f"{r['build_arrow_sec']} | {r['build_speedup']}× | "
+          f"{r['search_persisted_sec']} | "
           f"{r['ann_ingest_sec']} | {r['ann_ingest_vecs_per_sec']:,.0f} | "
-          f"{r['ann_ingest_arrow_sec']} | "
-          f"{r['ann_ingest_arrow_vecs_per_sec']:,.0f} |"
+          f"{r['ann_ingest_jvm_sec']} | "
+          f"{r['ann_ingest_jvm_vecs_per_sec']:,.0f} |"
           for r in vec_rows]
     bd, bv = doc_rows[-1], vec_rows[-1]
     section = f"""{SECTION_START}
@@ -393,16 +419,29 @@ ORTHOGONAL vec_id%10 label, local[32], calibration pre/post
   ivf_assign_arrow does the same exact int64 argmax as one numpy
   matmul per Arrow batch and builds the identical index (pinned by
   test_ivf_assign_arrow_matches_jvm) {bv['build_speedup']}× faster at
-  {bv['n_vecs']:,} vectors ({bv['build_jvm_sec']} → 
+  {bv['n_vecs']:,} vectors ({bv['build_jvm_sec']} →
   {bv['build_arrow_sec']} s).
+- The SEARCH side does NOT carry that bound: over a persisted index
+  (the amortized read path) the 10-query nprobe=2 batch completes in
+  {bv['search_persisted_sec']} s at {bv['n_vecs']:,} vectors — the
+  end-to-end ivf walls above are ~all index BUILD, which the oracle
+  queries deliberately include to stay self-contained. An Arrow
+  gather+einsum search form was built and measured SLOWER (1000-query
+  batch: 6.8 s JVM vs 8.1 s Arrow) — search ships each corpus vector
+  once per (query, probe) pairing, so the Arrow boundary's
+  serialization outweighs the einsum win; the plan is shuffle-bound.
+  The form was removed: only the BUILD (one ship per vector, matmul
+  against a broadcast codebook) clears the Arrow-boundary bar.
 - Streaming ANN ingest inherits the same bound and the same fix: the
   stateless per-micro-batch assignment (no state store, no watermark,
   no stream-side shuffle) runs {bv['ann_ingest_vecs_per_sec']:,.0f}
-  vecs/s in JVM mode and {bv['ann_ingest_arrow_vecs_per_sec']:,.0f}
-  vecs/s with assign="arrow" at {bv['n_vecs']:,} vectors, end-to-end
-  incl. the exactly-once sink write and read-back fold (manifests
-  identical — test_ann_ingest_arrow_equals_jvm); micro-batch
-  parallelism equals the staged-file count.
+  vecs/s with assign="arrow" (the deployed DEFAULT since round 5) vs
+  {bv['ann_ingest_jvm_vecs_per_sec']:,.0f} vecs/s on the
+  engine-portable JVM form the registered oracle query pins, at
+  {bv['n_vecs']:,} vectors, end-to-end incl. the exactly-once sink
+  write and read-back fold (manifests identical —
+  test_ann_ingest_arrow_equals_jvm); micro-batch parallelism equals
+  the staged-file count.
 - Filtered IVF at the same nprobe costs about the unfiltered search
   ({bv['ivf_filtered_sec']} vs {bv['ivf_unfiltered_sec']} s at
   {bv['n_vecs']:,}): the label predicate drops candidates BEFORE the
