@@ -103,6 +103,8 @@ def main() -> None:
         # round-4 sixth-session retrieval families
         "hybrid_rrf_retrieval", "ann_filtered_topk",
         "mmr_diversified_topk",
+        # round-5 families
+        "exact_substring_scrub_stats",
     )
     # Same median-of-3 + recorded spread as the headline ten (VERDICT
     # r04 #5): without the band, a single-shot drift like pagerank's
