@@ -120,6 +120,10 @@ DEGEN_PARITY_QUERIES = [
     # (NULL text -> NULL scores ranked NULLS LAST in both engines;
     # NULL doc_id tie-break pinned to NULLS LAST on the Spark side)
     "hybrid_rrf_retrieval",
+    # exact-substring scrub: the NULL-doc_id row makes every derived
+    # token quantity NULL — the position generator's if-guard and the
+    # oracle's range(GREATEST(...)) must drop the row identically
+    "exact_substring_scrub_stats",
 ]
 
 
