@@ -114,7 +114,7 @@ def main() -> None:
         f"{r['wall_sec']} | {r['tokens_per_sec']:,.0f} |"
         for r in rows
     ]
-    big, prev = rows[-1], rows[-2]
+    big, prev = rows[-1], rows[-2] if len(rows) > 1 else rows[-1]
     section = f"""{SECTION_START}
 ## Exact repeated-substring scrub at scale (measured, {result['generated_at']})
 

@@ -1023,9 +1023,21 @@ def exact_substring_scrub(tokens: DataFrame, k: int = EXSUB_K) -> DataFrame:
         .where(F.col("n_h") >= 2)
         .select("source", "doc_id", "seq", "p")
     )
+    # rejoin on the FULL shard key, null-safely: (doc_id, seq) alone
+    # would match another source's same-keyed shard (recomputing grams
+    # from the wrong tokens), and a plain equi-join would DROP a
+    # NULL-keyed shard the phase-1 census counted — while the
+    # single-phase oracle, which never joins, keeps it (latent
+    # Spark-vs-oracle divergence on arbitrary inputs; the derived
+    # token table never exercises either case)
+    sh = shards.select(F.col("source").alias("s_source"),
+                       F.col("doc_id").alias("s_doc_id"),
+                       F.col("seq").alias("s_seq"), "tokens")
     exact = (
-        cand.join(shards.select("doc_id", "seq", "tokens"),
-                  ["doc_id", "seq"])
+        cand.join(sh,
+                  F.col("source").eqNullSafe(F.col("s_source"))
+                  & F.col("doc_id").eqNullSafe(F.col("s_doc_id"))
+                  & F.col("seq").eqNullSafe(F.col("s_seq")))
         .select("source", "doc_id", "seq", "p",
                 F.expr(f"slice(tokens, p + 1, {k})").alias("gram"))
         .withColumn("n_exact",

@@ -230,12 +230,11 @@ def _argmax_dot_assign(q: DataFrame, cents: DataFrame,
         # get(), not cents[0]: [] on an EMPTY centroid list is an ANSI
         # INVALID_ARRAY_INDEX crash; get() is NULL there, so the filter
         # drops every row instead (totality rule, CLAUDE.md).
-        # forall: a correct-length vector with a NULL ELEMENT dots to
-        # NULL against every centroid and the struct-argmin would
-        # silently assign it to cent_id 0 (skew) — drop it here so the
-        # JVM and Arrow forms agree on exactly which rows are indexed
-        .where(F.expr("size(q) = size(get(cents, 0).cv)"
-                      " and forall(q, x -> x is not null)"))
+        # Null-ELEMENT rows (which would dot to NULL everywhere and be
+        # silently argmin-assigned to cent_id 0) are excluded at the
+        # ONE shared entry, quantized() — every caller feeds q from it,
+        # so no second per-row forall scan here
+        .where(F.expr("size(q) = size(get(cents, 0).cv)"))
         .withColumn("m", best)
         .select("vec_id", "q", *keep, F.col("m.cent_id").alias("cent_id"))
     )
@@ -911,10 +910,9 @@ def _lloyd_rounds(q: DataFrame, k: int, iters: int):
             # wrong-length q has a NULL L2 against every centroid and
             # must not be assigned anywhere (it skewed the means);
             # get() for the empty-list totality case, as above.
-            # forall: null-ELEMENT rows also L2 to NULL everywhere and
-            # the struct-argmin would silently park them in cluster 0
-            .where(F.expr("size(q) = size(get(cents, 0).c)"
-                          " and forall(q, x -> x is not null)"))
+            # Null-ELEMENT rows are excluded at quantized(), the one
+            # shared entry — no second per-row forall scan here
+            .where(F.expr("size(q) = size(get(cents, 0).c)"))
             .withColumn("m", argmin)
             .select("vec_id", F.col("m.cluster").alias("cluster"), "q"))
         est = (
@@ -1318,6 +1316,13 @@ def mmr_diversified_topk(embeddings: DataFrame, n_queries: int = 4,
     test_mmr_bulk_equals_unrolled. The unrolled form pays plan-compile
     per step (measured 3.2 s at sf0.1 vs well under 1 s bulk) and a
     driver collect; keep it for oracle work only."""
+    if k < 1:
+        # sequence(1, 0) is the DESCENDING [1, 0] in Spark — without
+        # this guard the bulk form would run two greedy steps for k=0
+        # (and the unrolled form one); zero picks means an empty frame
+        return embeddings.sparkSession.createDataFrame(
+            [], "query_id bigint, vec_id bigint, rel bigint, "
+                "score bigint, mmr_rank int")
     cand = _mmr_candidate_pool(embeddings, n_queries, pool)
     if mode == "bulk":
         return _mmr_greedy_bulk(cand, k)

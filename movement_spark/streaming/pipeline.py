@@ -258,11 +258,16 @@ def _auto_trigger(stage_dir: str) -> int:
 
 
 def read_token_stream(spark: SparkSession, stage_dir: str,
-                      files_per_trigger: int | None = None) -> DataFrame:
+                      files_per_trigger: int | None = None,
+                      schema: StructType | None = None) -> DataFrame:
+    """THE file-source read convention (schema + pacing + parquet) —
+    every pipeline reads staged chunks through here so an option change
+    (e.g. maxFileAge) can never diverge per-pipeline. ``schema``
+    overrides for signature-enriched stages (NDSIG_STREAM_SCHEMA)."""
     if files_per_trigger is None:
         files_per_trigger = _auto_trigger(stage_dir)
     return (
-        spark.readStream.schema(STREAM_SCHEMA)
+        spark.readStream.schema(schema or STREAM_SCHEMA)
         .option("maxFilesPerTrigger", files_per_trigger)
         .parquet(stage_dir)
     )
@@ -1785,11 +1790,21 @@ def run_streaming_neardup_monitor(spark: SparkSession, sf_dir: str,
 
     if sig_mode == "staged":
         stage = _resolve_stage(spark, sf_dir, stage_dir, "ndsig")
-        if files_per_trigger is None:
-            files_per_trigger = _auto_trigger(stage)
-        src = (spark.readStream.schema(NDSIG_STREAM_SCHEMA)
-               .option("maxFilesPerTrigger", files_per_trigger)
-               .parquet(stage))
+        # fail FAST on a sig-free stage: parquet schema projection
+        # would silently read the missing column as NULL for every
+        # row, collapsing each (window, source) into one giant "dup"
+        # group — plausible-looking, completely wrong output
+        sample = next((f for f in sorted(os.listdir(stage))
+                       if f.endswith(".parquet")), None)
+        if sample is not None and "sig" not in {
+                f.name for f in pq.ParquetFile(
+                    os.path.join(stage, sample)).schema_arrow}:
+            raise ValueError(
+                f"sig_mode='staged' needs a signature-enriched stage "
+                f"(with_sig=True / 'ndsig' variant); {stage} has no "
+                f"'sig' column")
+        src = read_token_stream(spark, stage, files_per_trigger,
+                                schema=NDSIG_STREAM_SCHEMA)
         sig_col = F.col("sig")
     else:
         stage = _resolve_stage(spark, sf_dir, stage_dir)

@@ -928,6 +928,19 @@ def test_exact_substring_scrub_golden(spark):
         ("s3", "e", 0, [61, 62, 63, 64], 4),
         ("s3", "e", 1, [61, 62, 63, 64], 4),
         ("s4", "f", 0, [71, 72], 2),  # shorter than k: inert
+        # (5) two SOURCES carrying the same (doc_id, seq) — all three
+        # g/h instances are candidates, so the phase-2 rejoin sees the
+        # cross-source key collision and must match each candidate to
+        # its OWN shard's tokens (the full (source, doc_id, seq) key)
+        ("s5", "g", 0, [70, 81, 82, 83, 84], 5),
+        ("s5", "h", 0, [81, 82, 83, 84], 4),
+        ("s6", "g", 0, [81, 82, 83, 84], 4),
+        # (6) NULL-doc_id shards sharing a k-run: the census counts
+        # them, so the rejoin must be NULL-SAFE — a plain equi-join
+        # would silently drop the key and undercount vs the
+        # single-phase oracle form
+        ("s7", None, 0, [55, 56, 57, 58], 4),
+        ("s7", None, 1, [55, 56, 57, 58], 4),
     ]
     toks = spark.createDataFrame(
         rows,
@@ -935,7 +948,16 @@ def test_exact_substring_scrub_golden(spark):
         "n_tok int")
     got = {r["source"]: r
            for r in exact_substring_scrub(toks, k=4).collect()}
-    assert set(got) == {"s1", "s2", "s3", "s4"}
+    assert set(got) == {"s1", "s2", "s3", "s4", "s5", "s6", "s7"}
+    # s5: g covers pos 1..4, h covers 0..3; s6: g covers 0..3
+    assert (got["s5"]["docs_scrubbed"], got["s5"]["removed_tokens"]) \
+        == (2, 8)
+    assert (got["s6"]["docs_scrubbed"], got["s6"]["removed_tokens"]) \
+        == (1, 4)
+    # s7: both NULL-doc_id shards fully covered (countDistinct skips
+    # NULL, so docs_scrubbed stays 0 — the removed count is the signal)
+    assert (got["s7"]["docs_scrubbed"], got["s7"]["removed_tokens"]) \
+        == (0, 8)
     # s1: a covers {0..4} (grams at p=0,1 union), b covers {1..5}: 10
     assert (got["s1"]["docs_scrubbed"], got["s1"]["removed_tokens"],
             got["s1"]["removed_bps"]) == (2, 10, 10 * 10000 // 12)

@@ -1203,6 +1203,24 @@ def test_neardup_monitor_staged_equals_stream(spark, sf_dir):
     assert a == b
 
 
+def test_neardup_staged_rejects_sig_free_stage(spark, sf_dir):
+    """sig_mode='staged' against a stage written WITHOUT signatures
+    must be an immediate ValueError: parquet schema projection would
+    otherwise read the missing column as NULL for every row and the
+    monitor would emit plausible-looking all-dup counts."""
+    import pytest
+
+    from movement_spark.streaming.pipeline import (
+        run_streaming_neardup_monitor, stage_token_stream)
+
+    plain = _mkdir()
+    stage_token_stream(spark, sf_dir, plain)  # no with_sig
+    with pytest.raises(ValueError, match="signature-enriched"):
+        run_streaming_neardup_monitor(
+            spark, sf_dir, stage_dir=plain, sink_dir=_mkdir(),
+            checkpoint_dir=_mkdir(), sig_mode="staged")
+
+
 def test_quantile_monitor_resumes_from_checkpoint(spark, sf_dir):
     """Kill/resume for the streaming quantile monitor: the per-(window,
     source, bucket) counter grid spans the kill point — counts for a
