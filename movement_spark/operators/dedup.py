@@ -955,8 +955,12 @@ def dup_span_scrub(tokens: DataFrame,
                 .cast("bigint").alias("docs_scrubbed"),
                 F.coalesce("removed_tokens", F.lit(0))
                 .cast("bigint").alias("removed_tokens"),
+                # greatest(): a source whose shards are ALL empty has
+                # total_tokens = 0 — ANSI div would throw where DuckDB
+                # // yields NULL (totality rule, CLAUDE.md); removed is
+                # necessarily 0 there, so both engines emit 0 bps
                 F.expr("coalesce(removed_tokens, 0) * 10000"
-                       " div total_tokens")
+                       " div greatest(total_tokens, 1)")
                 .cast("bigint").alias("removed_bps"))
     )
 
@@ -1071,8 +1075,12 @@ def exact_substring_scrub(tokens: DataFrame, k: int = EXSUB_K) -> DataFrame:
                 .cast("bigint").alias("docs_scrubbed"),
                 F.coalesce("removed_tokens", F.lit(0))
                 .cast("bigint").alias("removed_tokens"),
+                # greatest(): a source whose shards are ALL empty has
+                # total_tokens = 0 — ANSI div would throw where DuckDB
+                # // yields NULL (totality rule, CLAUDE.md); removed is
+                # necessarily 0 there, so both engines emit 0 bps
                 F.expr("coalesce(removed_tokens, 0) * 10000"
-                       " div total_tokens")
+                       " div greatest(total_tokens, 1)")
                 .cast("bigint").alias("removed_bps"))
     )
 

@@ -5319,7 +5319,7 @@ base AS (
 SELECT b.source, b.n_docs, b.total_tokens,
        CAST(COALESCE(s.docs_scrubbed, 0) AS BIGINT) AS docs_scrubbed,
        CAST(COALESCE(s.removed_tokens, 0) AS BIGINT) AS removed_tokens,
-       CAST(COALESCE(s.removed_tokens, 0) * 10000 // b.total_tokens
+       CAST(COALESCE(s.removed_tokens, 0) * 10000 // GREATEST(b.total_tokens, 1)
             AS BIGINT) AS removed_bps
 FROM base b LEFT JOIN scrub s USING (source)
 """)
@@ -5365,7 +5365,7 @@ base AS (
 SELECT b.source, b.n_docs, b.total_tokens,
        CAST(COALESCE(s.docs_scrubbed, 0) AS BIGINT) AS docs_scrubbed,
        CAST(COALESCE(s.removed_tokens, 0) AS BIGINT) AS removed_tokens,
-       CAST(COALESCE(s.removed_tokens, 0) * 10000 // b.total_tokens
+       CAST(COALESCE(s.removed_tokens, 0) * 10000 // GREATEST(b.total_tokens, 1)
             AS BIGINT) AS removed_bps
 FROM base b LEFT JOIN scrub s USING (source)
 """)

@@ -255,6 +255,70 @@ def test_duplicate_ngram_coverage_matches_model(spark, seed):
     assert got == expected
 
 
+def _model_exsub(rows, k):
+    """Pure-Python exact_substring_scrub: a position is removed iff
+    some k-gram instance covering it has >= 2 EXACT occurrences
+    corpus-wide (instance count — the Lee-et-al. reduction); per-source
+    (n_docs, total, docs_scrubbed, removed, bps) with every source
+    present and bps = removed*10000 // max(total, 1)."""
+    from collections import Counter, defaultdict
+
+    grams = Counter()
+    inst = []
+    for source, doc, seq, toks in rows:
+        for p in range(len(toks) - k + 1):
+            g = tuple(toks[p:p + k])
+            grams[g] += 1
+            inst.append((source, doc, seq, p, g))
+    covered = set()
+    for source, doc, seq, p, g in inst:
+        if grams[g] >= 2:
+            covered.update((source, doc, seq, pos)
+                           for pos in range(p, p + k))
+    per_src = defaultdict(lambda: [set(), 0, set(), 0])
+    for source, doc, seq, toks in rows:
+        st = per_src[source]
+        st[0].add(doc)
+        st[1] += len(toks)
+    for source, doc, seq, pos in covered:
+        st = per_src[source]
+        st[2].add(doc)
+        st[3] += 1
+    return {s: (len(d), t, len(ds), r, r * 10000 // max(t, 1))
+            for s, (d, t, ds, r) in per_src.items()}
+
+
+@SET
+@given(seed=st.integers(0, 10_000))
+def test_exact_substring_scrub_matches_model(spark, seed):
+    """The two-phase (hash census -> exact verify) scrub must agree
+    with the executable single-phase model on random tiny corpora over
+    a 3-symbol alphabet at k=3 — heavy cross-doc, cross-shard, and
+    intra-doc repeats, short/empty shards, and occasionally a source
+    whose shards are ALL empty (total_tokens = 0: the greatest()
+    denominator must yield 0 bps, not an ANSI divide-by-zero)."""
+    import random
+
+    from movement_spark.operators.dedup import exact_substring_scrub
+
+    rng = random.Random(seed)
+    rows = [
+        (f"s{rng.randrange(2)}", f"d{rng.randrange(3)}", i,
+         [rng.randrange(3) for _ in range(rng.randrange(8))])
+        for i in range(rng.randrange(1, 7))
+    ]
+    expected = _model_exsub(rows, k=3)
+    toks = spark.createDataFrame(
+        [(s, d, q, t, len(t)) for s, d, q, t in rows],
+        "source string, doc_id string, seq int, tokens array<int>, "
+        "n_tok int")
+    got = {r["source"]: (r["n_docs"], r["total_tokens"],
+                         r["docs_scrubbed"], r["removed_tokens"],
+                         r["removed_bps"])
+           for r in exact_substring_scrub(toks, k=3).collect()}
+    assert got == expected
+
+
 def _model_semdedup(vecs, k, iters, cos_p, cos_q):
     """Pure-Python semantic_dedup: Lloyd rounds (seeds = first k ids,
     integer L2, ties to lower cluster, floor means) then within-cluster
