@@ -319,6 +319,72 @@ def test_exact_substring_scrub_matches_model(spark, seed):
     assert got == expected
 
 
+def _model_span_scrub(rows):
+    """Pure-Python dup_span_scrub: a position is removed iff some
+    covering trigram occurs in >= 2 DISTINCT docs (per-doc census —
+    unlike the exact-substring scrub's instance count); per-source
+    (n_docs, total, docs_scrubbed, removed, bps), every source present,
+    bps = removed*10000 // max(total, 1)."""
+    from collections import defaultdict
+
+    docs_per_gram = defaultdict(set)
+    inst = []
+    for source, doc, seq, toks in rows:
+        for p in range(len(toks) - 2):
+            g = tuple(toks[p:p + 3])
+            docs_per_gram[g].add(doc)
+            inst.append((source, doc, seq, p, g))
+    covered = set()
+    for source, doc, seq, p, g in inst:
+        if len(docs_per_gram[g]) >= 2:
+            covered.update((source, doc, seq, pos)
+                           for pos in range(p, p + 3))
+    per_src = defaultdict(lambda: [set(), 0, set(), 0])
+    for source, doc, seq, toks in rows:
+        st = per_src[source]
+        st[0].add(doc)
+        st[1] += len(toks)
+    for source, doc, seq, pos in covered:
+        st = per_src[source]
+        st[2].add(doc)
+        st[3] += 1
+    return {s: (len(d), t, len(ds), r, r * 10000 // max(t, 1))
+            for s, (d, t, ds, r) in per_src.items()}
+
+
+@SET
+@given(seed=st.integers(0, 10_000))
+def test_dup_span_scrub_matches_model(spark, seed):
+    """The span-scrub manifest must agree with the executable model on
+    random tiny corpora over a 4-symbol alphabet — overlapping covered
+    trigram unions, the per-DOC census (intra-doc repeats never
+    scrub), cross-shard position keying, empty shards, and the
+    all-empty source (0 bps via the total denominator)."""
+    import random
+
+    from movement_spark.operators.dedup import dup_span_scrub
+
+    rng = random.Random(seed)
+    # doc -> source is FUNCTIONAL (the tables' invariant): the census
+    # counts (source, doc) rows per gram, which equals distinct docs
+    # only under that invariant
+    rows = []
+    for i in range(rng.randrange(1, 7)):
+        d = rng.randrange(4)
+        rows.append((f"s{d % 2}", f"d{d}", i,
+                     [rng.randrange(4) for _ in range(rng.randrange(8))]))
+    expected = _model_span_scrub(rows)
+    toks = spark.createDataFrame(
+        [(s, d, q, t, len(t)) for s, d, q, t in rows],
+        "source string, doc_id string, seq int, tokens array<int>, "
+        "n_tok int")
+    got = {r["source"]: (r["n_docs"], r["total_tokens"],
+                         r["docs_scrubbed"], r["removed_tokens"],
+                         r["removed_bps"])
+           for r in dup_span_scrub(toks).collect()}
+    assert got == expected
+
+
 def _model_semdedup(vecs, k, iters, cos_p, cos_q):
     """Pure-Python semantic_dedup: Lloyd rounds (seeds = first k ids,
     integer L2, ties to lower cluster, floor means) then within-cluster
